@@ -1,0 +1,109 @@
+"""Column energy/water conservation bookkeeping — upstream `check_energy` equivalent.
+
+The reference wraps every parameterization with check_energy_chng and runs a
+global check_energy_gmean each step (/root/reference/physics/physpkg.F90:1115,
+2726-2781, 2867; contract pinned in SURVEY §2.2). These checks are the
+reference's de-facto test suite, so they are first-class here.
+
+Total energy formulation (constant-cp, moist-pressure-coordinate hydrostatic
+energy — the enthalpy form, in which the column potential energy is carried by
+cp*T plus the surface term, so a pure heating Q changes te by exactly Q*dt):
+    te = Σ_k pdel/g [ cp T + (u²+v²)/2 + (Lv+Li) qv + Li ql ] + phis (ps-ptop)/g
+    tw = Σ_k pdel/g [ qv + ql + qi ]
+with s the dry static energy (cp T + g z + phis). Expected change over a step
+equals dt * (net boundary fluxes); the residual is returned, never aborted on —
+callers feed it to blow-up sentinels / tests.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ...utils import constants as c
+from .constituents import ConstituentRegistry
+from .state import PhysicsState
+
+
+@struct.dataclass
+class EnergyDiag:
+    """Residuals from one check_energy_chng call (per column)."""
+
+    te: jnp.ndarray          # new total energy
+    tw: jnp.ndarray          # new total water
+    te_err: jnp.ndarray      # te - (te_cur + dt*expected_flux)
+    tw_err: jnp.ndarray
+
+
+def column_energy(state: PhysicsState, registry: ConstituentRegistry):
+    """(te, tw) vertical integrals per column."""
+    w = state.pdel / c.GRAVIT
+    ke = 0.5 * (state.u ** 2 + state.v ** 2)
+    qv = state.q[:, :, 0]
+    ixliq = registry.index("CLDLIQ")
+    ixice = registry.index("CLDICE")
+    ql = state.q[:, :, ixliq] if ixliq > 0 else jnp.zeros_like(qv)
+    qi = state.q[:, :, ixice] if ixice > 0 else jnp.zeros_like(qv)
+    te = (jnp.sum(w * (c.CPAIR * state.t + ke + (c.LATVAP + c.LATICE) * qv
+                       + c.LATICE * ql), axis=-1)
+          + state.phis * (state.pint[:, -1] - state.pint[:, 0]) / c.GRAVIT)
+    tw = jnp.sum(w * (qv + ql + qi), axis=-1)
+    return te, tw
+
+
+def check_energy_timestep_init(state: PhysicsState,
+                               registry: ConstituentRegistry) -> PhysicsState:
+    """Set te_ini/tw_ini at the start of the physics step
+    (check_energy_timestep_init, called from d_p_coupling dp_coupling.F90:655)."""
+    te, tw = column_energy(state, registry)
+    return state.replace(te_ini=te, te_cur=te, tw_ini=tw, tw_cur=tw)
+
+
+def check_energy_chng(state: PhysicsState, registry: ConstituentRegistry,
+                      dt: float,
+                      flx_vap=None, flx_cnd=None, flx_ice=None, flx_sen=None,
+                      ) -> tuple[PhysicsState, EnergyDiag]:
+    """Verify energy/water change matches boundary fluxes and update te_cur/tw_cur
+    (check_energy_chng equivalent; call pattern physpkg.F90:2867 etc.).
+
+    flx_vap: water vapor flux in (kg/m2/s);  flx_cnd: liquid condensate flux
+    out (m/s of liquid water); flx_ice: ice flux out; flx_sen: sensible heat
+    flux in (W/m2).
+    """
+    ncol = state.ncol
+    zero = jnp.zeros((ncol,), dtype=state.t.dtype)
+    flx_vap = zero if flx_vap is None else flx_vap
+    flx_cnd = zero if flx_cnd is None else flx_cnd
+    flx_ice = zero if flx_ice is None else flx_ice
+    flx_sen = zero if flx_sen is None else flx_sen
+
+    te, tw = column_energy(state, registry)
+    # expected changes from boundary fluxes over dt
+    te_xpd = state.te_cur + dt * (
+        flx_sen
+        + (c.LATVAP + c.LATICE) * flx_vap
+        - (c.LATICE * c.RHOH2O) * flx_cnd)
+    tw_xpd = state.tw_cur + dt * (
+        flx_vap - c.RHOH2O * (flx_cnd + flx_ice))
+    diag = EnergyDiag(te=te, tw=tw, te_err=te - te_xpd, tw_err=tw - tw_xpd)
+    return state.replace(te_cur=te, tw_cur=tw), diag
+
+
+def check_energy_fix(state: PhysicsState, registry: ConstituentRegistry,
+                     teout_prev=None):
+    """Global energy fixer: uniform heating closing the dycore's energy error
+    (check_energy_fix; applied at the top of tphysbc, physpkg.F90:2726-2781).
+
+    Returns a (ncol, pver) heating rate (J/kg/s) whose column integral equals
+    the per-column energy deficit (te_ini - te_cur)/dt — column-local here, with
+    the global-mean variant (psum over mesh) layered in parallel/reductions.
+    `teout_prev`: total energy at the end of the previous physics step; when
+    None the fixer heating is zero.
+    """
+    if teout_prev is None:
+        return jnp.zeros_like(state.t)
+    te, _ = column_energy(state, registry)
+    deficit = teout_prev - te                       # J/m2
+    pint_diff = state.pint[:, -1] - state.pint[:, 0]
+    heat = deficit * c.GRAVIT / pint_diff           # J/kg/s per unit dt
+    return jnp.broadcast_to(heat[:, None], state.t.shape)

@@ -1,0 +1,175 @@
+"""Moist thermodynamics: entropy, enthalpy, and their vectorized inversions.
+
+TPU-native equivalents of the ZM plume thermodynamic core:
+  - `entropy` (Raymond & Blyth 1992)   — /root/reference/physics/zm_conv.F90:5280-5300
+  - `enthalpy` (tht moist enthalpy)    — /root/reference/physics/zm_conv.F90:5440-5457
+  - `ientropy`/`ienthalpy` Brent-method inversions — zm_conv.F90:5304-5414
+
+The reference inverts per scalar column/level with Brent's method and hard-aborts
+after 100 iterations. Here the inversion runs vectorized over every (column,
+level) pair at once as a fixed-upper-bound `lax.while_loop` whose carried state
+is whole arrays; converged lanes freeze via masks. Non-convergence never aborts
+the step — it returns NaN on those lanes so the caller's blow-up sentinels can
+surface it (SURVEY §5.3 policy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import constants as c
+from .saturation import qsat_hpa
+
+# ZM-internal constant aliases (zm_convi, zm_conv.F90:155-168)
+CPRES = c.CPAIR
+RL = c.LATVAP
+TFREEZ = c.TMELT
+EPS1 = c.EPSILO
+RGAS = c.RAIR
+
+
+def entropy(tk, p_hpa, qtot):
+    """Moist entropy (J/kg/K), Raymond & Blyth 1992. p in hPa.
+
+    s = (cp + qt*cl) ln(T/Tf) - Rd ln((p-e)/pref) + L qv/T - qv Rv ln(qv/qst)
+    with qv = min(qt, qst) and L = Lv - (cl - cpv)(T - Tf).
+    """
+    pref = 1000.0
+    L = RL - (c.CPLIQ - c.CPWV) * (tk - TFREEZ)
+    _, qst = qsat_hpa(tk, p_hpa)
+    qv = jnp.minimum(qtot, qst)
+    e = qv * p_hpa / (EPS1 + qv)
+    return ((CPRES + qtot * c.CPLIQ) * jnp.log(tk / TFREEZ)
+            - RGAS * jnp.log((p_hpa - e) / pref)
+            + L * qv / tk
+            - qv * c.RH2O * jnp.log(qv / qst))
+
+
+def enthalpy(tk, p_hpa, qtot, z):
+    """Moist static enthalpy (J/kg), tht variant. p in hPa, z in m.
+
+    h = (cp + qt*cl) T + L qv + (1+qt) g z, qv = min(qt, qst).
+    """
+    L = RL - (c.CPLIQ - c.CPWV) * (tk - TFREEZ)
+    _, qst = qsat_hpa(tk, p_hpa)
+    qv = jnp.minimum(qtot, qst)
+    return (CPRES + qtot * c.CPLIQ) * tk + L * qv + (1.0 + qtot) * c.GRAVIT * z
+
+
+def _brent_invert(f, target, t_guess, max_iter=100, tol=0.001):
+    """Vectorized Brent root find of f(T) = target, bracketed at t_guess +- 10 K.
+
+    Elementwise translation of the scalar Brent loop in zm_conv.F90:5335-5391:
+    every branch becomes a jnp.where so all lanes advance together; the loop
+    exits early once every lane converges. Returns (T, converged_mask).
+    """
+    eps_ = 3.0e-8
+
+    a0 = t_guess - 10.0
+    b0 = t_guess + 10.0
+    fa0 = f(a0) - target
+    fb0 = f(b0) - target
+    # Root must lie inside the +-10 K bracket; same-signed endpoints mean the
+    # inversion cannot succeed (the reference assumes a valid bracket and
+    # silently returns the collapsed interval — here it is flagged as failed).
+    bracketed = fa0 * fb0 <= 0.0
+
+    state = dict(a=a0, b=b0, cc=b0, fa=fa0, fb=fb0, fc=fb0,
+                 d=b0 - a0, e=b0 - a0,
+                 done=jnp.zeros_like(t_guess, dtype=bool),
+                 it=jnp.array(0, dtype=jnp.int32))
+
+    def cond(s):
+        return jnp.logical_and(s["it"] <= max_iter, ~jnp.all(s["done"]))
+
+    def body(s):
+        a, b, cc = s["a"], s["b"], s["cc"]
+        fa, fb, fc = s["fa"], s["fb"], s["fc"]
+        d, e = s["d"], s["e"]
+
+        # re-bracket if fb, fc on the same side
+        same = (fb > 0) & (fc > 0) | (fb < 0) & (fc < 0)
+        cc = jnp.where(same, a, cc)
+        fc = jnp.where(same, fa, fc)
+        d = jnp.where(same, b - a, d)
+        e = jnp.where(same, b - a, e)
+
+        # swap so that b is the best guess
+        swap = jnp.abs(fc) < jnp.abs(fb)
+        a2 = jnp.where(swap, b, a)
+        b2 = jnp.where(swap, cc, b)
+        cc2 = jnp.where(swap, a2, cc)
+        fa2 = jnp.where(swap, fb, fa)
+        fb2 = jnp.where(swap, fc, fb)
+        fc2 = jnp.where(swap, fa2, fc)
+
+        tol1 = 2.0 * eps_ * jnp.abs(b2) + 0.5 * tol
+        xm = 0.5 * (cc2 - b2)
+        newly_done = (jnp.abs(xm) <= tol1) | (fb2 == 0.0)
+        done = s["done"] | newly_done
+
+        # interpolation step
+        use_interp = (jnp.abs(e) >= tol1) & (jnp.abs(fa2) > jnp.abs(fb2))
+        sbr = fb2 / jnp.where(fa2 == 0, 1e-30, fa2)
+        a_eq_c = a2 == cc2
+        # secant (a == c) vs inverse quadratic
+        p_sec = 2.0 * xm * sbr
+        q_sec = 1.0 - sbr
+        qbr = fa2 / jnp.where(fc2 == 0, 1e-30, fc2)
+        rbr = fb2 / jnp.where(fc2 == 0, 1e-30, fc2)
+        p_iq = sbr * (2.0 * xm * qbr * (qbr - rbr) - (b2 - a2) * (rbr - 1.0))
+        q_iq = (qbr - 1.0) * (rbr - 1.0) * (sbr - 1.0)
+        pbr = jnp.where(a_eq_c, p_sec, p_iq)
+        qbr2 = jnp.where(a_eq_c, q_sec, q_iq)
+        qbr2 = jnp.where(pbr > 0, -qbr2, qbr2)
+        pbr = jnp.abs(pbr)
+        ok = 2.0 * pbr < jnp.minimum(3.0 * xm * qbr2 - jnp.abs(tol1 * qbr2),
+                                     jnp.abs(e * qbr2))
+        d_new = jnp.where(use_interp & ok,
+                          pbr / jnp.where(qbr2 == 0, 1e-30, qbr2), xm)
+        e_new = jnp.where(use_interp & ok, d, d_new)
+
+        a3 = b2
+        fa3 = fb2
+        step = jnp.where(jnp.abs(d_new) > tol1, d_new,
+                         jnp.where(xm >= 0, tol1, -tol1))
+        b3 = b2 + step
+        fb3 = f(b3) - target
+
+        # freeze converged lanes
+        frz = lambda new, old: jnp.where(done, old, new)
+        return dict(a=frz(a3, a2), b=frz(b3, b2), cc=frz(cc2, cc2),
+                    fa=frz(fa3, fa2), fb=frz(fb3, fb2), fc=frz(fc2, fc2),
+                    d=frz(d_new, d), e=frz(e_new, e),
+                    done=done, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    ok = out["done"] & bracketed
+    t = jnp.where(ok, out["b"], jnp.nan)
+    return t, ok
+
+
+def ientropy(s_target, p_hpa, qt, t_guess, max_iter=100):
+    """Invert entropy(T, p, qt) = s for T; returns (T, qst, converged).
+
+    Equivalent of zm_conv.F90:5304-5414 but batched over arrays.
+    """
+    t, conv = _brent_invert(partial(entropy, p_hpa=p_hpa, qtot=qt),
+                            s_target, t_guess, max_iter=max_iter)
+    _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)
+    return t, qst, conv
+
+
+def ienthalpy(h_target, p_hpa, qt, z, t_guess, max_iter=100):
+    """Invert enthalpy(T, p, qt, z) = h for T; returns (T, qst, converged).
+
+    Equivalent of zm_conv.F90 ienthalpy (identical to ientropy with the
+    function swapped).
+    """
+    t, conv = _brent_invert(partial(enthalpy, p_hpa=p_hpa, qtot=qt, z=z),
+                            h_target, t_guess, max_iter=max_iter)
+    _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)
+    return t, qst, conv

@@ -1,0 +1,220 @@
+"""Typed configuration dataclasses (TPU-native replacement for Fortran namelists).
+
+The reference reads one Fortran namelist group per subsystem on the master rank
+and MPI-broadcasts field by field (`dyn_fv_inparm` /root/reference/fv/dyn_comp.F90:206-213,
+`zmconv_nl` /root/reference/physics/zm_conv_intr.F90:188-192, `phys_ctl_nl`
+/root/reference/physics/phys_control.F90:133-144). Here each group is a frozen
+dataclass; all hosts construct the same config from the same TOML/dict, so no
+broadcast is needed. Defaults preserve the reference's semantics, including the
+nsplit auto-computation formula (/root/reference/fv/dyn_comp.F90:412-451).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from typing import Any
+
+log = logging.getLogger("cam_nor_tpu")
+
+
+@dataclass(frozen=True)
+class FVConfig:
+    """FV dycore run configuration (dyn_fv_inparm equivalent).
+
+    Mirrors the knobs of /root/reference/fv/dyn_comp.F90:159-454 and the derived
+    quantities stored in T_FVDYCORE_STATE (/root/reference/fv/dynamics_vars.F90:279-309).
+    """
+
+    nsplit: int = 0           # Lagrangian time splits; 0 = auto (init_nsplit)
+    nspltrac: int = 0         # tracer time splits; 0 = auto (max(1, nsplit/4))
+    nspltvrm: int = 0         # vertical remap splits; 0 = auto (1)
+    iord: int = 4             # E-W scheme order (1 upwind, 2 van Leer, 3 PPM, 4 PPM+monotonic)
+    jord: int = 4             # N-S scheme order
+    kord: int = 4             # vertical remap scheme order
+    conserve: bool = False    # total-energy conserving vertical remap
+    filtcw: int = 0           # filter C-grid winds
+    fft_flt: int = 1          # 0 = FFT/algebraic filter, 1 = FFT filter
+    div24del2flag: int = 2    # 2 = 2nd-order div damping, 4 = 4th, 42 = 4th + del2 velocity damping
+    del2coef: float = 3.0e5   # strength of 2nd-order velocity damping
+    high_order_top: bool = False
+    high_altitude: bool = False
+    am_correction: bool = False
+    am_geom_crrct: bool = False
+    am_fixer: bool = False
+    am_fix_lbl: bool = False
+    am_fix_taper: bool = False
+    am_fix_tpr_h: float = 95e2
+    am_fix_tpr_w: float = 10e2
+    am_diag: bool = False
+
+    def resolved_splits(self, dt: float, im: int, jm: int) -> tuple[int, int, int]:
+        """Resolve (nsplit, nspltrac, nspltvrm), applying the reference's auto rules.
+
+        nsplit auto formula: ns = int(ns0*dt*dim/(dt0*dim0) + 0.75), floored at 1,
+        with ns0=4, dt0=1800, dim0=191, dim=max(im, 2*(jm-1))
+        (/root/reference/fv/dyn_comp.F90:412-451). nspltrac defaults to
+        max(1, nsplit/4) (:326); nspltvrm defaults to 1 (:334).
+        """
+        ns = self.nsplit
+        if ns <= 0:
+            dim0, dt0, ns0 = 191.0, 1800.0, 4.0
+            dim = max(im, 2 * (jm - 1))
+            ns = max(1, int(ns0 * dt * dim / (dt0 * dim0) + 0.75))
+        nspltrac = self.nspltrac if self.nspltrac > 0 else max(1, ns // 4)
+        nspltvrm = self.nspltvrm if self.nspltvrm > 0 else 1
+        return ns, nspltrac, nspltvrm
+
+
+@dataclass(frozen=True)
+class ZMConfig:
+    """Zhang-McFarlane deep convection configuration (zmconv_nl equivalent).
+
+    Namelist knobs from /root/reference/physics/zm_conv_intr.F90:66-81,188-192;
+    hard-wired "tht" switches and tunables from /root/reference/physics/zm_conv.F90:75-103.
+    Defaults are the CAM6/NorESM production values.
+    """
+
+    # namelist tunables
+    c0_lnd: float = 0.0075     # autoconversion coefficient over land (1/m)
+    c0_ocn: float = 0.0300     # autoconversion coefficient over ocean (1/m)
+    ke: float = 5.0e-6         # evaporation efficiency
+    ke_lnd: float = 5.0e-6
+    momcu: float = 0.4         # updraft momentum-transport pressure-gradient parameter
+    momcd: float = 0.4         # downdraft momentum-transport pressure-gradient parameter
+    num_cin: int = 5           # negative-buoyancy layers allowed (must be <= 5, zm_conv.F90:200)
+    org: bool = False          # Mapes-Neale organization tracer
+    microp: bool = False       # convective microphysics inside updraft
+    dmpdz: float = -1.0e-3     # test-parcel fractional entrainment rate (1/m, negative)
+    tiedke_add: float = 0.5    # launching buoyancy of plume ensemble (K)
+    capelmt: float = 70.0      # CAPE threshold for deep convection (J/kg)
+    parcel_pbl: bool = False   # PBL-mixed launch parcel
+    tau: float = 3600.0        # CAPE-relaxation closure timescale (s)
+    no_deep_pbl: bool = False  # eliminate deep convection entirely within PBL
+
+    # tht switches, hard-wired true in the reference (zm_conv.F90:75-78)
+    second_call: bool = True   # iterate parcel-plume calculation
+    retrigger: bool = True     # iterate trigger condition
+    use_cin: bool = True       # CIN gating of the trigger
+    tht_tweaks: bool = True    # enthalpy (not entropy) plume mixing etc.
+
+    # hard-wired tunables (zm_conv.F90:83-103)
+    capelmt_lnd: float = 70.0
+    tiedke_lnd: float = 1.0
+    cape_tau: float = 3.6e3
+    entrmn: float = 2.0e-4     # max convective entrainment rate (1/m)
+    alfadet: float = 0.1       # detrainment/entrainment ratio
+    tentr_lnd: float = 1.0e-3
+    plclmin: float = 6.0e2     # min LCL pressure (hPa): no convection if LCL above
+    cin_threshd: float = 0.33  # max CIN as fraction of CAPE
+    parcel_hscale: float = 0.5 # PBL-height scaling for parcel mixing (lparcel_pbl)
+
+    def __post_init__(self) -> None:
+        if self.num_cin > 5:
+            raise ValueError("ZMConfig: num_cin must not exceed 5 "
+                             "(reference zm_conv.F90:200)")
+        if not self.tht_tweaks and (self.second_call or self.retrigger):
+            raise ValueError("ZMConfig: tht_tweaks must be True to use "
+                             "second_call or retrigger (zm_conv.F90:197)")
+
+    @property
+    def tentrm(self) -> float:
+        """Initial test-parcel entrainment rate = -dmpdz (zm_conv.F90 tentrm=-dmpdz_param)."""
+        return -self.dmpdz
+
+
+@dataclass(frozen=True)
+class PhysConfig:
+    """Physics package control flags (phys_ctl_nl equivalent).
+
+    Scheme selections + switches from /root/reference/physics/phys_control.F90:33-117.
+    """
+
+    cam_physpkg: str = "cam6"
+    deep_scheme: str = "ZM"
+    shallow_scheme: str = "CLUBB_SGS"
+    eddy_scheme: str = "CLUBB_SGS"
+    microp_scheme: str = "MG"
+    macrop_scheme: str = "CLUBB_SGS"
+    radiation_scheme: str = "rrtmg"
+    srf_flux_avg: int = 0
+    cld_macmic_num_steps: int = 1   # macro/micro substeps per physics step
+    micro_do_icesupersat: bool = False
+    use_subcol_microp: bool = False
+    state_debug_checks: bool = True
+    history_amwg: bool = True
+    history_verbose: bool = False
+    history_aerosol: bool = False
+    history_budget: bool = False
+    history_budget_histfile_num: int = 1
+    history_waccm: bool = False
+    do_clubb_sgs: bool = True
+    use_gw_oro: bool = True
+    use_gw_front: bool = False
+    use_gw_convect: bool = False
+    use_hetfrz_classnuc: bool = False
+    waccmx_opt: str = "off"
+    fv_am_correction: bool = False  # set by the dycore (dyn_comp.F90:374)
+    use_oslo_aero: bool = False     # oslo_aero_share equivalent (stub => False)
+    prog_modal_aero: bool = True
+
+    def cam_physpkg_is(self, name: str) -> bool:
+        return self.cam_physpkg == name
+
+    def waccmx_is(self, name: str) -> bool:
+        return self.waccmx_opt == name
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Horizontal/vertical resolution and tracer count."""
+
+    im: int = 144      # longitudes
+    jm: int = 96       # latitudes (pole to pole, pole points included)
+    km: int = 26       # levels
+    pcnst: int = 3     # constituents (Q must be index 0, physpkg.F90:113)
+    dtime: float = 1800.0  # large (physics) timestep in seconds
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Top-level bundle of all subsystem configs."""
+
+    grid: GridConfig = field(default_factory=GridConfig)
+    fv: FVConfig = field(default_factory=FVConfig)
+    zm: ZMConfig = field(default_factory=ZMConfig)
+    phys: PhysConfig = field(default_factory=PhysConfig)
+
+    def echo(self) -> None:
+        """Log the full configuration at init, like the reference's masterproc echo
+        (/root/reference/fv/dyn_comp.F90:376-401, zm_conv.F90:185-225)."""
+        for name, sub in (("grid", self.grid), ("fv", self.fv),
+                          ("zm", self.zm), ("phys", self.phys)):
+            for f in dataclasses.fields(sub):
+                log.info("config %s.%s = %r", name, f.name, getattr(sub, f.name))
+
+
+def _apply_overrides(cls: type, data: dict[str, Any]) -> Any:
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - names
+    if unknown:
+        raise KeyError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    return cls(**data)
+
+
+def config_from_dict(data: dict[str, Any]) -> ModelConfig:
+    """Build a ModelConfig from a nested dict (e.g. parsed TOML/YAML/JSON)."""
+    return ModelConfig(
+        grid=_apply_overrides(GridConfig, data.get("grid", {})),
+        fv=_apply_overrides(FVConfig, data.get("fv", {})),
+        zm=_apply_overrides(ZMConfig, data.get("zm", {})),
+        phys=_apply_overrides(PhysConfig, data.get("phys", {})),
+    )
+
+
+def config_from_toml(path: str) -> ModelConfig:
+    import tomllib
+
+    with open(path, "rb") as f:
+        return config_from_dict(tomllib.load(f))
