@@ -1,0 +1,1324 @@
+"""Zhang-McFarlane deep convection core (NorESM "tht" variant) — TPU-native.
+
+Re-implementation of /root/reference/physics/zm_conv.F90 (5572 lines of F90)
+as batched, jit-safe JAX. Key design translations (SURVEY §7.1.2, §7.4.4):
+
+- The reference gathers triggered columns (`ideep`, zm_conv.F90:905-940) and
+  runs scalar level loops per gathered point. Here every column is computed and
+  non-triggered columns are masked out at the end — branch-free, TPU-friendly;
+  the gather was an MPI-era scalar-CPU optimization.
+- Level recursions (plume ascent hu/su/qu, downdraft descent, precip/freezing
+  adjustment, flux integrals) become `lax.scan` over the level axis with
+  (ncol,)-shaped carries.
+- The Brent entropy/enthalpy inversions (`ientropy`/`ienthalpy`,
+  zm_conv.F90:5304-5414) are the vectorized solvers in ops/thermo.
+- Data-dependent level indices (mx, lcl, lel, jt, j0, jd, jlcl) are integer
+  arrays; Fortran `k >= jt(i)`-style loop bounds become broadcast masks.
+
+Level convention: k=0 is the model top, k=pver-1 the surface layer (matching
+the reference's 1..pver top-down ordering, shifted to 0-based). `msg` is the
+number of excluded top levels (= reference msg = limcnv-1).
+
+Units follow the reference internals: pressure in hPa (mb), heights in m
+including surface elevation, mass fluxes normalized by cloud-base mass flux
+until scaled by `mb` (mb/s).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...ops.saturation import qsat as qsat_blend
+from ...ops.saturation import qsat_hpa
+from ...ops.thermo import enthalpy, entropy, ienthalpy, ientropy
+from ...utils import constants as c
+from ...utils.config import ZMConfig
+
+# module-level constant aliases matching zm_convi (zm_conv.F90:155-168)
+CP = c.CPAIR
+RGAS = c.RAIR
+GRAV = c.GRAVIT
+RGRAV = 1.0 / c.GRAVIT
+RL = c.LATVAP
+EPS1 = c.EPSILO
+TFREEZ = c.TMELT
+CPVIR = c.CPVIR
+DCOL = (c.CPLIQ - c.CPWV) / c.LATVAP   # zm_conv.F90:106-108
+
+
+def _safe_div(a, b, eps=1.0e-300):
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b >= 0, eps, -eps), b)
+
+
+def _take_col(arr, idx):
+    """arr[(i, idx[i])] for arr (ncol, pver), idx (ncol,) int."""
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+def _first_true_from_bottom(mask, default):
+    """Largest k with mask true per column, else `default` (int array/scalar)."""
+    pver = mask.shape[1]
+    rev = mask[:, ::-1]
+    idx = jnp.argmax(rev, axis=1)
+    found = jnp.any(rev, axis=1)
+    return jnp.where(found, pver - 1 - idx, default), found
+
+
+def _first_true_from_top(mask, default):
+    idx = jnp.argmax(mask, axis=1)
+    found = jnp.any(mask, axis=1)
+    return jnp.where(found, idx, default), found
+
+
+def _log_mean_interface(x, thresh=1.0e-6):
+    """xhat(k) = log-mean of (x(k-1), x(k)) on upper interfaces, k>=1.
+
+    Matches the shat/qhat construction (zm_conv.F90:1007-1027): when the
+    relative difference exceeds 1e-6 use x0*x1*ln(x0/x1)/(x0-x1), else the
+    arithmetic mean. xhat(0) = x(0).
+    """
+    x0 = x[:, :-1]   # level k-1 (above)
+    x1 = x[:, 1:]    # level k
+    diff = jnp.abs(_safe_div(x0 - x1, jnp.maximum(jnp.maximum(x0, x1), 1e-300)))
+    use_log = (diff > thresh) & (x0 > 0) & (x1 > 0) & (jnp.abs(x0 - x1) > 0)
+    logmean = _safe_div(jnp.log(jnp.where(use_log, _safe_div(x0, x1), 1.0)),
+                        x0 - x1) * x0 * x1
+    xhat = jnp.where(use_log, logmean, 0.5 * (x0 + x1))
+    return jnp.concatenate([x[:, :1], xhat], axis=1)
+
+
+def cldfrc_fice(t):
+    """Ice/snow fraction ramps (upstream cloud_fraction::cldfrc_fice contract,
+    used at zm_conv.F90:1810). fice ramps 0->1 over [Tmelt-40, Tmelt-10];
+    fsnow over [Tmelt-5, Tmelt]."""
+    tmax_fice, tmin_fice = TFREEZ - 10.0, TFREEZ - 40.0
+    tmax_fsnow, tmin_fsnow = TFREEZ, TFREEZ - 5.0
+    fice = jnp.clip((tmax_fice - t) / (tmax_fice - tmin_fice), 0.0, 1.0)
+    fsnow = jnp.clip((tmax_fsnow - t) / (tmax_fsnow - tmin_fsnow), 0.0, 1.0)
+    return fice, fsnow
+
+
+# =============================================================================
+# buoyan_dilute + parcel_dilute  (zm_conv.F90:4425-5277)
+# =============================================================================
+
+@struct.dataclass
+class BuoyanOut:
+    tp: jnp.ndarray        # parcel temperature (ncol, pver)
+    qstp: jnp.ndarray      # parcel sat mixing ratio (q below lcl)
+    tl: jnp.ndarray        # parcel T at LCL (ncol,)
+    cape: jnp.ndarray      # (ncol,)
+    cin: jnp.ndarray       # (ncol,)
+    lcl: jnp.ndarray       # int level indices (ncol,)
+    lel: jnp.ndarray
+    mx: jnp.ndarray        # launch level
+
+
+def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
+                   tpert, tl0, ql0, pl0, dmpdz):
+    """Entraining-plume parcel ascent (parcel_dilute, zm_conv.F90:4824-5277),
+    tht_tweaks path (enthalpy mixing; entropy-based precip/freeze adjustment).
+
+    Returns (tp, qstp, tpv, tl, pl, lcl).
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+    lwmax = 1.0e-3
+    tscool = 0.0
+    nit_lheat = 2
+
+    # launch-level values (tht path: tmix = t, qsmix = qsat)
+    t_launch = _take_col(t, klaunch)
+    q_launch = _take_col(q, klaunch)
+    p_launch = _take_col(p, klaunch)
+    z_launch = _take_col(z, klaunch)
+    if cfg.parcel_pbl:
+        qtp0 = ql0
+        sp0 = enthalpy(tl0, pl0, qtp0, jnp.zeros_like(tl0))
+    else:
+        qtp0 = q_launch
+        sp0 = enthalpy(t_launch, p_launch, qtp0, z_launch)
+    mp0 = jnp.ones((ncol,), dtype)
+
+    _, qs_launch = qsat_hpa(t_launch, p_launch)
+
+    # ---- entrainment ascent scan (bottom-up over levels pver-1 .. msg) ----
+    # per-level inputs, reversed so the scan walks upward
+    def rev(a):
+        return a[:, ::-1].T  # (pver, ncol) bottom-first
+
+    # level-below values x(k+1): shift
+    def below(a):
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+    xs = dict(
+        k=jnp.arange(pver - 1, -1, -1),
+        p=rev(p), z=rev(z), t=rev(t), q=rev(q),
+        p_b=rev(below(p)), z_b=rev(below(z)), t_b=rev(below(t)), q_b=rev(below(q)),
+        dmpdz=rev(dmpdz),
+    )
+
+    # Ascent scan computes the mixture profile only; LCL detection and
+    # interpolation run as a separate vectorized pass afterwards.
+    def ascent_step2(cy, x):
+        k = x["k"]
+        at_launch = k == klaunch
+        above = k < klaunch
+
+        dp = x["p"] - x["p_b"]
+        qtenv = 0.5 * (x["q"] + x["q_b"])
+        tenv = 0.5 * (x["t"] + x["t_b"])
+        penv = 0.5 * (x["p"] + x["p_b"])
+        zenv = 0.5 * (x["z"] + x["z_b"])
+        senv = enthalpy(tenv, penv, qtenv, zenv)
+        dpdz = -(penv * GRAV) / (RGAS * tenv)   # mb/m (p in mb), zm_conv.F90:5065
+        dzdp = 1.0 / dpdz
+        dmpdp = x["dmpdz"] * dzdp
+
+        sp = jnp.where(above, cy["sp"] - dmpdp * dp * senv, cy["sp"])
+        qtp = jnp.where(above, cy["qtp"] - dmpdp * dp * qtenv, cy["qtp"])
+        mp = jnp.where(above, cy["mp"] - dmpdp * dp, cy["mp"])
+
+        smix_a = (sp0 + sp) / (mp0 + mp)
+        qtmix_a = (qtp0 + qtp) / (mp0 + mp)
+        t_inv, qs_inv, _ = ienthalpy(smix_a, x["p"], qtmix_a, x["z"], cy["tmix_b"])
+        t_inv = jnp.where(jnp.isnan(t_inv), cy["tmix_b"], t_inv)
+
+        smix = jnp.where(at_launch, sp0, jnp.where(above, smix_a, senv))
+        qtmix = jnp.where(at_launch, qtp0, jnp.where(above, qtmix_a, x["q"]))
+        tmix = jnp.where(at_launch, t_launch, jnp.where(above, t_inv, x["t"]))
+        qsmix = jnp.where(at_launch, qs_launch,
+                          jnp.where(above, qs_inv, x["q"]))
+
+        new_cy = dict(sp=sp, qtp=qtp, mp=mp, tmix_b=tmix, qsmix_b=qsmix,
+                      qtmix_b=qtmix)
+        return new_cy, (smix, qtmix, tmix, qsmix, dzdp)
+
+    carryA = dict(sp=jnp.zeros((ncol,), dtype), qtp=jnp.zeros((ncol,), dtype),
+                  mp=jnp.zeros((ncol,), dtype),
+                  tmix_b=t_launch, qsmix_b=qs_launch, qtmix_b=qtp0)
+    _, (smix_r, qtmix_r, tmix_r, qsmix_r, dzdp_r) = jax.lax.scan(
+        ascent_step2, carryA, xs)
+    # un-reverse to (ncol, pver) top-down
+    unrev = lambda a: a.T[:, ::-1]
+    smix = unrev(smix_r)
+    qtmix = unrev(qtmix_r)
+    tmix = unrev(tmix_r)
+    qsmix = unrev(qsmix_r)
+    dzdp_l = unrev(dzdp_r)
+
+    # ---- LCL detection + interpolation (zm_conv.F90:5100-5135) ----
+    karr = jnp.arange(pver)[None, :]
+    above_m = karr < klaunch[:, None]
+    qsmix_b = jnp.concatenate([qsmix[:, 1:], qs_launch[:, None]], axis=1)
+    qtmix_b = jnp.concatenate([qtmix[:, 1:], qtp0[:, None]], axis=1)
+    crossing = above_m & (qsmix <= qtmix) & (qsmix_b > qtmix_b)
+    # reference loop runs k decreasing, so the last write is the smallest k
+    lcl_idx, found = _first_true_from_top(crossing, klaunch)
+    lcl = jnp.where(found, lcl_idx, klaunch)
+
+    def interp_at(arr):
+        return _take_col(arr, lcl)
+
+    p_b_full = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    z_b_full = jnp.concatenate([z[:, 1:], z[:, -1:]], axis=1)
+    smix_bf = jnp.concatenate([smix[:, 1:], smix[:, -1:]], axis=1)
+    dp_lcl = interp_at(p) - interp_at(p_b_full)
+    qxsk = interp_at(qtmix) - interp_at(qsmix)
+    qxskp1 = interp_at(qtmix_b) - interp_at(qsmix_b)
+    dqxsdp = _safe_div(qxsk - qxskp1, dp_lcl)
+    pl = jnp.where(found, interp_at(p_b_full) - _safe_div(qxskp1, dqxsdp),
+                   p_launch if not cfg.parcel_pbl else pl0)
+    zl = jnp.where(found,
+                   interp_at(z_b_full) - _safe_div(qxskp1, dqxsdp) * interp_at(dzdp_l),
+                   jnp.zeros((ncol,), dtype))
+    dsdp = _safe_div(interp_at(smix) - interp_at(smix_bf), dp_lcl)
+    dqtdp = _safe_div(interp_at(qtmix) - interp_at(qtmix_b), dp_lcl)
+    slcl = interp_at(smix_bf) + dsdp * (pl - interp_at(p_b_full))
+    qtlcl = interp_at(qtmix_b) + dqtdp * (pl - interp_at(p_b_full))
+    tl_inv, _, _ = ienthalpy(slcl, pl, qtlcl, zl, interp_at(tmix))
+    tl = jnp.where(found & ~jnp.isnan(tl_inv), tl_inv,
+                   tl0 if cfg.parcel_pbl else t_launch)
+
+    # ---- precipitation / freezing adjustment scan (zm_conv.F90:5160-5270) --
+    # bottom-up; tht path recomputes entropy of the mixture first.
+    smix_ent = entropy(tmix, p, qtmix)
+
+    xsP = dict(
+        k=jnp.arange(pver - 1, -1, -1),
+        p=rev(p), q=rev(q), smix=rev(smix_ent),
+        qtmix=rev(qtmix), tmix0=rev(tmix), qsmix0=rev(qsmix),
+    )
+    carryP = dict(
+        xsh2o_b=jnp.zeros((ncol,), dtype),
+        ds_xsh2o_b=jnp.zeros((ncol,), dtype),
+        ds_freeze_b=jnp.zeros((ncol,), dtype),
+        qsmix_b=qs_launch,
+    )
+
+    tpert_eff = tpert
+
+    def precip_step(cy, x):
+        k = x["k"]
+        at_launch = k == klaunch
+        above = k < klaunch
+
+        tmix_k = x["tmix0"]
+        qsmix_k = x["qsmix0"]
+        xsh2o = jnp.zeros_like(tmix_k)
+        ds_xsh2o = jnp.zeros_like(tmix_k)
+        ds_freeze = jnp.zeros_like(tmix_k)
+        new_q = x["qtmix"]
+        for _ in range(nit_lheat):
+            xsh2o = jnp.maximum(0.0, x["qtmix"] - qsmix_k - lwmax)
+            ds_xsh2o = cy["ds_xsh2o_b"] - c.CPLIQ * jnp.log(tmix_k / TFREEZ) * \
+                jnp.maximum(0.0, xsh2o - cy["xsh2o_b"])
+            cold = tmix_k <= TFREEZ + tscool
+            first_frz = cold & (cy["ds_freeze_b"] == 0.0)
+            cont_frz = cold & (cy["ds_freeze_b"] != 0.0)
+            ds_freeze = jnp.where(
+                first_frz,
+                (c.LATICE / tmix_k) * jnp.maximum(0.0, x["qtmix"] - qsmix_k - xsh2o),
+                jnp.where(cont_frz,
+                          cy["ds_freeze_b"] + (c.LATICE / tmix_k) *
+                          jnp.maximum(0.0, cy["qsmix_b"] - qsmix_k),
+                          0.0))
+            new_s = x["smix"] + ds_xsh2o + ds_freeze
+            new_q = x["qtmix"] - xsh2o
+            t_i, qs_i, _ = ientropy(new_s, x["p"], new_q, tmix_k)
+            tmix_k = jnp.where(above & ~jnp.isnan(t_i), t_i, tmix_k)
+            qsmix_k = jnp.where(above, qs_i, qsmix_k)
+
+        tp_k = jnp.where(above, tmix_k, x["tmix0"])
+        qstp_k = jnp.where(above,
+                           jnp.where(new_q > qsmix_k, qsmix_k, new_q),
+                           x["q"])
+        denom_q = jnp.where(above, new_q, qstp_k)
+        tpv_k = (tp_k + tpert_eff) * (1.0 + qstp_k / EPS1) / (1.0 + denom_q)
+
+        new_cy = dict(
+            xsh2o_b=jnp.where(above, xsh2o, cy["xsh2o_b"] * 0.0),
+            ds_xsh2o_b=jnp.where(above, ds_xsh2o, cy["ds_xsh2o_b"] * 0.0),
+            ds_freeze_b=jnp.where(above, ds_freeze, cy["ds_freeze_b"] * 0.0),
+            qsmix_b=jnp.where(above | at_launch, qsmix_k, cy["qsmix_b"]),
+        )
+        return new_cy, (tp_k, qstp_k, tpv_k)
+
+    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP)
+    tp = unrev(tp_r)
+    qstp = unrev(qstp_r)
+    tpv = unrev(tpv_r)
+
+    # outside the plume (k > klaunch) keep environment values
+    below_m = karr > klaunch[:, None]
+    tp = jnp.where(below_m, t, tp)
+    qstp = jnp.where(below_m, q, qstp)
+
+    return tp, qstp, tpv, tl, pl, lcl
+
+
+def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
+                  pblt, tpert, landfrac, dmpdz) -> BuoyanOut:
+    """Dilute CAPE/CIN (buoyan_dilute, zm_conv.F90:4425-4819).
+
+    Inputs: p/pf in hPa, z/zi_ heights incl. surface elevation zs (m),
+    pblt = 0-based PBL-top level index (float), dmpdz (ncol, pver) entrainment
+    rate (/m, negative). Returns parcel profile + CAPE/CIN + level indices.
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+    karr = jnp.arange(pver)[None, :]
+
+    pblt_i = jnp.rint(pblt).astype(jnp.int32)
+    lon = jnp.minimum(pver - 1, pblt_i + 2)   # zm_conv.F90:4578
+
+    # moist static energy (tht total-MSE form, zm_conv.F90:4668-4672)
+    hmn = ((CP + q * c.CPLIQ) * t / (1.0 + q)
+           + (1.0 + q / EPS1) / (1.0 + q) * GRAV * z
+           + (RL - (c.CPLIQ - c.CPWV) * (t - TFREEZ)) * q)
+
+    if cfg.parcel_pbl:
+        # PBL-mixed parcel (zm_conv.F90:4639-4702); zi_ is AGL (surface = 0)
+        pbl_dz = _take_col(z, pblt_i) - zs
+        parcel_dz = jnp.maximum(zi_[:, pver - 1], cfg.parcel_hscale * pbl_dz)
+        dp_lev = pf[:, 1:] - pf[:, :-1]
+        zi_top = zi_[:, :-1]   # upper-interface height AGL
+        zi_bot = zi_[:, 1:]
+        in_mix = zi_bot <= parcel_dz[:, None]
+        frac = jnp.where(karr == pver - 1, 1.0,
+                         jnp.clip(_safe_div(parcel_dz[:, None] - zi_bot,
+                                            zi_top - zi_bot), None, 1.0))
+        w = jnp.where(in_mix, dp_lev * frac, 0.0)
+        hpar = jnp.sum(hmn * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+        qpar = jnp.sum(q * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+        mx, _ = _first_true_from_top(in_mix, jnp.full((ncol,), pver - 1, jnp.int32))
+        parcel_ztop = parcel_dz + zs
+        tl0 = (hpar - RL * qpar - GRAV * parcel_ztop) / CP
+        ql0 = qpar
+        pl0 = _take_col(p, mx)
+    else:
+        # launch at max MSE between PBL top and lon (zm_conv.F90:4705-4718).
+        # Fortran scans bottom-up with strict >, so ties pick the lowest level:
+        # emulate with argmax over the reversed (bottom-first) masked profile.
+        mask = (karr >= pblt_i[:, None]) & (karr <= lon[:, None])
+        hmn_m = jnp.where(mask, hmn, -jnp.inf)
+        idx_rev = jnp.argmax(hmn_m[:, ::-1], axis=1)
+        mx = (pver - 1 - idx_rev).astype(jnp.int32)
+        mx = jnp.where(jnp.any(mask, axis=1), mx, lon)
+        tl0 = _take_col(t, mx)
+        ql0 = _take_col(q, mx)
+        pl0 = _take_col(p, mx)
+
+    tp, qstp, tpv, tl, pl, lcl = _parcel_dilute(
+        cfg, msg, mx, p, z, t, q, tpert, tl0, ql0, pl0, dmpdz)
+
+    plge600 = pl >= cfg.plclmin   # zm_conv.F90:4755
+
+    # env virtual temperature (tht form) and buoyancy (zm_conv.F90:4763-4780)
+    tv = t * (1.0 + q / EPS1) / (1.0 + q)
+    in_plume = (karr <= mx[:, None]) & plge600[:, None]
+    buoy = jnp.where(in_plume, tpv - tv + cfg.tiedke_add, 0.0)
+    tp = jnp.where(in_plume, tp, t)
+    qstp = jnp.where(in_plume, qstp, q)
+
+    # neutral-buoyancy crossings, top-down, up to num_cin (zm_conv.F90:4786-4797)
+    buoy_b = jnp.concatenate([buoy[:, 1:], buoy[:, -1:]], axis=1)
+    kmask = (karr >= msg + 1) & (karr < lcl[:, None]) & plge600[:, None]
+    crossing = kmask & (buoy_b > 0.0) & (buoy <= 0.0)
+    order = jnp.cumsum(crossing, axis=1)
+
+    dlnp = jnp.log(pf[:, 1:] / pf[:, :-1])   # ln(pf(k+1)/pf(k)) > 0
+    cape = jnp.zeros((ncol,), dtype)
+    cin = jnp.zeros((ncol,), dtype)
+    lel = jnp.full((ncol,), pver - 1, jnp.int32)
+    best = jnp.full((ncol,), -jnp.inf, dtype)
+    for n in range(1, cfg.num_cin + 1):
+        sel = crossing & (order == n)
+        lel_n, found_n = _first_true_from_top(sel, jnp.full((ncol,), pver - 1,
+                                                            jnp.int32))
+        seg = (karr <= mx[:, None]) & (karr > lel_n[:, None]) & plge600[:, None]
+        cape_n = jnp.sum(jnp.where(seg, RGAS * buoy * dlnp, 0.0), axis=1)
+        cin_n = jnp.sum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) * dlnp,
+                                  0.0), axis=1)
+        better = found_n & (cape_n > jnp.maximum(best, 0.0))
+        cape = jnp.where(better, cape_n, cape)
+        cin = jnp.where(better, cin_n, cin)
+        lel = jnp.where(better, lel_n, lel)
+        best = jnp.where(better, cape_n, best)
+
+    cape = jnp.maximum(cape, 0.0)
+    return BuoyanOut(tp=tp, qstp=qstp, tl=tl, cape=cape, cin=cin,
+                     lcl=lcl.astype(jnp.int32), lel=lel, mx=mx.astype(jnp.int32))
+
+
+# =============================================================================
+# cldprp  (zm_conv.F90:3024-4026)
+# =============================================================================
+
+@struct.dataclass
+class CldprpOut:
+    mu: jnp.ndarray
+    eu: jnp.ndarray
+    du: jnp.ndarray
+    md: jnp.ndarray
+    ed: jnp.ndarray
+    sd: jnp.ndarray
+    qd: jnp.ndarray
+    mc: jnp.ndarray
+    qu: jnp.ndarray
+    su: jnp.ndarray
+    qst: jnp.ndarray
+    hmn: jnp.ndarray
+    hsat: jnp.ndarray
+    ql: jnp.ndarray
+    qcde: jnp.ndarray
+    cu: jnp.ndarray
+    evp: jnp.ndarray
+    cmeg: jnp.ndarray
+    rprd: jnp.ndarray
+    pflx: jnp.ndarray      # (ncol, pver+1)
+    jt: jnp.ndarray
+    jlcl: jnp.ndarray
+    j0: jnp.ndarray
+    jd: jnp.ndarray
+
+
+def cldprp(cfg: ZMConfig, msg: int,
+           q, t, p, z, s, zf, shat, qhat, jb, lel, landfrac) -> CldprpOut:
+    """Updraft/downdraft plume properties (cldprp, zm_conv.F90:3024-4026),
+    zmconv_microp=off path. All mass fluxes normalized by cloud-base flux;
+    eu/du/ed returned in 1/m (converted to 1/mb by the caller, matching
+    zm_convr:1252-1262).
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+    karr = jnp.arange(pver)[None, :]
+    small = 1.0e-20
+
+    c0mask = cfg.c0_ocn * (1.0 - landfrac) + cfg.c0_lnd * landfrac
+    tiedke_msk = cfg.tiedke_add * (1.0 - landfrac) + cfg.tiedke_lnd * landfrac
+
+    dz = zf[:, :-1] - zf[:, 1:]
+
+    est, qst = qsat_hpa(t, p)
+    qst = jnp.where(p - est <= 0.0, 1.0, qst)
+
+    # tht moist-thermo effective constants (zm_conv.F90:3290-3300)
+    mrd = (1.0 + c.ZVIR * q) * RGAS
+    mcp = (1.0 + CPVIR * q) * CP
+    mrl = (1.0 - DCOL * (t - TFREEZ)) * RL
+    gamma = qst * (1.0 + qst / EPS1) * EPS1 * mrl / (mrd * t * t) * mrl / mcp
+    hmn = mcp * t + GRAV * z + mrl * q
+    hsat = mcp * t + GRAV * z + mrl * qst
+
+    # interface log-means (zm_conv.F90:3355-3380)
+    qsthat = _log_mean_interface(qst)
+    gamhat = _log_mean_interface(gamma)
+    hsthat = mcp * shat + mrl * qsthat
+    if msg + 1 > 0:
+        top = slice(0, msg + 1)
+        qsthat = qsthat.at[:, top].set(qst[:, top])
+        gamhat = gamhat.at[:, top].set(gamma[:, top])
+        hsthat = hsthat.at[:, top].set(hsat[:, top])
+
+    # initial jt and j0 (zm_conv.F90:3385-3416); F's max(lel, limcnv+1) with
+    # limcnv_f = msg+1 maps to max(lel0, msg+1) in 0-based indices
+    jt0 = jnp.minimum(jnp.maximum(lel, msg + 1), pver - 1)
+    jd = jnp.full((ncol,), pver - 1, jnp.int32)
+
+    in_jtjb = (karr >= jt0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
+    hsat_m = jnp.where(in_jtjb, hsat, jnp.inf)
+    # Fortran keeps the LAST k attaining the min (<=); emulate via reversed argmin
+    idxr = jnp.argmin(hsat_m[:, ::-1], axis=1)
+    j0 = (pver - 1 - idxr).astype(jnp.int32)
+    j0 = jnp.clip(j0, jt0 + 2, jb - 2)
+    j0 = jnp.minimum(j0, pver - 1)
+
+    hmn_mx = _take_col(hmn, jb)
+
+    # Taylor-series integrals (zm_conv.F90:3430-3442), bottom-up scan
+    def rev(a):
+        return a[:, ::-1].T
+
+    def unrev(a):
+        return a.T[:, ::-1]
+
+    xsT = dict(k=jnp.arange(pver - 1, -1, -1), hmn=rev(hmn), dz=rev(dz))
+    z4 = jnp.zeros((ncol,), dtype)
+    carryT = dict(k1=z4, i2=z4, i3=z4, i4=z4)
+
+    def taylor_step(cy, x):
+        inw = (x["k"] < jb) & (x["k"] >= jt0)
+        k1 = jnp.where(inw, cy["k1"] + (hmn_mx - x["hmn"]) * x["dz"], 0.0)
+        ihat = 0.5 * (cy["k1"] + k1)
+        i2 = jnp.where(inw, cy["i2"] + ihat * x["dz"], 0.0)
+        idag = 0.5 * (cy["i2"] + i2)
+        i3 = jnp.where(inw, cy["i3"] + idag * x["dz"], 0.0)
+        iprm = 0.5 * (cy["i3"] + i3)
+        i4 = jnp.where(inw, cy["i4"] + iprm * x["dz"], 0.0)
+        return dict(k1=k1, i2=i2, i3=i3, i4=i4), (k1, i2, i3, i4)
+
+    _, (k1_r, i2_r, i3_r, i4_r) = jax.lax.scan(taylor_step, carryT, xsT)
+    k1a, i2a, i3a, i4a = unrev(k1_r), unrev(i2_r), unrev(i3_r), unrev(i4_r)
+
+    # hmin over [j0, jb] and expdif (zm_conv.F90:3448-3456)
+    in_j0jb = (karr >= j0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
+    hmin2 = jnp.min(jnp.where(in_j0jb, hmn, jnp.inf), axis=1)
+    expdif = hmn_mx - hmin2
+
+    # eps(z) Taylor series (zm_conv.F90:3463-3487)
+    z_b = jnp.concatenate([z[:, :1], z[:, :-1]], axis=1)      # z(k-1)
+    hsat_b = jnp.concatenate([hsat[:, :1], hsat[:, :-1]], axis=1)
+    expnum = hmn_mx[:, None] - (hsat_b * (zf[:, :-1] - z) +
+                                hsat * (z_b - zf[:, :-1])) / \
+        jnp.where(z_b - z == 0, 1e-30, z_b - z)
+    in_win = (karr >= jt0[:, None]) & (karr < jb[:, None])
+    expnum = jnp.where(in_win, expnum, 0.0)
+    cond_f = (expdif[:, None] > 100.0) & (expnum > 0.0) & \
+        (k1a > expnum * dz) & in_win
+    ftemp = jnp.where(cond_f, _safe_div(expnum, k1a), 0.0)
+    f = ftemp + _safe_div(i2a, k1a) * ftemp ** 2 + \
+        _safe_div(2.0 * i2a ** 2 - k1a * i3a, k1a ** 2) * ftemp ** 3 + \
+        _safe_div(-5.0 * k1a * i2a * i3a + 5.0 * i2a ** 3 + k1a ** 2 * i4a,
+                  k1a ** 3) * ftemp ** 4
+    f = jnp.where(cond_f, jnp.clip(f, 0.0, cfg.entrmn), 0.0)
+
+    # j0 bump (zm_conv.F90:3488-3492)
+    f_j0 = _take_col(f, j0)
+    f_j0p1 = _take_col(f, jnp.minimum(j0 + 1, pver - 1))
+    bump = (j0 < jb) & (f_j0 < 1.0e-6) & (f_j0p1 > f_j0)
+    j0 = jnp.where(bump, j0 + 1, j0)
+
+    # running max of f for jt <= k <= j0 (zm_conv.F90:3493-3498), top-down scan
+    def cummax_step(prev, x):
+        fk, k = x
+        inw = (k >= jt0) & (k <= j0)
+        newf = jnp.where(inw, jnp.maximum(fk, prev), fk)
+        return newf, newf
+
+    _, f_cm = jax.lax.scan(cummax_step, jnp.zeros((ncol,), dtype),
+                           (f.T, jnp.arange(pver)))
+    f = f_cm.T
+
+    eps0 = _take_col(f, j0)
+    in_j0jb2 = (karr >= j0[:, None]) & (karr <= jb[:, None])
+    in_jtj0 = (karr < j0[:, None]) & (karr >= jt0[:, None])
+    eps = jnp.where(in_j0jb2, eps0[:, None], jnp.where(in_jtj0, f, 0.0))
+
+    active = eps0 > 0.0
+
+    # updraft mass flux profile (zm_conv.F90:3547-3569)
+    zf_jb = jnp.take_along_axis(zf, jb[:, None], axis=1)[:, 0]
+    zuef = zf[:, :-1] - zf_jb[:, None]
+    eps_b = jnp.concatenate([eps[:, 1:], eps[:, -1:]], axis=1)
+    safe_zuef = jnp.where(zuef == 0.0, 1e-30, zuef)
+    inv_eps0 = _safe_div(jnp.ones_like(eps0), eps0)[:, None]
+    rmue = inv_eps0 * (jnp.exp(eps_b * zuef) - 1.0) / safe_zuef
+    mu_f = inv_eps0 * (jnp.exp(eps * zuef) - 1.0) / safe_zuef
+
+    in_upd = (karr >= jt0[:, None]) & (karr < jb[:, None]) & active[:, None]
+    mu = jnp.where(in_upd, mu_f, 0.0)
+    at_jb = karr == jb[:, None]
+    mu = jnp.where(at_jb & active[:, None], 1.0, mu)
+    mu_below = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    eu = jnp.where(in_upd, (rmue - mu_below) / dz, 0.0)
+    eu = jnp.where(at_jb & active[:, None], _safe_div(jnp.ones_like(dz), dz), eu)
+    du = jnp.where(in_upd, (rmue - mu) / dz, 0.0)
+
+    # hu ascent with mu<0.02 cutoff (zm_conv.F90:3571-3599), bottom-up scan
+    hu0 = jnp.where((karr >= jt0[:, None]) & (karr <= jb[:, None]),
+                    hmn_mx[:, None] + CP * tiedke_msk[:, None], hmn)
+
+    xsH = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), eu=rev(eu),
+               du=rev(du), dz=rev(dz), hmn=rev(hmn), hsat=rev(hsat),
+               hu0=rev(hu0))
+    hu_jb = hmn_mx + CP * tiedke_msk
+    carryH = dict(mu_b=jnp.zeros((ncol,), dtype), hu_b=hu_jb)
+
+    def hu_step(cy, x):
+        k = x["k"]
+        inw = (k <= jb - 1) & (k >= lel) & active
+        weak = x["mu"] < 0.02
+        mu_k = jnp.where(inw & weak, 0.0, x["mu"])
+        eu_k = jnp.where(inw & weak, 0.0, x["eu"])
+        du_k = jnp.where(inw & weak, cy["mu_b"] / x["dz"], x["du"])
+        hu_k = jnp.where(
+            inw,
+            jnp.where(weak, x["hmn"],
+                      _safe_div(cy["mu_b"], mu_k) * cy["hu_b"] +
+                      _safe_div(x["dz"], mu_k) *
+                      (eu_k * x["hmn"] - du_k * x["hsat"])),
+            x["hu0"])
+        at_base = k == jb
+        mu_out = jnp.where(at_base, x["mu"], mu_k)
+        hu_out = jnp.where(at_base, x["hu0"], hu_k)
+        new_cy = dict(mu_b=mu_out, hu_b=jnp.where(inw | at_base, hu_out, cy["hu_b"]))
+        return new_cy, (mu_out, jnp.where(at_base, x["eu"], eu_k),
+                        jnp.where(at_base, x["du"], du_k), hu_out)
+
+    _, (mu_r, eu_r, du_r, hu_r) = jax.lax.scan(hu_step, carryH, xsH)
+    mu, eu, du, hu = unrev(mu_r), unrev(eu_r), unrev(du_r), unrev(hu_r)
+
+    # jt detection (zm_conv.F90:3606-3629): first k from bottom in
+    # [lel-1, jb-2] matching either condition
+    hu_b2 = jnp.concatenate([hu[:, 1:], hu[:, -1:]], axis=1)
+    hsthat_b = jnp.concatenate([hsthat[:, 1:], hsthat[:, -1:]], axis=1)
+    hu_at_jb = _take_col(hu, jb)
+    in_det = (karr <= jb[:, None] - 2) & (karr >= lel[:, None] - 1)
+    cond1 = (hu <= hsthat) & (hu_b2 > hsthat_b) & (mu >= 0.02)
+    cond2 = (hu > hu_at_jb[:, None]) | (mu < 0.02)
+    anyc = in_det & (cond1 | cond2)
+    jt_cand = jnp.where(cond1, jnp.where(hu - hsthat < -2000.0, karr + 1, karr),
+                        karr + 1)
+    det_k, det_found = _first_true_from_bottom(anyc, jnp.zeros((ncol,), jnp.int32))
+    jt = jnp.where(det_found,
+                   _take_col(jt_cand, det_k.astype(jnp.int32)), jt0).astype(jnp.int32)
+
+    # zero the region above jt (zm_conv.F90:3633-3648)
+    above_jt = (karr >= lel[:, None]) & (karr <= jt[:, None]) & active[:, None]
+    mu_below2 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    at_jt = (karr == jt[:, None]) & active[:, None]
+    mu = jnp.where(above_jt, 0.0, mu)
+    eu = jnp.where(above_jt | at_jt, 0.0, eu)
+    hu = jnp.where(above_jt, hmn, hu)
+    du = jnp.where(above_jt, 0.0, du)
+    du = jnp.where(at_jt, mu_below2 / dz, du)
+
+    # tu initialisation (zm_conv.F90:3652-3657) with env qu
+    qu_init = q
+    tu = (hu - GRAV * zf[:, :-1] - (1.0 + DCOL * TFREEZ) * RL * qu_init) / \
+        (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qu_init))
+
+    # su/qu ascent + jlcl detection (zm_conv.F90:3659-3706), bottom-up scan
+    q_mx = _take_col(q, jb)
+    p_b3 = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)   # p(k-1)
+
+    xsS = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), eu=rev(eu),
+               du=rev(du), dz=rev(dz), s=rev(s), q=rev(q), qst=rev(qst),
+               hu=rev(hu), zf=rev(zf[:, :-1]), p=rev(p), pm1=rev(p_b3),
+               tu0=rev(tu))
+    carryS = dict(su_b=jnp.zeros((ncol,), dtype), qu_b=jnp.zeros((ncol,), dtype),
+                  mu_b=jnp.zeros((ncol,), dtype),
+                  done=jnp.zeros((ncol,), bool),
+                  jlcl=lel.astype(jnp.int32))
+
+    def suqu_step(cy, x):
+        k = x["k"]
+        at_base = (k == jb) & active
+        tu_base = (x["hu"] - GRAV * x["zf"] - (1.0 + DCOL * TFREEZ) * RL * q_mx) / \
+            (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * q_mx))
+        su_base = (x["hu"] - (1.0 - DCOL * (tu_base - TFREEZ)) * RL * q_mx) / \
+            ((1.0 + CPVIR * q_mx) * CP)
+
+        inw = (~cy["done"]) & (k > jt) & (k < jb) & active
+        su_k = _safe_div(cy["mu_b"], x["mu"]) * cy["su_b"] + \
+            _safe_div(x["dz"], x["mu"]) * (x["eu"] - x["du"]) * x["s"]
+        qu_k = _safe_div(cy["mu_b"], x["mu"]) * cy["qu_b"] + \
+            _safe_div(x["dz"], x["mu"]) * (x["eu"] * x["q"] - x["du"] * x["qst"])
+        tu_k = su_k - GRAV / ((1.0 + 0.85 * qu_k) * CP) * x["zf"]
+        _, qstu = qsat_hpa(tu_k, 0.5 * (x["p"] + x["pm1"]))
+        sat = inw & (qu_k >= qstu)
+
+        su_out = jnp.where(at_base, su_base, jnp.where(inw, su_k, x["s"]))
+        qu_out = jnp.where(at_base, q_mx, jnp.where(inw, qu_k, x["q"]))
+        tu_out = jnp.where(at_base, tu_base, jnp.where(inw, tu_k, x["tu0"]))
+        done = cy["done"] | sat
+        jlcl = jnp.where(sat & ~cy["done"], k, cy["jlcl"]).astype(jnp.int32)
+        new_cy = dict(
+            su_b=jnp.where(at_base | inw, su_out, cy["su_b"]),
+            qu_b=jnp.where(at_base | inw, qu_out, cy["qu_b"]),
+            mu_b=x["mu"], done=done, jlcl=jlcl)
+        return new_cy, (su_out, qu_out, tu_out)
+
+    cyS, (su_r, qu_r, tu_r) = jax.lax.scan(suqu_step, carryS, xsS)
+    su, qu, tu = unrev(su_r), unrev(qu_r), unrev(tu_r)
+    jlcl = cyS["jlcl"]
+
+    # saturated portion jt < k <= jlcl (zm_conv.F90:3708-3722)
+    in_sat = (karr > jt[:, None]) & (karr <= jlcl[:, None]) & active[:, None]
+    qu_sat = qsthat + gamhat * (hu - hsthat) / \
+        ((1.0 - DCOL * (tu - TFREEZ)) * RL * (1.0 + gamhat))
+    su_sat = shat + (hu - hsthat) / ((1.0 + CPVIR * qu_sat) * CP *
+                                     (1.0 + gamhat))
+    tu_sat = su_sat - GRAV / ((1.0 + CPVIR * qu_sat) * CP) * zf[:, :-1]
+    qu = jnp.where(in_sat, qu_sat, qu)
+    su = jnp.where(in_sat, su_sat, su)
+    tu = jnp.where(in_sat, tu_sat, tu)
+
+    # condensation in updraft (zm_conv.F90:3730-3759)
+    mu_b3 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    su_b3 = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
+    in_cu = (karr >= jt[:, None]) & (karr < jb[:, None]) & active[:, None]
+    cu = ((mu * su - mu_b3 * su_b3) / dz - (eu - du) * s) / (RL / CP) * \
+        ((1.0 + CPVIR * qu) / (1.0 - DCOL * (tu - TFREEZ)))
+    cu = jnp.where(in_cu & (karr != jt[:, None]), jnp.maximum(cu, 0.0), 0.0)
+
+    # liquid water + rain production (zm_conv.F90:3953-3975), bottom-up scan
+    xsQ = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), du=rev(du),
+               cu=rev(cu), dz=rev(dz))
+    carryQ = dict(ql_b=jnp.zeros((ncol,), dtype),
+                  mu_b=jnp.zeros((ncol,), dtype),
+                  totpcp=jnp.zeros((ncol,), dtype))
+
+    def ql_step2(cy, x):
+        k = x["k"]
+        inw = (k >= jt) & (k < jb) & active & (x["mu"] >= 0.0)
+        pos = x["mu"] > 0.0
+        ql1 = _safe_div(cy["mu_b"] * cy["ql_b"] - x["dz"] * x["du"] * cy["ql_b"]
+                        + x["dz"] * x["cu"], x["mu"])
+        ql_k = jnp.where(inw & pos, ql1 / (1.0 + x["dz"] * c0mask), 0.0)
+        totpcp = cy["totpcp"] + jnp.where(
+            inw, x["dz"] * (x["cu"] - x["du"] * cy["ql_b"]), 0.0)
+        rprd_k = jnp.where(inw, c0mask * x["mu"] * ql_k, 0.0)
+        new_cy = dict(ql_b=jnp.where(inw, ql_k, jnp.where(k == jb, 0.0, cy["ql_b"])),
+                      mu_b=x["mu"], totpcp=totpcp)
+        return new_cy, (ql_k, rprd_k)
+
+    cyQ, (ql_r, rprd_r) = jax.lax.scan(ql_step2, carryQ, xsQ)
+    ql, rprd = unrev(ql_r), unrev(rprd_r)
+    totpcp = jnp.maximum(cyQ["totpcp"], 0.0)
+    qcde = ql
+
+    # ---- downdraft (zm_conv.F90:4030-4106) ----
+    alfa = cfg.alfadet
+    jt = jnp.minimum(jt, jb - 1)
+    jd = jnp.clip(jnp.maximum(j0, jt + 1), None, jb)
+    zf_jd = jnp.take_along_axis(zf, jd[:, None], axis=1)[:, 0]
+    zdef = zf_jd[:, None] - zf[:, :-1]
+    in_dd = (karr > jd[:, None]) & (karr <= jb[:, None]) & active[:, None]
+    safe_zdef = jnp.where(zdef == 0.0, 1e-30, zdef)
+    md = jnp.where(in_dd,
+                   -alfa / (2.0 * jnp.where(eps0 == 0, 1e-30, eps0))[:, None] *
+                   (jnp.exp(2.0 * eps0[:, None] * zdef) - 1.0) / safe_zdef, 0.0)
+    at_jd = (karr == jd[:, None]) & (jd < jb)[:, None] & active[:, None]
+    md = jnp.where(at_jd, -alfa, md)
+
+    mu_jb = _take_col(mu, jb)
+    md_jb = _take_col(md, jb)
+    ratmjb = jnp.minimum(jnp.abs(_safe_div(mu_jb, md_jb)), 1.0)
+    in_scale = (karr >= jt[:, None]) & (karr <= jb[:, None]) & \
+        active[:, None] & (jd < jb)[:, None]
+    md = jnp.where(in_scale, md * ratmjb[:, None], md)
+
+    # ed and hd (zm_conv.F90:4108-4118): F writes ed(k-1) = (md(k-1)-md(k))/dz
+    # for F k >= jt_f, i.e. 0-based ed(j) = (md(j)-md(j+1))/dz(j) for j >= jt-1
+    md_b4 = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)   # md(k+1)
+    in_ed = (karr >= jt[:, None] - 1) & active[:, None]
+    ed = jnp.where(in_ed, (md - md_b4) / dz, 0.0)
+
+    hd0 = hmn
+    xsD = dict(k=jnp.arange(pver), md=md.T, md_b=md_b4.T, ed=ed.T,
+               dz=dz.T, hmn=hmn.T, hd0=hd0.T)
+    carryD = dict(hd_p=hmn[:, 0], md_p=jnp.zeros((ncol,), dtype),
+                  ed_p=jnp.zeros((ncol,), dtype),
+                  hmn_p=hmn[:, 0], dz_p=dz[:, 0])
+
+    def hd_step(cy, x):
+        k = x["k"]
+        # F writes hd(i,k) for F k >= jt_f, i.e. 0-based hd(j) for j >= jt:
+        # hd(j) = (md(j-1) hd(j-1) - dz(j-1) ed(j-1) hmn(j-1)) / min(md(j), -small)
+        inw = (k >= jt) & active
+        mdt = jnp.minimum(x["md"], -small)
+        hd_k = jnp.where(inw,
+                         (cy["md_p"] * cy["hd_p"] -
+                          cy["dz_p"] * cy["ed_p"] * cy["hmn_p"]) / mdt,
+                         x["hd0"])
+        new_cy = dict(hd_p=hd_k, md_p=x["md"], ed_p=x["ed"],
+                      hmn_p=x["hmn"], dz_p=x["dz"])
+        return new_cy, hd_k
+
+    _, hd_T = jax.lax.scan(hd_step, carryD, xsD)
+    hd = hd_T.T
+
+    # qds + td (zm_conv.F90:4122-4137)
+    in_qds = (karr >= jd[:, None]) & (karr <= jb[:, None]) & \
+        active[:, None] & (jd < jb)[:, None]
+    qds0 = qsthat + gamhat * (hd - hsthat) / (RL * (1.0 + gamhat))
+    td = (hd - GRAV * zf[:, :-1] - (1.0 + DCOL * TFREEZ) * RL * qds0) / \
+        (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qds0))
+    qds = jnp.where(in_qds,
+                    qsthat + gamhat * (hd - hsthat) /
+                    ((1.0 - DCOL * (td - TFREEZ)) * RL * (1.0 + gamhat)), q)
+
+    # sd/qd/evp descent (zm_conv.F90:4139-4171): top-down scan
+    sd0 = s
+    qd0 = q
+    qd_jd = _take_col(qds, jd)
+    sd_jd_t = _take_col(td, jd)
+    hd_jd = _take_col(hd, jd)
+    zf_jdv = zf_jd
+    sd_jd = (hd_jd - (1.0 - DCOL * (sd_jd_t - TFREEZ)) * RL * qd_jd) / \
+        ((1.0 + CPVIR * qd_jd) * CP)
+
+    qds_b = jnp.concatenate([qds[:, 1:], qds[:, -1:]], axis=1)
+    xsE = dict(k=jnp.arange(pver), md=md.T, md_b=md_b4.T, ed=ed.T, dz=dz.T,
+               q=q.T, s=s.T, td=td.T, qds=qds.T, qds_b=qds_b.T)
+    carryE = dict(sd_c=sd_jd, totevp=jnp.zeros((ncol,), dtype))
+
+    def evp_step(cy, x):
+        k = x["k"]
+        at_jd_k = k == jd
+        sd_k = jnp.where(at_jd_k, sd_jd, cy["sd_c"])
+        inw = (k >= jd) & (k < jb) & active
+        qd_k = jnp.where(k == jd, qd_jd, x["qds"])
+        evp_k = -x["ed"] * x["q"] + (x["md"] * qd_k - x["md_b"] * x["qds_b"]) / x["dz"]
+        evp_k = jnp.where(inw, jnp.maximum(evp_k, 0.0), 0.0)
+        mdt = jnp.minimum(x["md_b"], -small)
+        sd_next = ((1.0 - DCOL * (x["td"] - TFREEZ)) * RL /
+                   ((1.0 + CPVIR * qd_k) * CP) * evp_k - x["ed"] * x["s"]) * \
+            x["dz"] + x["md"] * sd_k
+        sd_next = jnp.where(inw, sd_next / mdt, cy["sd_c"])
+        totevp = cy["totevp"] - jnp.where(inw, x["dz"] * x["ed"] * x["q"], 0.0)
+        new_cy = dict(sd_c=jnp.where(inw, sd_next, sd_k), totevp=totevp)
+        return new_cy, (sd_k, qd_k, evp_k)
+
+    cyE, (sd_T, qd_T, evp_T) = jax.lax.scan(evp_step, carryE, xsE)
+    sd, qd, evp = sd_T.T, qd_T.T, evp_T.T
+    # levels outside [jd, jb): environment values (initialized s, q)
+    out_dd = ~((karr >= jd[:, None]) & (karr <= jb[:, None]))
+    sd = jnp.where(out_dd, sd0, sd)
+    qd = jnp.where(out_dd, qd0, qd)
+
+    md_jd2 = _take_col(md, jd)
+    md_jb2 = _take_col(md, jb)
+    qd_jb = _take_col(qd, jb)
+    totevp = cyE["totevp"] + md_jd2 * qd_jd - md_jb2 * qd_jb
+    totevp = jnp.maximum(totevp, 0.0)
+
+    # evap/precip consistency scaling (zm_conv.F90:4183-4200)
+    both = (totevp > 0.0) & (totpcp > 0.0)
+    fac = jnp.where(both, jnp.minimum(1.0, totpcp /
+                                      jnp.where(totevp + totpcp == 0, 1e-30,
+                                                totevp + totpcp)), 0.0)
+    in_all = karr >= msg + 1
+    md = jnp.where(in_all, md * fac[:, None], md)
+    ed = jnp.where(in_all, ed * fac[:, None], ed)
+    evp = jnp.where(in_all, evp * fac[:, None], evp)
+    cmeg = jnp.where(in_all, cu - evp, 0.0)
+    rprd = jnp.where(in_all, rprd - evp, rprd)
+
+    # precipitation flux through interfaces (zm_conv.F90:4203-4208)
+    pflx = jnp.concatenate(
+        [jnp.zeros((ncol, 1), dtype), jnp.cumsum(rprd * dz, axis=1)], axis=1)
+
+    mc = mu + md
+
+    return CldprpOut(mu=mu, eu=eu, du=du, md=md, ed=ed, sd=sd, qd=qd, mc=mc,
+                     qu=qu, su=su, qst=qst, hmn=hmn, hsat=hsat, ql=ql,
+                     qcde=qcde, cu=cu, evp=evp, cmeg=cmeg, rprd=rprd,
+                     pflx=pflx, jt=jt, jlcl=jlcl, j0=j0, jd=jd)
+
+
+# =============================================================================
+# closure  (zm_conv.F90:4028-4260)
+# =============================================================================
+
+def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
+            mu, md, qd, sd, qhat, shat, dp, qstp, zf, ql, dsubcld, cape, tl,
+            lcl, lel, jt, mx):
+    """CAPE-relaxation cloud-base mass flux (closure, zm_conv.F90:4028-4260).
+
+    Returns mb (ncol,) in mb/s per unit normalized mass flux. All mass-flux
+    profile inputs are normalized (mb=1); eu/du/ed are in 1/mb here.
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+    karr = jnp.arange(pver)[None, :]
+
+    q_mx = _take_col(q, mx)
+    p_mx = _take_col(p, mx)
+    t_mx = _take_col(t, mx)
+    mu_mx = _take_col(mu, mx)
+    md_mx = _take_col(md, mx)
+    shat_mx = _take_col(shat, mx)
+    su_mx = _take_col(su, mx)
+    sd_mx = _take_col(sd, mx)
+    qhat_mx = _take_col(qhat, mx)
+    qu_mx = _take_col(qu, mx)
+    qd_mx = _take_col(qd, mx)
+
+    # subcloud-layer tendencies per unit mb (zm_conv.F90:4131-4143)
+    dsub = jnp.where(dsubcld <= 0, 1e-30, dsubcld)
+    eb = p_mx * q_mx / (EPS1 + q_mx)
+    dtbdt = (1.0 / dsub) * (mu_mx * (shat_mx - su_mx) +
+                            md_mx * (shat_mx - sd_mx))
+    dqbdt = (1.0 / dsub) * (mu_mx * (qhat_mx - qu_mx) +
+                            md_mx * (qhat_mx - qd_mx))
+    debdt = EPS1 * p_mx / (EPS1 + q_mx) ** 2 * dqbdt
+    dtldt = -2840.0 * (3.5 / t_mx * dtbdt - debdt / eb) / \
+        (3.5 * jnp.log(t_mx) - jnp.log(eb) - 4.805) ** 2
+
+    # cumulus heating/drying per unit mb (zm_conv.F90:4150-4185)
+    mu_b = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    md_b = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)
+    mc_b = jnp.concatenate([mc[:, 1:], mc[:, -1:]], axis=1)
+    su_b = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
+    sd_b = jnp.concatenate([sd[:, 1:], sd[:, -1:]], axis=1)
+    qu_b = jnp.concatenate([qu[:, 1:], qu[:, -1:]], axis=1)
+    qd_b = jnp.concatenate([qd[:, 1:], qd[:, -1:]], axis=1)
+    shat_b = jnp.concatenate([shat[:, 1:], shat[:, -1:]], axis=1)
+    qhat_b = jnp.concatenate([qhat[:, 1:], qhat[:, -1:]], axis=1)
+    ql_b = jnp.concatenate([ql[:, 1:], ql[:, -1:]], axis=1)
+
+    at_jt = karr == jt[:, None]
+    dtmdt_jt = (1.0 / dp) * (mu_b * (su_b - shat_b - RL / CP * ql_b) +
+                             md_b * (sd_b - shat_b))
+    dqmdt_jt = (1.0 / dp) * (mu_b * (qu_b - qhat_b + ql_b) +
+                             md_b * (qd_b - qhat_b))
+
+    beta = 0.0
+    in_mid = (karr > jt[:, None]) & (karr < mx[:, None])
+    dtmdt_mid = (mc * (shat - s) - mc_b * (shat_b - s)) / dp - \
+        RL / CP * du * (beta * ql + (1.0 - beta) * ql_b)
+    dqmdt_mid = (mu_b * (qu_b - qhat_b + CP / RL * (su_b - s)) -
+                 mu * (qu - qhat + CP / RL * (su - s)) +
+                 md_b * (qd_b - qhat_b + CP / RL * (sd_b - s)) -
+                 md * (qd - qhat + CP / RL * (sd - s))) / dp + \
+        du * (beta * ql + (1.0 - beta) * ql_b)
+
+    dtmdt = jnp.where(at_jt, dtmdt_jt, jnp.where(in_mid, dtmdt_mid, 0.0))
+    dqmdt = jnp.where(at_jt, dqmdt_jt, jnp.where(in_mid, dqmdt_mid, 0.0))
+
+    # dboydt integrand (zm_conv.F90:4188-4238)
+    in_cape = (karr >= lel[:, None]) & (karr <= lcl[:, None])
+    thetavp1 = tp * (1000.0 / p) ** (RGAS / CP) * \
+        (1.0 + 1.608 * qstp - q_mx[:, None])
+    thetavm = t * (1000.0 / p) ** (RGAS / CP) * (1.0 + 0.608 * q)
+    dqsdtp = qstp * (1.0 + qstp / EPS1) * EPS1 * RL / (RGAS * tp ** 2)
+    tl_s = jnp.where(tl <= 0, 1e-30, tl)[:, None]
+    dtpdt = tp / (1.0 + RL / CP * (dqsdtp - qstp / tp)) * \
+        (dtbdt[:, None] / t_mx[:, None] +
+         RL / CP * (dqbdt[:, None] / tl_s - q_mx[:, None] / tl_s ** 2 *
+                    dtldt[:, None]))
+    dboydt1 = ((dtpdt / tp + 1.0 / (1.0 + 1.608 * qstp - q_mx[:, None]) *
+                (1.608 * dqsdtp * dtpdt - dqbdt[:, None])) -
+               (dtmdt / t + 0.608 / (1.0 + 0.608 * q) * dqmdt)) * \
+        GRAV * thetavp1 / thetavm
+
+    in_sub = (karr > lcl[:, None]) & (karr < mx[:, None])
+    thetavp2 = tp * (1000.0 / p) ** (RGAS / CP) * \
+        (1.0 + 0.608 * q_mx[:, None])
+    dboydt2 = (dtbdt[:, None] / t_mx[:, None] +
+               0.608 / (1.0 + 0.608 * q_mx[:, None]) * dqbdt[:, None] -
+               dtmdt / t - 0.608 / (1.0 + 0.608 * q) * dqmdt) * \
+        GRAV * thetavp2 / thetavm
+
+    dboydt = jnp.where(in_cape, dboydt1, jnp.where(in_sub, dboydt2, 0.0))
+
+    # integrate dA/dt and close (zm_conv.F90:4243-4257)
+    dzf = zf[:, :-1] - zf[:, 1:]
+    seg = (karr >= lel[:, None]) & (karr <= mx[:, None] - 1)
+    dadt = jnp.sum(jnp.where(seg, dboydt * dzf, 0.0), axis=1)
+    dltaa = -(cape - cfg.capelmt)
+    mb = jnp.where(dadt != 0.0, jnp.maximum(dltaa / (cfg.tau * dadt), 0.0), 0.0)
+    return mb
+
+
+# =============================================================================
+# q1q2_pjr  (zm_conv.F90:4262-4421)
+# =============================================================================
+
+def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
+             dsubcld, jt, mx, dl_evp_cu):
+    """Heating/drying tendencies from the mass-flux profiles
+    (q1q2_pjr, zm_conv.F90:4262-4421). dl_evp_cu = (evp, cu).
+    Returns (dqdt, dsdt, dl) on gathered==all columns, units /s (dsdt in
+    normalized dry static energy per s, i.e. K-equivalent)."""
+    evp, cu = dl_evp_cu
+    ncol, pver = q.shape
+    karr = jnp.arange(pver)[None, :]
+
+    mu_b = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    md_b = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)
+    su_b = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
+    sd_b = jnp.concatenate([sd[:, 1:], sd[:, -1:]], axis=1)
+    qu_b = jnp.concatenate([qu[:, 1:], qu[:, -1:]], axis=1)
+    qd_b = jnp.concatenate([qd[:, 1:], qd[:, -1:]], axis=1)
+    shat_b = jnp.concatenate([shat[:, 1:], shat[:, -1:]], axis=1)
+    qhat_b = jnp.concatenate([qhat[:, 1:], qhat[:, -1:]], axis=1)
+    ql_b = jnp.concatenate([ql[:, 1:], ql[:, -1:]], axis=1)
+
+    emc = -cu + evp
+    in_main = (karr >= jt[:, None]) & (karr <= pver - 2)
+    dsdt = jnp.where(in_main,
+                     -RL / CP * emc +
+                     (mu_b * (su_b - shat_b) - mu * (su - shat) +
+                      md_b * (sd_b - shat_b) - md * (sd - shat)) / dp, 0.0)
+    dqdt = jnp.where(in_main,
+                     emc + (mu_b * (qu_b - qhat_b) - mu * (qu - qhat) +
+                            md_b * (qd_b - qhat_b) - md * (qd - qhat)) / dp,
+                     0.0)
+    dl = jnp.where(in_main, du * ql_b, 0.0)
+
+    # subcloud layer (zm_conv.F90:4396-4415): value at mx, copied downward
+    dsub = jnp.where(dsubcld <= 0, 1e-30, dsubcld)
+    mu_mx = _take_col(mu, mx)
+    md_mx = _take_col(md, mx)
+    su_mx = _take_col(su, mx)
+    sd_mx = _take_col(sd, mx)
+    qu_mx = _take_col(qu, mx)
+    qd_mx = _take_col(qd, mx)
+    shat_mx = _take_col(shat, mx)
+    qhat_mx = _take_col(qhat, mx)
+    dsdt_sub = (1.0 / dsub) * (-mu_mx * (su_mx - shat_mx) -
+                               md_mx * (sd_mx - shat_mx))
+    dqdt_sub = (1.0 / dsub) * (-mu_mx * (qu_mx - qhat_mx) -
+                               md_mx * (qd_mx - qhat_mx))
+    below = karr >= mx[:, None]
+    dsdt = jnp.where(below, dsdt_sub[:, None], dsdt)
+    dqdt = jnp.where(below, dqdt_sub[:, None], dqdt)
+    return dqdt, dsdt, dl
+
+
+# =============================================================================
+# zm_convr — main driver  (zm_conv.F90:231-1709)
+# =============================================================================
+
+@struct.dataclass
+class ZMConvOut:
+    """Outputs of the ZM deep convection core (un-gathered, full columns)."""
+
+    qtnd: jnp.ndarray     # specific humidity tendency (kg/kg/s)
+    heat: jnp.ndarray     # heating rate (J/kg/s)
+    prec: jnp.ndarray     # precipitation rate (m/s)
+    jctop: jnp.ndarray    # top-of-convection level index (int)
+    jcbot: jnp.ndarray    # base-of-convection level index (int)
+    cape: jnp.ndarray
+    cin: jnp.ndarray
+    mcon: jnp.ndarray     # net convective mass flux, interfaces (mb/s)
+    dlf: jnp.ndarray      # detrained cloud water tendency (kg/kg/s)
+    pflx: jnp.ndarray     # precip flux (interfaces, kg/m2/s)
+    cme: jnp.ndarray      # condensation - evaporation (kg/kg/s)
+    zdu: jnp.ndarray      # detrainment du (1/mb scaled by mb -> /s)
+    rprd: jnp.ndarray     # rain production (kg/kg/s)
+    mu: jnp.ndarray       # updraft mass flux (mb/s)
+    eu: jnp.ndarray
+    du: jnp.ndarray
+    md: jnp.ndarray
+    ed: jnp.ndarray
+    dp: jnp.ndarray       # layer thickness (mb)
+    dsubcld: jnp.ndarray  # subcloud thickness (mb)
+    jt: jnp.ndarray       # int top level
+    maxg: jnp.ndarray     # int base (launch) level
+    ideep: jnp.ndarray    # bool triggered mask (replaces gather indices)
+    eurt: jnp.ndarray     # diagnosed entrainment rate (/m)
+    ql: jnp.ndarray       # updraft cloud water
+    rliq: jnp.ndarray     # reserved liquid (m/s)
+    rice: jnp.ndarray
+
+
+def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
+             pblh, tpert, landfrac, delt) -> ZMConvOut:
+    """Main ZM driver (zm_convr, zm_conv.F90:231-1709), tht path
+    (second_call / retrigger / use_cin per config), zmconv_microp off.
+
+    Inputs are SI (Pa, m, K); `delt` is the reference's half-step (the
+    interface passes 0.5*ztodt, zm_conv_intr.F90:666). `msg` is the number
+    of excluded top levels (= F limcnv-1).
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+    karr = jnp.arange(pver)[None, :]
+
+    # geometry in mb / m incl. surface elevation (zm_conv.F90:822-843)
+    zs = geos * RGRAV
+    p = pap * 0.01
+    pf = paph * 0.01
+    z = zm_ + zs[:, None]
+    zf = zi_ + zs[:, None]
+    dp = 0.01 * dpp
+
+    # PBL top level index (zm_conv.F90:845-849): smallest k whose midpoint is
+    # within half a layer of the PBL height
+    near = jnp.abs(z - zs[:, None] - pblh[:, None]) < \
+        (zf[:, :-1] - zf[:, 1:]) * 0.5
+    near = near & (karr >= msg) & (karr <= pver - 2)
+    pblt, _ = _first_true_from_top(near, jnp.full((ncol,), pver - 1, jnp.int32))
+    pblt = pblt.astype(dtype)
+
+    q = qh
+    # scaled dry static energy s = T + g z /((1+zvir q) cp)  (tht, :855-858)
+    s = t + (GRAV / ((1.0 + c.ZVIR * q) * CP)) * z
+
+    dmpdz0 = jnp.full((ncol, pver), -cfg.tentrm, dtype)
+
+    b1 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
+                       landfrac, dmpdz0)
+
+    def trigger(cape, cin):
+        trig = cape > cfg.capelmt
+        if cfg.use_cin:
+            trig = trig & (cin < cape * cfg.cin_threshd)
+        return trig
+
+    ideep1 = trigger(b1.cape, b1.cin)
+
+    # interface log-mean shat/qhat (zm_conv.F90:1007-1027)
+    shat = _log_mean_interface(s)
+    qhat = _log_mean_interface(q)
+
+    c1 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b1.mx, b1.lel,
+                landfrac)
+
+    buoy_used = b1
+    cld = c1
+    ideep = ideep1
+    eurt = jnp.zeros((ncol, pver), dtype)
+
+    if cfg.second_call:
+        # diagnose entrainment from eu (zm_conv.F90:1046-1078): mean of eu>0
+        has_eu = (c1.eu > 0.0) & ideep1[:, None]
+        cnt = jnp.sum(has_eu, axis=1)
+        dmsm = -jnp.sum(jnp.where(has_eu, c1.eu, 0.0), axis=1) / \
+            jnp.where(cnt == 0, 1, cnt)
+        dmpdz2_col = jnp.where(ideep1, jnp.where(cnt > 0, dmsm, -1.0),
+                               -cfg.tentrm)
+        dmpdz2 = jnp.broadcast_to(dmpdz2_col[:, None], (ncol, pver))
+
+        b2 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
+                           landfrac, dmpdz2)
+        if cfg.retrigger:
+            ideep = trigger(b2.cape, b2.cin)
+        c2 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b2.mx, b2.lel,
+                    landfrac)
+        buoy_used = b2
+        cld = c2
+        eurt = -dmpdz2
+
+    mask = ideep
+    maskf = mask.astype(dtype)[:, None]
+
+    mx = buoy_used.mx
+    jt = cld.jt
+    dz = zf[:, :-1] - zf[:, 1:]
+
+    # subcloud thickness (zm_conv.F90:990-997)
+    dsubcld = jnp.sum(jnp.where((karr >= mx[:, None]) & (karr >= msg), dp, 0.0),
+                      axis=1)
+
+    # convert 1/m -> 1/mb (zm_conv.F90:1252-1262)
+    fac_mb = dz / dp
+    du = cld.du * fac_mb
+    eu = cld.eu * fac_mb
+    ed = cld.ed * fac_mb
+    cu = cld.cu * fac_mb
+    cmeg = cld.cmeg * fac_mb
+    rprdg = cld.rprd * fac_mb
+    evpg = cld.evp * fac_mb
+
+    mb = closure(cfg, msg, q, t, p, z, s, buoy_used.tp, cld.qst, cld.qu,
+                 cld.su, cld.mc, du, cld.mu, cld.md, cld.qd, cld.sd, qhat,
+                 shat, dp, buoy_used.qstp, zf, cld.ql, dsubcld,
+                 buoy_used.cape, buoy_used.tl, buoy_used.lcl, buoy_used.lel,
+                 jt, mx)
+
+    # CFL cap (zm_conv.F90:1285-1300)
+    mumax = jnp.max(jnp.where(karr >= msg + 1, cld.mu / dp, 0.0), axis=1)
+    mb = jnp.where(mumax > 0.0,
+                   jnp.minimum(mb, 0.5 / (delt * jnp.where(mumax <= 0, 1e30,
+                                                           mumax))), 0.0)
+    if cfg.no_deep_pbl:
+        zm_jt = _take_col(zm_, jt)
+        mb = jnp.where(zm_jt < pblh, 0.0, mb)
+    mb = jnp.where(mask, mb, 0.0)
+
+    # scale by mb (zm_conv.F90:1319-1331)
+    mbk = mb[:, None]
+    mu = cld.mu * mbk
+    md = cld.md * mbk
+    mc = cld.mc * mbk
+    du = du * mbk
+    eu = eu * mbk
+    ed = ed * mbk
+    cmeg = cmeg * mbk
+    rprdg = rprdg * mbk
+    cu = cu * mbk
+    evpg = evpg * mbk
+    pflxg = jnp.concatenate(
+        [jnp.zeros((ncol, 1), dtype),
+         cld.pflx[:, 1:] * mbk * 100.0 / GRAV], axis=1)
+
+    dqdt, dsdt, dlg = q1q2_pjr(msg, q, cld.qst, cld.qu, cld.su, du, qhat,
+                               shat, dp, mu, md, cld.sd, cld.qd, cld.qcde,
+                               dsubcld, jt, mx, (evpg, cu))
+
+    dqdt = dqdt * maskf
+    dsdt = dsdt * maskf
+    dlg = dlg * maskf
+    mu = mu * maskf
+    md = md * maskf
+    mc = mc * maskf
+    du = du * maskf
+    eu = eu * maskf
+    ed = ed * maskf
+    cmeg = cmeg * maskf
+    rprdg = rprdg * maskf
+    evpg = evpg * maskf
+    pflxg = pflxg * mask.astype(dtype)[:, None]
+    qlg = cld.ql * maskf
+
+    # precipitation from column moisture change (zm_conv.F90:1495-1640)
+    q_new = qh + 2.0 * delt * dqdt
+    prec = jnp.sum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt, axis=1)
+    prec = RGRAV * jnp.maximum(prec, 0.0) / (2.0 * delt) / 1000.0
+
+    # reserved liquid (zm_conv.F90:1645-1652)
+    rliq = jnp.sum(dlg * dpp / GRAV, axis=1) / 1000.0
+    rice = jnp.zeros_like(rliq)
+
+    mcon = jnp.concatenate([mc * maskf, jnp.zeros((ncol, 1), dtype)], axis=1)
+
+    jctop = jnp.where(mask, jt, pver - 1)
+    jcbot = jnp.where(mask, mx, 0)
+
+    return ZMConvOut(
+        qtnd=dqdt, heat=dsdt * CP, prec=prec, jctop=jctop, jcbot=jcbot,
+        cape=buoy_used.cape, cin=buoy_used.cin, mcon=mcon, dlf=dlg,
+        pflx=pflxg, cme=cmeg, zdu=du, rprd=rprdg, mu=mu, eu=eu, du=du, md=md,
+        ed=ed, dp=dp, dsubcld=dsubcld, jt=jt, maxg=mx, ideep=mask, eurt=eurt,
+        ql=qlg, rliq=rliq, rice=rice)
+
+
+# =============================================================================
+# zm_conv_evap  (zm_conv.F90:1712-1972)
+# =============================================================================
+
+def zm_conv_evap(cfg: ZMConfig, t, pmid, pdel, q, landfrac, prdprec, cldfrc,
+                 deltat, prec_in):
+    """Sundqvist evaporation of convective precip + snow production/melt
+    (zm_conv_evap, zm_conv.F90:1712-1972), old_snow path, tht humidity fix.
+
+    prec_in in m/s; returns dict with heating/moistening tendencies, surface
+    prec/snow (m/s), interface fluxes (kg/m2/s), and net production terms.
+    """
+    ncol, pver = t.shape
+    dtype = t.dtype
+
+    prec = prec_in * 1000.0   # kg/m2/s
+    _, qs = qsat_blend(t, pmid)
+    fice, fsnow_conv = cldfrc_fice(t)
+    kemask = cfg.ke * jnp.ones_like(landfrac) if not cfg.org else \
+        cfg.ke * (1.0 - landfrac) + cfg.ke_lnd * landfrac
+
+    def step(cy, x):
+        (t_k, q_k, qs_k, pdel_k, prdprec_k, cldfrc_k, fsnow_k) = x
+        flxprec_k, flxsnow_k, evpvint = cy
+
+        melt = t_k > TFREEZ
+        flxsntm = jnp.where(melt, 0.0, flxsnow_k)
+        snowmlt = jnp.where(melt, flxsnow_k * GRAV / pdel_k, 0.0)
+
+        # tht humidity-basis fix (zm_conv.F90:1853-1860)
+        evplimit = jnp.maximum(1.0 - q_k / (1.0 + q_k) / qs_k, 0.0)
+        evpprec = kemask * (1.0 - cldfrc_k) * evplimit * jnp.sqrt(flxprec_k)
+        evplimit2 = flxprec_k * GRAV / pdel_k
+        evplimit2 = jnp.minimum(evplimit2,
+                                (prec - evpvint) * GRAV / pdel_k)
+        evpprec = jnp.minimum(evplimit2, evpprec)
+
+        work1 = jnp.where(flxprec_k > 0.0,
+                          jnp.clip(flxsntm / jnp.where(flxprec_k == 0, 1e-30,
+                                                       flxprec_k), 0.0, 1.0),
+                          0.0)
+        evpsnow = evpprec * work1
+        evpvint = evpvint + evpprec * pdel_k / GRAV
+
+        ntprprd = prdprec_k - evpprec
+        work1b = jnp.where(flxprec_k > 0.0,
+                           jnp.clip(flxsnow_k / jnp.where(flxprec_k == 0, 1e-30,
+                                                          flxprec_k), 0.0, 1.0),
+                           0.0)
+        work2 = jnp.maximum(fsnow_k, work1b)
+        work2 = jnp.where(snowmlt > 0.0, 0.0, work2)
+        ntsnprd = prdprec_k * work2 - evpsnow - snowmlt
+        tend_s_snwprd = prdprec_k * work2 * c.LATICE
+        tend_s_snwevmlt = -(evpsnow + snowmlt) * c.LATICE
+
+        flxprec_n = jnp.maximum(flxprec_k + ntprprd * pdel_k / GRAV, 0.0)
+        flxsnow_n = jnp.maximum(flxsnow_k + ntsnprd * pdel_k / GRAV, 0.0)
+
+        tend_s = -evpprec * c.LATVAP + ntsnprd * c.LATICE
+        tend_q = evpprec
+        outs = (tend_s, tend_q, tend_s_snwprd, tend_s_snwevmlt, ntprprd,
+                ntsnprd, flxprec_k, flxsnow_k, flxprec_n, flxsnow_n)
+        return (flxprec_n, flxsnow_n, evpvint), outs
+
+    z1 = jnp.zeros((ncol,), dtype)
+    xs = (t.T, q.T, qs.T, pdel.T, prdprec.T, cldfrc.T, fsnow_conv.T)
+    (_, _, _), outs = jax.lax.scan(step, (z1, z1, z1), xs)
+    (tend_s, tend_q, tend_s_snwprd, tend_s_snwevmlt, ntprprd, ntsnprd,
+     flxprec_top, flxsnow_top, flxprec_bot, flxsnow_bot) = \
+        [o.T for o in outs]
+
+    flxprec = jnp.concatenate([flxprec_top, flxprec_bot[:, -1:]], axis=1)
+    flxsnow = jnp.concatenate([flxsnow_top, flxsnow_bot[:, -1:]], axis=1)
+
+    return dict(
+        tend_s=tend_s, tend_q=tend_q, tend_s_snwprd=tend_s_snwprd,
+        tend_s_snwevmlt=tend_s_snwevmlt, ntprprd=ntprprd, ntsnprd=ntsnprd,
+        flxprec=flxprec, flxsnow=flxsnow,
+        prec=flxprec[:, -1] / 1000.0, snow=flxsnow[:, -1] / 1000.0)

@@ -68,13 +68,22 @@ def _brent_invert(f, target, t_guess, max_iter=100, tol=0.001):
     """
     eps_ = 3.0e-8
 
-    a0 = t_guess - 10.0
-    b0 = t_guess + 10.0
+    # The reference brackets at t_guess +- 10 K (zm_conv.F90:5330-5331) and
+    # hard-aborts when that fails. A 10 K bracket is too narrow when a single
+    # model layer spans a large parcel dT (thick upper layers), so expand the
+    # half-width by doubling (10 -> 160 K) on lanes whose endpoints have the
+    # same sign; lanes already bracketed are untouched, preserving reference
+    # behavior exactly where the reference works.
+    half = jnp.full_like(t_guess, 10.0)
+    for _ in range(4):
+        same = (f(t_guess - half) - target) * (f(t_guess + half) - target) > 0.0
+        half = jnp.where(same, half * 2.0, half)
+    a0 = t_guess - half
+    b0 = t_guess + half
     fa0 = f(a0) - target
     fb0 = f(b0) - target
-    # Root must lie inside the +-10 K bracket; same-signed endpoints mean the
-    # inversion cannot succeed (the reference assumes a valid bracket and
-    # silently returns the collapsed interval — here it is flagged as failed).
+    # Root must lie inside the bracket; same-signed endpoints mean the
+    # inversion cannot succeed and is flagged as failed (NaN), never aborted.
     bracketed = fa0 * fb0 <= 0.0
 
     state = dict(a=a0, b=b0, cc=b0, fa=fa0, fb=fb0, fc=fb0,

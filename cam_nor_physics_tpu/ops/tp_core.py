@@ -1,0 +1,452 @@
+"""Lin-Rood flux-form semi-Lagrangian PPM transport operators (tp_core).
+
+TPU-native re-implementation of /root/reference/fv/tp_core.F90 (2610 lines):
+the 1-D/2-D FFSL PPM advection stencils of the FV dycore. Design notes
+(SURVEY §2.3 P8, §7.1.3):
+
+- The reference's `VECTORIZE` whole-slab variants (tp_core.F90:1707-2610) are
+  the natural JAX formulation: every routine here is a whole-array op over
+  (jm, im) lat-lon slabs; vmap over levels/tracers supplies the third axis.
+- Fortran's explicit periodic ghost zones (arrays dimensioned -im/3:im+im/3,
+  tp_core.F90:215-219) become modular index arithmetic: `jnp.roll` for fixed
+  shifts, wrapped gathers for data-dependent (integer Courant) shifts.
+- The FFSL integer-Courant summation loops (tp_core.F90:430-440) become an
+  O(1) prefix-sum difference with explicit wrap handling.
+- Latitude-dependent scheme switching (upwind/van Leer/PPM by cos φ,
+  tp_core.F90:332-338) and the per-row `ffsl` flag become masks blended with
+  `jnp.where` — all branches are computed, which is the TPU-friendly trade.
+
+Array/axis conventions: slabs are (jm, im); j=0 is the SOUTH pole row,
+j=jm-1 the north pole row; i wraps periodically. Edge-indexed x-arrays:
+fx[..., i] = flux across the WEST edge of cell i. Edge-indexed y-arrays:
+fy[e] = flux across the SOUTH edge of row e (valid e in [1, jm-1]).
+
+Index mapping from the reference: Fortran (i,j) 1-based -> [j-1, i-1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+COS_UPW = 0.05   # critical cosine for upwind       (tp_core.F90:336)
+COS_VAN = 0.10   # critical cosine for van Leer     (:337)
+COS_PPM = 0.10   # critical cosine for PPM          (:338)
+R3 = 1.0 / 3.0
+R23 = 2.0 / 3.0
+
+
+def _rollx(a, shift):
+    """Periodic shift along the x (last) axis; positive shift moves east->i+."""
+    return jnp.roll(a, shift, axis=-1)
+
+
+def _gatherx(a, idx):
+    """a[..., idx[...]] with periodic wrap; idx same shape as a."""
+    im = a.shape[-1]
+    return jnp.take_along_axis(a, jnp.mod(idx, im), axis=-1)
+
+
+def xmist(q, id_: int):
+    """4th-order x-slopes with optional Lin-et-al-1994 monotonic limiter
+    (xmist, tp_core.F90:505-556). q is (..., im) periodic."""
+    qp1, qm1 = _rollx(q, -1), _rollx(q, 1)
+    if id_ <= 2:
+        qp2, qm2 = _rollx(q, -2), _rollx(q, 2)
+        dm = (1.0 / 24.0) * (8.0 * (qp1 - qm1) + qm2 - qp2)
+    else:
+        dm = 0.25 * (qp1 - qm1)
+    if id_ < 0:
+        return dm
+    qmax = jnp.maximum(jnp.maximum(qm1, q), qp1) - q
+    qmin = q - jnp.minimum(jnp.minimum(qm1, q), qp1)
+    return jnp.sign(dm) * jnp.minimum(jnp.minimum(jnp.abs(dm), qmax), qmin)
+
+
+def steepx(p, al, dm):
+    """Yeh steepening of the left-edge value (steepx, tp_core.F90:693-759).
+    All arrays (..., im) periodic; returns modified al."""
+    dh = _rollx(p, -1) - p                       # dh[i] = p[i+1]-p[i]
+    dhm = _rollx(dh, 1)                          # dh[i-1]
+    d2 = dh - dhm                                # d2[i]
+    d2p, d2m = _rollx(d2, -1), _rollx(d2, 1)
+    pp1, pm1 = _rollx(p, -1), _rollx(p, 1)
+    pp2, pm2 = _rollx(p, -2), _rollx(p, 2)
+    denom = jnp.where(pp1 == pm1, 1.0, pp1 - pm1)
+    xxx = 1.0 - 0.5 * (pp2 - pm2) / denom
+    eta = jnp.where((d2p * d2m < 0.0) & (pp1 != pm1),
+                    jnp.clip(xxx, 0.0, 0.5), 0.0)
+    etam = _rollx(eta, 1)
+    dmm = _rollx(dm, 1)
+    bbb = (2.0 * eta - etam) * dmm
+    ccc = (2.0 * etam - eta) * dm
+    return al + 0.5 * (etam - eta) * dhm + (bbb - ccc) * R3
+
+
+def lmppm(dm, a6, ar, al, p, lmt: int):
+    """PPM monotonicity constraints (lmppm, tp_core.F90:767-877).
+
+    lmt = 0 full, 1 improved full, 2 positive-definite, 3 quasi-monotone.
+    Returns (a6, ar, al).
+    """
+    if lmt == 0:
+        da1 = ar - al
+        da2 = da1 ** 2
+        a6da = a6 * da1
+        a6_lo = 3.0 * (al - p)
+        ar_lo = al - a6_lo
+        a6_hi = 3.0 * (ar - p)
+        al_hi = ar - a6_hi
+        lo = a6da < -da2
+        hi = a6da > da2
+        zero = dm == 0.0
+        a6n = jnp.where(zero, 0.0, jnp.where(lo, a6_lo, jnp.where(hi, a6_hi, a6)))
+        arn = jnp.where(zero, p, jnp.where(lo, ar_lo, ar))
+        aln = jnp.where(zero, p, jnp.where(hi, al_hi, al))
+        return a6n, arn, aln
+    if lmt == 1:
+        da1 = dm + dm
+        dl = jnp.sign(da1) * jnp.minimum(jnp.abs(da1), jnp.abs(al - p))
+        dr = jnp.sign(da1) * jnp.minimum(jnp.abs(da1), jnp.abs(ar - p))
+        return 3.0 * (dl - dr), p + dr, p - dl
+    if lmt == 2:
+        skip = jnp.abs(ar - al) >= -a6
+        fmin = p + 0.25 * (ar - al) ** 2 / jnp.where(a6 == 0, 1e-30, a6) + \
+            a6 * (1.0 / 12.0)
+        skip = skip | (fmin >= 0.0)
+        both = (p < ar) & (p < al)
+        rgt = ar > al
+        a6_b, ar_b, al_b = jnp.zeros_like(p), p, p
+        a6_r = 3.0 * (al - p)
+        ar_r = al - a6_r
+        a6_l = 3.0 * (ar - p)
+        al_l = ar - a6_l
+        a6n = jnp.where(both, a6_b, jnp.where(rgt, a6_r, a6_l))
+        arn = jnp.where(both, ar_b, jnp.where(rgt, ar_r, ar))
+        aln = jnp.where(both, al_b, jnp.where(rgt, al, al_l))
+        return (jnp.where(skip, a6, a6n), jnp.where(skip, ar, arn),
+                jnp.where(skip, al, aln))
+    if lmt == 3:
+        da1 = 4.0 * dm
+        dl = jnp.sign(da1) * jnp.minimum(jnp.abs(da1), jnp.abs(al - p))
+        dr = jnp.sign(da1) * jnp.minimum(jnp.abs(da1), jnp.abs(ar - p))
+        return 3.0 * (dl - dr), p + dr, p - dl
+    return a6, ar, al  # lmt > 3: no constraint (e.g. iord=7 handled by huynh)
+
+
+def huynh(ar, al, p):
+    """Huynh's 2nd monotonicity constraint on a periodic row
+    (huynh, tp_core.F90:885-971). Returns (a6, ar, al)."""
+    d1 = p - _rollx(p, 1)            # d1[i] = p[i]-p[i-1]
+    d2 = _rollx(d1, -1) - d1         # d2[i] = d1[i+1]-d1[i]
+    d2m = _rollx(d2, 1)              # d2[i-1]
+    pmp_r = p + 2.0 * d1
+    lac_r = p + 0.5 * (d1 + d2m) + d2m
+    pmin = jnp.minimum(jnp.minimum(p, pmp_r), lac_r)
+    pmax = jnp.maximum(jnp.maximum(p, pmp_r), lac_r)
+    ar = jnp.minimum(pmax, jnp.maximum(ar, pmin))
+    d1p = _rollx(d1, -1)             # d1[i+1]
+    d2p = _rollx(d2, -1)             # d2[i+1]
+    pmp_l = p - 2.0 * d1p
+    lac_l = p + 0.5 * (d2p - d1p) + d2p
+    pmin = jnp.minimum(jnp.minimum(p, pmp_l), lac_l)
+    pmax = jnp.maximum(jnp.maximum(p, pmp_l), lac_l)
+    al = jnp.minimum(pmax, jnp.maximum(al, pmin))
+    return 3.0 * (p + p - (al + ar)), ar, al
+
+
+def _ppm_edges(p, dm, iord: int):
+    """PPM edge reconstruction al/ar/a6 on a periodic row
+    (fxppm head, tp_core.F90:615-636)."""
+    al = 0.5 * (_rollx(p, 1) + p) + (_rollx(dm, 1) - dm) * R3
+    if iord == 6:
+        al = steepx(p, al, dm)
+    ar = _rollx(al, -1)
+    if iord == 7:
+        a6, ar, al = huynh(ar, al, p)
+    else:
+        a6 = 3.0 * (p + p - (al + ar)) if iord in (3, 5) else jnp.zeros_like(p)
+        a6, ar, al = lmppm(dm, a6, ar, al, p, iord - 3)
+    return al, ar, a6
+
+
+def _wrap_segment_sum(q, start, length, max_len: int):
+    """sum_{n=0}^{length-1} q[(start+n) mod im] via prefix sums, O(1) gathers.
+
+    Replaces the FFSL integer-Courant loops (tp_core.F90:430-440). length
+    must satisfy 0 <= length <= im (guaranteed: |c| <= im/3).
+    """
+    im = q.shape[-1]
+    cs = jnp.cumsum(q, axis=-1)                      # cs[i] = sum q[0..i]
+    total = cs[..., -1:]
+
+    a = jnp.mod(start, im)
+    end = a + length - 1                             # may exceed im-1
+    csm1 = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs[..., :-1]], axis=-1)
+    s_a = _gatherx(csm1, a)                          # sum q[0..a-1]
+    nowrap = _gatherx(cs, jnp.minimum(end, im - 1)) - s_a
+    wrap = (total - s_a) + _gatherx(cs, end - im)
+    out = jnp.where(end <= im - 1, nowrap, wrap)
+    return jnp.where(length > 0, out, 0.0)
+
+
+def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
+    """E-W flux (xtpv, tp_core.F90:285-497), whole-slab.
+
+    q, c, mfx: (jm, im); cosa, ffsl: (jm,) row properties (cosine of latitude
+    and flux-form-semi-Lagrangian flag). Returns fx (jm, im) = flux across the
+    west edge of cell i. id_=0: density (mfx = Courant); id_=1: mixing ratio
+    (fx multiplied by mass flux mfx).
+    """
+    jm, im = q.shape
+    cosa = cosa[:, None]
+    ffsl = ffsl[:, None]
+    if max_cfl_int is None:
+        max_cfl_int = im // 3
+
+    i_idx = jnp.arange(im)[None, :]
+
+    # ---------- regular (Eulerian) branch, |c| < 1 ----------
+    # donor index: iu = trunc(i - c); works for the |c|<1 case
+    iu_reg = jnp.trunc(i_idx - c).astype(jnp.int32)
+    fx_upw = mfx * _gatherx(q, iu_reg)
+
+    dm4 = xmist(q, 2 if iord > 0 else iord)   # tp_core.F90:464-468
+    fx_van = mfx * (_gatherx(q, iu_reg) +
+                    _gatherx(dm4, iu_reg) * (jnp.sign(c) - c))
+
+    al, ar, a6 = _ppm_edges(q, dm4, iord)
+    alm = _rollx(al, 1)
+    arm = _rollx(ar, 1)
+    a6m = _rollx(a6, 1)
+    fx_ppm_pos = arm + 0.5 * c * (alm - arm + a6m * (1.0 - R23 * c))
+    fx_ppm_neg = al - 0.5 * c * (ar - al + a6 * (1.0 + R23 * c))
+    fx_ppm = mfx * jnp.where(c > 0.0, fx_ppm_pos, fx_ppm_neg)
+
+    upwind_row = (iord == 1) | (cosa < COS_UPW)
+    vanleer_row = (abs(iord) == 2) | (cosa < COS_VAN)
+    fx_reg = jnp.where(upwind_row, fx_upw,
+                       jnp.where(vanleer_row, fx_van, fx_ppm))
+
+    # ---------- FFSL branch (|c| may exceed 1; periodic wrap) ----------
+    iu = jnp.trunc(c).astype(jnp.int32)
+    rut = c - iu
+    itmp_pos = i_idx - iu - 1       # fractional donor for c > 0
+    itmp_neg = i_idx - iu           # fractional donor for c <= 0
+    itmp = jnp.where(c > 0.0, itmp_pos, itmp_neg)
+
+    # 2nd-order slope for the FFSL branch (tp_core.F90:392-398)
+    qp1, qm1 = _rollx(q, -1), _rollx(q, 1)
+    tmp = 0.25 * (qp1 - qm1)
+    qmax = jnp.maximum(jnp.maximum(qm1, q), qp1) - q
+    qmin = q - jnp.minimum(jnp.minimum(qm1, q), qp1)
+    dm2 = jnp.sign(tmp) * jnp.minimum(jnp.minimum(jnp.abs(tmp), qmax), qmin)
+
+    f_upw = rut * _gatherx(q, itmp)
+    f_van = jnp.where(
+        c > 0.0,
+        rut * (_gatherx(q, itmp) + _gatherx(dm2, itmp) * (1.0 - rut)),
+        rut * (_gatherx(q, itmp) - _gatherx(dm2, itmp) * (1.0 + rut)))
+
+    alf, arf, a6f = _ppm_edges(q, dm2, iord)
+    f_ppm = jnp.where(
+        c > 0.0,
+        rut * (_gatherx(arf, itmp) + 0.5 * rut *
+               (_gatherx(alf, itmp) - _gatherx(arf, itmp) +
+                _gatherx(a6f, itmp) * (1.0 - R23 * rut))),
+        rut * (_gatherx(alf, itmp) - 0.5 * rut *
+               (_gatherx(arf, itmp) - _gatherx(alf, itmp) +
+                _gatherx(a6f, itmp) * (1.0 + R23 * rut))))
+
+    ffsl_upw = (iord == 1) | (cosa < COS_UPW)
+    ffsl_ppm = (iord >= 3) & (cosa > COS_PPM)
+    f_frac = jnp.where(ffsl_upw, f_upw, jnp.where(ffsl_ppm, f_ppm, f_van))
+
+    # integer-Courant whole-cell sum (tp_core.F90:430-440)
+    npos = jnp.where(c >= 1.0, iu, 0)                 # cells [i-iu, i-1]
+    sum_pos = _wrap_segment_sum(q, i_idx - iu, npos, max_cfl_int)
+    nneg = jnp.where(c <= -1.0, -iu, 0)               # cells [i, i-iu-1]
+    sum_neg = _wrap_segment_sum(q, i_idx, nneg, max_cfl_int)
+    f_int = jnp.where(c >= 1.0, sum_pos, jnp.where(c <= -1.0, -sum_neg, 0.0))
+
+    fx_ffsl = f_frac + f_int
+    if id_ != 0:
+        fx_ffsl = fx_ffsl * mfx
+
+    return jnp.where(ffsl, fx_ffsl, fx_reg)
+
+
+def ymist(q, jord: int, iv: int):
+    """N-S slopes with pole mirroring (ymist, tp_core.F90:1084-1214).
+
+    q: (jm, im). iv=0 scalar, iv=1 vector (sign flip across the pole).
+    Returns dm (jm, im).
+    """
+    jm, im = q.shape
+    im2 = im // 2
+    # interior: dm[j] = 0.25 (q[j+1]-q[j-1])
+    dm_int = jnp.zeros_like(q)
+    dm_int = dm_int.at[1:-1, :].set(0.25 * (q[2:, :] - q[:-2, :]))
+
+    qs_mir = jnp.roll(q[1, :], -im2, axis=-1)   # q(i+im2, row 1)
+    qn_mir = jnp.roll(q[-2, :], -im2, axis=-1)  # q(i+im2, row jm-2)
+
+    if iv == 0:
+        tmp_s = 0.25 * (q[1, :] - qs_mir)
+        qmax_s = jnp.maximum(jnp.maximum(q[1, :], q[0, :]), qs_mir) - q[0, :]
+        qmin_s = q[0, :] - jnp.minimum(jnp.minimum(q[1, :], q[0, :]), qs_mir)
+        tmp_n = 0.25 * (qn_mir - q[-2, :])
+        qmax_n = jnp.maximum(jnp.maximum(qn_mir, q[-1, :]), q[-2, :]) - q[-1, :]
+        qmin_n = q[-1, :] - jnp.minimum(jnp.minimum(qn_mir, q[-1, :]), q[-2, :])
+        mirror_sign = -1.0
+    else:
+        tmp_s = 0.25 * (q[1, :] + qs_mir)
+        qmax_s = jnp.maximum(jnp.maximum(q[1, :], q[0, :]), -qs_mir) - q[0, :]
+        qmin_s = q[0, :] - jnp.minimum(jnp.minimum(q[1, :], q[0, :]), -qs_mir)
+        tmp_n = -0.25 * (qn_mir + q[-2, :])
+        qmax_n = jnp.maximum(jnp.maximum(-qn_mir, q[-1, :]), q[-2, :]) - q[-1, :]
+        qmin_n = q[-1, :] - jnp.minimum(jnp.minimum(-qn_mir, q[-1, :]), q[-2, :])
+        mirror_sign = 1.0
+
+    dm_s = jnp.sign(tmp_s) * jnp.minimum(jnp.minimum(jnp.abs(tmp_s), qmax_s),
+                                         qmin_s)
+    dm_n = jnp.sign(tmp_n) * jnp.minimum(jnp.minimum(jnp.abs(tmp_n), qmax_n),
+                                         qmin_n)
+    # second half of each pole row mirrors the first (tp_core.F90:1149-1151)
+    half = jnp.arange(im) >= im2
+    dm_s = jnp.where(half, mirror_sign * jnp.roll(dm_s, im2), dm_s)
+    dm_n = jnp.where(half, mirror_sign * jnp.roll(dm_n, im2), dm_n)
+
+    dm = dm_int.at[0, :].set(dm_s).at[-1, :].set(dm_n)
+
+    if jord > 0:
+        # monotonic constraint on interior rows (tp_core.F90:1200-1211)
+        qmax = jnp.maximum(jnp.maximum(q[:-2, :], q[1:-1, :]), q[2:, :]) - \
+            q[1:-1, :]
+        qmin = q[1:-1, :] - jnp.minimum(jnp.minimum(q[:-2, :], q[1:-1, :]),
+                                        q[2:, :])
+        lim = jnp.sign(dm[1:-1, :]) * jnp.minimum(
+            jnp.minimum(jnp.abs(dm[1:-1, :]), qmin), qmax)
+        dm = dm.at[1:-1, :].set(lim)
+    return dm
+
+
+def fyppm(c, q, dm, jord: int, iv: int):
+    """N-S PPM flux (fyppm, tp_core.F90:1222-1388).
+
+    c: (jm+1, im) Courant at edges (edge e = south edge of row e);
+    q, dm: (jm, im). Returns flux (jm+1, im), valid for edges e in [1, jm-1].
+    """
+    jm, im = q.shape
+    im2 = im // 2
+
+    # al[j] = 0.5 (q[j-1]+q[j]) + (dm[j-1]-dm[j])/3, cell-indexed south edge
+    al = jnp.zeros_like(q)
+    al = al.at[1:, :].set(0.5 * (q[:-1, :] + q[1:, :]) +
+                          R3 * (dm[:-1, :] - dm[1:, :]))
+    ar = jnp.concatenate([al[1:, :], jnp.zeros((1, im), q.dtype)], axis=0)
+
+    # pole mirroring (tp_core.F90:1312-1344)
+    sgn = 1.0 if iv == 0 else -1.0
+    al = al.at[0, :].set(sgn * jnp.roll(al[1, :], -im2))
+    ar = ar.at[-1, :].set(sgn * jnp.roll(ar[-2, :], -im2))
+
+    if jord in (3, 5):
+        a6 = 3.0 * (q + q - (al + ar))
+    else:
+        a6 = jnp.zeros_like(q)
+    a6, ar, al = lmppm(dm, a6, ar, al, q, jord - 3)
+
+    # flux at edge e from cell e-1 (c>0) or cell e (c<0)
+    ce = c[1:jm, :]                                   # edges 1..jm-1
+    flux_pos = ar[:-1, :] + 0.5 * ce * (al[:-1, :] - ar[:-1, :] +
+                                        a6[:-1, :] * (1.0 - R23 * ce))
+    flux_neg = al[1:, :] - 0.5 * ce * (ar[1:, :] - al[1:, :] +
+                                       a6[1:, :] * (1.0 + R23 * ce))
+    fe = jnp.where(ce > 0.0, flux_pos, flux_neg)
+    z = jnp.zeros((1, im), q.dtype)
+    return jnp.concatenate([z, fe, z], axis=0)
+
+
+def ytp(q, c, ymass, jord: int, iv: int):
+    """N-S flux (ytp, tp_core.F90:980-1076).
+
+    q: (jm, im); c, ymass: (jm+1, im) edge-indexed. Returns fy (jm+1, im).
+    """
+    jm, im = q.shape
+    e_idx = jnp.arange(1, jm)[:, None]
+    ce = c[1:jm, :]
+
+    if jord == 1:
+        jt = jnp.floor(e_idx + 1 - ce).astype(jnp.int32) - 1
+        jt = jnp.clip(jt, 0, jm - 1)
+        fe = jnp.take_along_axis(q, jt, axis=0)
+    else:
+        dm = ymist(q, jord, iv)
+        if abs(jord) >= 3:
+            return fyppm(c, q, dm, jord, iv) * ymass
+        jt = jnp.floor(e_idx + 1 - ce).astype(jnp.int32) - 1
+        jt = jnp.clip(jt, 0, jm - 1)
+        fe = jnp.take_along_axis(q, jt, axis=0) + \
+            (jnp.sign(ce) - ce) * jnp.take_along_axis(dm, jt, axis=0)
+
+    z = jnp.zeros((1, im), q.dtype)
+    fy = jnp.concatenate([z, fe, z], axis=0)
+    return fy * ymass
+
+
+def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
+         id_: int):
+    """2-D transport on the D grid (tp2d, tp_core.F90:163-276).
+
+    va: (jm, im) advective y-Courant at cell centers; q: (jm, im);
+    crx: (jm, im) x-Courant; cry, yfx: (jm+1, im) edge-indexed y-Courant and
+    background y-mass-flux; xfx: (jm, im) x mass flux; cosp: (jm,) cos(lat);
+    ffsl: (jm,) bool. Returns (fx, fy).
+    """
+    jm, im = q.shape
+
+    # inner advective x-operator (first-order) -> adx (tp_core.F90:228-243)
+    wk1 = xtp(q, crx, crx, cosp, ffsl, 1, 0)
+    wk1_e = _rollx(wk1, -1)          # wk1[i+1]
+    crx_e = _rollx(crx, -1)
+    adx = q + 0.5 * (wk1 - wk1_e + q * (crx_e - crx))
+    # poles: adx = q (tp_core.F90:247-256)
+    adx = adx.at[0, :].set(q[0, :]).at[-1, :].set(q[-1, :])
+
+    fy = ytp(adx, cry, yfx, jord, 0)
+
+    # inner advective y-operator (tp_core.F90:260-265):
+    # wk1[j] = q[j] + 0.5 va (q[jp] - q[jp+1]), jp = j - trunc(va)
+    j_idx = jnp.arange(jm)[:, None]
+    jp = j_idx - jnp.trunc(va).astype(jnp.int32)
+    jp = jnp.clip(jp, 0, jm - 2)
+    q_jp = jnp.take_along_axis(q, jp, axis=0)
+    q_jp1 = jnp.take_along_axis(q, jp + 1, axis=0)
+    ady = q + 0.5 * va * (q_jp - q_jp1)
+    # rows 0 and jm-1 are overwritten by the polar-cap update in tp2c; the
+    # reference leaves them at q via loop bounds js2g0/jn2g0
+    ady = ady.at[0, :].set(q[0, :]).at[-1, :].set(q[-1, :])
+
+    fx = xtp(ady, crx, xfx, cosp, ffsl, iord, id_)
+    return fx, fy
+
+
+def tp2c(va, h, crx, cry, iord: int, jord: int, xfx, yfx, cosp, acosp, rcap,
+         ffsl):
+    """C-grid transport + flux divergence with polar-cap closure
+    (tp2c, tp_core.F90:72-155).
+
+    Returns (dh, fx, fy): dh = fx[i]-fx[i+1] + (fy[e]-fy[e+1])*acosp, with the
+    polar rows replaced by the cap-mean of the meridional flux.
+    """
+    jm, im = h.shape
+    fx, fy = tp2d(va, h, crx, cry, iord, jord, xfx, yfx, cosp, ffsl, 0)
+    dh = fx - _rollx(fx, -1) + (fy[:-1, :] - fy[1:, :]) * acosp[:, None]
+    # polar caps (tp_core.F90:130-152)
+    s_sum = -jnp.sum(fy[1, :]) * rcap
+    n_sum = jnp.sum(fy[jm - 1, :]) * rcap
+    dh = dh.at[0, :].set(s_sum).at[-1, :].set(n_sum)
+    return dh, fx, fy
