@@ -1,0 +1,186 @@
+"""FV dycore grid geometry — grid_vars_init equivalent.
+
+TPU-native re-implementation of the geometry/trig-table layer of
+/root/reference/fv/dynamics_vars.F90:729-983 (grid_vars_init). The MPI
+decomposition machinery of spmd_vars_init (dynamics_vars.F90:317-723) is
+intentionally absent: on TPU one resident `jax.sharding` layout serves the
+whole step (SURVEY §7.1.1), so the ~20 decompositions / ghost patterns /
+transpose patterns have no equivalent here.
+
+Grid staggering (Arakawa D grid, lat-lon):
+  - jm latitude rows, j=0 south pole row, j=jm-1 north pole row; rows are
+    cell centers except the pole rows which are the polar caps.
+  - cosp/sinp at cell centers (area-averaged discretizations), cose/sine at
+    cell edges (edge j = south edge of row j).
+  - im longitudes, periodic; cell i center at λ = -π + i·dl.
+
+All tables are numpy float64 computed eagerly at construction (static grid
+metadata, traced into jit as constants).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import constants as c
+
+
+@dataclass(frozen=True)
+class FVGrid:
+    im: int
+    jm: int
+    km: int
+    dl: float            # longitude spacing (rad)
+    dp: float            # latitude spacing (rad)
+    # trig tables (jm,)
+    cosp: np.ndarray
+    sinp: np.ndarray
+    cose: np.ndarray
+    sine: np.ndarray
+    acosp: np.ndarray
+    acosu: np.ndarray
+    # longitude tables (im,)
+    coslon: np.ndarray
+    sinlon: np.ndarray
+    cosl5: np.ndarray
+    sinl5: np.ndarray
+    # polar cap
+    acap: float
+    rcap: float
+    # Coriolis (jm,)
+    f0: np.ndarray       # at cell centers
+    fc: np.ndarray       # at cell corners/edges
+    # polar filter
+    ycrit_deg: float
+    pft_center: np.ndarray   # (jm, im//2+1) rfft damping factors, centers
+    pft_edge: np.ndarray     # (jm, im//2+1) damping factors, edges
+    # scalars
+    rdy: float = 0.0
+
+    @property
+    def lats(self) -> np.ndarray:
+        """Cell-center latitudes (rad), poles included."""
+        return np.linspace(-0.5 * math.pi, 0.5 * math.pi, self.jm)
+
+    @property
+    def lons(self) -> np.ndarray:
+        """Cell-center longitudes (rad), starting at -pi."""
+        return -math.pi + self.dl * np.arange(self.im)
+
+
+def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
+              ae: float = c.REARTH, om: float = c.OMEGA) -> FVGrid:
+    """Build the FV grid tables (grid_vars_init, dynamics_vars.F90:729-983)."""
+    if im % 2 != 0:
+        raise ValueError("im must be even (dynamics_vars.F90:858)")
+    dl = 2.0 * math.pi / im
+    dp = math.pi / (jm - 1)
+
+    j = np.arange(jm, dtype=np.float64)
+    # sine(j) = sin of south edge of row j (edge values defined for j>=1)
+    sine = np.zeros(jm + 1)
+    ph5 = -0.5 * math.pi + (j - 0.5) * dp
+    sine[:jm] = np.sin(ph5)            # sine[j] valid for j >= 1
+    sine[jm] = np.sin(-0.5 * math.pi + (jm - 0.5) * dp)
+
+    cosp = np.zeros(jm)
+    cosp[1:jm - 1] = (sine[2:jm] - sine[1:jm - 1]) / dp
+
+    cose = np.zeros(jm)
+    if am_geom_crrct:
+        cose[1:] = np.cos(ph5[1:])
+    else:
+        cose[2:] = 0.5 * (cosp[1:jm - 1] + cosp[2:jm])
+        cose[1] = 0.5 * (cosp[0] + cosp[1])
+    cose[0] = cose[1]
+
+    acosu = np.zeros(jm)
+    acosu[1:jm - 1] = 2.0 / (cose[1:jm - 1] + cose[2:jm])
+
+    sinp = np.zeros(jm)
+    sinp[0], sinp[-1] = -1.0, 1.0
+    if am_geom_crrct:
+        sinp[1:jm - 1] = (cose[1:jm - 1] - cose[2:jm]) / dp
+    else:
+        sinp[1:jm - 1] = 0.5 * (sine[1:jm - 1] + sine[2:jm])
+
+    acap = im * (1.0 + sine[1]) / dp
+    rcap = 1.0 / acap
+
+    acosp = np.empty(jm)
+    acosp[0] = acosp[-1] = rcap * im
+    acosp[1:jm - 1] = 1.0 / cosp[1:jm - 1]
+
+    i = np.arange(im // 2, dtype=np.float64)
+    zam5 = (i - 0.5) * dl
+    zamda = i * dl
+    cosl5 = np.concatenate([np.cos(zam5), -np.cos(zam5)])
+    sinl5 = np.concatenate([np.sin(zam5), -np.sin(zam5)])
+    coslon = np.concatenate([np.cos(zamda), -np.cos(zamda)])
+    sinlon = np.concatenate([np.sin(zamda), -np.sin(zamda)])
+
+    f0 = 2.0 * om * sinp
+    fc = np.zeros(jm)
+    if am_geom_crrct:
+        fc[1:] = 2.0 * om * sine[1:jm]
+    else:
+        fc[1:] = 0.5 * (f0[1:] + f0[:-1])
+    fc[0] = fc[1]
+
+    # polar filter: ycrit from grid aspect ratio (dynamics_vars.F90:924-927)
+    rat = im / (2.0 * (jm - 1.0))
+    ycrit = math.acos(min(0.81, rat)) * 180.0 / math.pi
+    pftc = _pft_coefficients(im, cosp, ycrit)
+    pfte = _pft_coefficients(im, cose, ycrit)
+
+    return FVGrid(im=im, jm=jm, km=km, dl=dl, dp=dp, cosp=cosp, sinp=sinp,
+                  cose=cose, sine=sine[:jm], acosp=acosp, acosu=acosu,
+                  coslon=coslon, sinlon=sinlon, cosl5=cosl5, sinl5=sinl5,
+                  acap=acap, rcap=rcap, f0=f0, fc=fc, ycrit_deg=ycrit,
+                  pft_center=pftc, pft_edge=pfte, rdy=1.0 / (ae * dp))
+
+
+def _pft_coefficients(im: int, coslat: np.ndarray, ycrit_deg: float
+                      ) -> np.ndarray:
+    """FFT polar-filter response per (row, zonal wavenumber).
+
+    Equivalent role to upstream pft_cf (contract at dynamics_vars.F90:928-938):
+    poleward of ycrit, zonal modes whose effective wavelength is shorter than
+    the critical resolved scale are damped so the effective Δx never drops
+    below Δx at the critical latitude:
+        R(m, φ) = min[1, (cos φ / (cos φc · sin(π m / im)))²]
+    Rows equatorward of ycrit get R = 1 (no filtering).
+    """
+    jm = coslat.shape[0]
+    coszc = math.cos(ycrit_deg * math.pi / 180.0)
+    m = np.arange(im // 2 + 1, dtype=np.float64)
+    s = np.sin(math.pi * m / im)           # s[0] = 0 (mean mode, untouched)
+    resp = np.ones((jm, im // 2 + 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = coslat[:, None] / (coszc * np.where(s > 0, s, np.inf)[None, :])
+    resp = np.minimum(1.0, ratio ** 2)
+    resp[:, 0] = 1.0                        # never damp the zonal mean
+    need = coslat < coszc
+    resp = np.where(need[:, None], resp, 1.0)
+    # pole rows carry no zonal structure in the cap mean; leave response 1
+    resp[0, :] = 1.0
+    resp[-1, :] = 1.0
+    return resp
+
+
+def polar_filter(field, resp):
+    """Apply the FFT polar filter along x: field (..., jm, im), resp
+    (jm, im//2+1). The damping acts on rfft amplitudes row by row."""
+    spec = jnp.fft.rfft(field, axis=-1)
+    return jnp.fft.irfft(spec * resp, n=field.shape[-1], axis=-1)
+
+
+def ffsl_flags(grid: FVGrid, crx, cosa=None):
+    """Rows where flux-form semi-Lagrangian (integer-CFL) x-transport is
+    needed: |c| > 1 anywhere in the row (cd_core's ffsl determination).
+    crx: (..., jm, im). Returns boolean (..., jm)."""
+    return jnp.max(jnp.abs(crx), axis=-1) > 1.0

@@ -209,8 +209,9 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     i_idx = jnp.arange(im)[None, :]
 
     # ---------- regular (Eulerian) branch, |c| < 1 ----------
-    # donor index: iu = trunc(i - c); works for the |c|<1 case
-    iu_reg = jnp.trunc(i_idx - c).astype(jnp.int32)
+    # Fortran's 1-based iu = int(i_F - c) (always positive, so trunc==floor)
+    # maps to the 0-based donor iu0 = floor(i0 - c)
+    iu_reg = jnp.floor(i_idx - c).astype(jnp.int32)
     fx_upw = mfx * _gatherx(q, iu_reg)
 
     dm4 = xmist(q, 2 if iord > 0 else iord)   # tp_core.F90:464-468
@@ -419,9 +420,10 @@ def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
     fy = ytp(adx, cry, yfx, jord, 0)
 
     # inner advective y-operator (tp_core.F90:260-265):
-    # wk1[j] = q[j] + 0.5 va (q[jp] - q[jp+1]), jp = j - trunc(va)
+    # wk1[j] = q[j] + 0.5 va (q[jp] - q[jp+1]); Fortran jp = int(j_F - va)
+    # maps to 0-based jp0 = floor(j0 + 1 - va) - 1
     j_idx = jnp.arange(jm)[:, None]
-    jp = j_idx - jnp.trunc(va).astype(jnp.int32)
+    jp = jnp.floor(j_idx + 1 - va).astype(jnp.int32) - 1
     jp = jnp.clip(jp, 0, jm - 2)
     q_jp = jnp.take_along_axis(q, jp, axis=0)
     q_jp1 = jnp.take_along_axis(q, jp + 1, axis=0)

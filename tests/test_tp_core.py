@@ -1,0 +1,207 @@
+"""tp_core PPM transport tests: slope limiters, 1-D exactness, cosine-bell
+advection over the poles (Williamson test 1), mass conservation,
+monotonicity, FFSL integer-Courant handling."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.fv.grid import make_grid
+from cam_nor_physics_tpu.ops import tp_core as tp
+from cam_nor_physics_tpu.utils import constants as c
+
+
+class TestSlopes:
+    def test_xmist_smooth_halfslope(self):
+        # xmist returns the PPM half-slope: ~0.5 * dq/dx * dx for smooth data
+        im = 64
+        dx = 2 * math.pi / im
+        x = jnp.arange(im) * dx
+        q = jnp.sin(x)[None, :]
+        dm = tp.xmist(q, 2)
+        np.testing.assert_allclose(np.asarray(dm),
+                                   np.asarray(0.5 * jnp.cos(x)[None, :] * dx),
+                                   atol=2e-4)
+
+    def test_xmist_monotone_at_extrema(self):
+        im = 32
+        q = jnp.zeros((1, im)).at[0, 10].set(1.0)  # spike
+        dm = tp.xmist(q, 2)
+        assert float(dm[0, 10]) == 0.0  # limiter kills slope at extremum
+
+    def test_lmppm_full_monotone(self):
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.random((4, 32)))
+        dm = tp.xmist(p, 2)
+        al, ar, a6 = tp._ppm_edges(p, dm, 4)
+        # lmt=1 constraint: edge values within 2*dm of cell mean
+        assert np.all(np.abs(np.asarray(ar - p)) <=
+                      2 * np.abs(np.asarray(dm)) + 1e-14)
+        assert np.all(np.abs(np.asarray(al - p)) <=
+                      2 * np.abs(np.asarray(dm)) + 1e-14)
+
+
+class TestXTP1D:
+    def test_uniform_flow_constant_field(self):
+        jm, im = 8, 48
+        q = jnp.ones((jm, im))
+        cvals = jnp.full((jm, im), 0.3)
+        cosa = jnp.ones(jm)
+        ffsl = jnp.zeros(jm, bool)
+        fx = tp.xtp(q, cvals, cvals, cosa, ffsl, 4, 0)
+        np.testing.assert_allclose(np.asarray(fx), 0.3, rtol=1e-14)
+
+    def test_translation_exactness_integer_courant(self):
+        """FFSL with integer Courant translates the field exactly."""
+        jm, im = 2, 48
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.random((jm, im)))
+        cvals = jnp.full((jm, im), 3.0)        # exactly 3 cells per step
+        cosa = jnp.ones(jm)
+        ffsl = jnp.ones(jm, bool)
+        fx = tp.xtp(q, cvals, cvals, cosa, ffsl, 4, 0)
+        dq = fx - jnp.roll(fx, -1, axis=-1)
+        q1 = q + dq
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(
+            jnp.roll(q, 3, axis=-1)), rtol=1e-12, atol=1e-13)
+
+    def test_ffsl_mass_conservation_random_courant(self):
+        jm, im = 4, 48
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.random((jm, im)))
+        cvals = jnp.asarray(4.0 * rng.standard_normal((jm, 1)) *
+                            np.ones((1, im)))  # uniform per row, |c| up to ~8
+        cosa = jnp.ones(jm)
+        ffsl = jnp.ones(jm, bool)
+        fx = tp.xtp(q, cvals, cvals, cosa, ffsl, 4, 0)
+        dq = fx - jnp.roll(fx, -1, axis=-1)
+        np.testing.assert_allclose(np.asarray(jnp.sum(dq, axis=-1)), 0.0,
+                                   atol=1e-12)
+
+    def test_1d_advection_square_wave_monotone(self):
+        """Advect a square wave one full period; PPM(lmt=1) must not create
+        new extrema and must transport it back."""
+        jm, im = 1, 96
+        q0 = np.zeros((jm, im))
+        q0[:, 20:40] = 1.0
+        q = jnp.asarray(q0)
+        cc = 0.45
+        nsteps = int(round(im / cc))
+        cvals = jnp.full((jm, im), cc)
+        cosa = jnp.ones(jm)
+        ffsl = jnp.zeros(jm, bool)
+
+        def step(q, _):
+            fx = tp.xtp(q, cvals, cvals, cosa, ffsl, 4, 0)
+            return q + fx - jnp.roll(fx, -1, axis=-1), None
+
+        qn, _ = jax.lax.scan(step, q, None, length=nsteps)
+        qn = np.asarray(qn)
+        assert qn.min() >= -1e-12
+        assert qn.max() <= 1.0 + 1e-12
+        # mass conserved
+        np.testing.assert_allclose(qn.sum(), q0.sum(), rtol=1e-12)
+        # shape roughly preserved (diffused but correlated)
+        shift = int(round(cc * nsteps)) % im
+        ref = np.roll(q0, shift, axis=-1)
+        corr = np.corrcoef(qn.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.95
+
+
+def solid_body_courants(grid, dt, alpha, u0):
+    """Courant numbers / mass fluxes for Williamson solid-body rotation at
+    angle alpha to the polar axis."""
+    jm, im = grid.jm, grid.im
+    lat_c = np.linspace(-0.5 * math.pi, 0.5 * math.pi, jm)
+    lat_e = -0.5 * math.pi + (np.arange(jm) - 0.5) * grid.dp  # south edges
+    lon_c = -math.pi + grid.dl * np.arange(im)
+    lon_e = lon_c - 0.5 * grid.dl
+
+    def uwind(lat, lon):
+        return u0 * (np.cos(lat) * math.cos(alpha) +
+                     np.sin(lat) * np.cos(lon) * math.sin(alpha))
+
+    def vwind(lat, lon):
+        return -u0 * np.sin(lon) * math.sin(alpha) + 0.0 * lat
+
+    # crx at cell west edges, cell-center rows
+    u_e = uwind(lat_c[:, None], lon_e[None, :])
+    with np.errstate(divide="ignore"):
+        crx = u_e * dt / (c.REARTH * np.where(grid.cosp > 0, grid.cosp,
+                                              np.inf)[:, None] * grid.dl)
+    crx[0, :] = 0.0
+    crx[-1, :] = 0.0
+    # cry at south edges of rows (edge e), yfx = cry * cose
+    v_e = vwind(lat_e[:, None], lon_c[None, :])
+    cry_rows = v_e * dt / (c.REARTH * grid.dp)       # rows 0..jm-1, edge e=row
+    cry = np.zeros((jm + 1, im))
+    cry[1:jm, :] = cry_rows[1:jm, :]
+    yfx = cry * np.concatenate([grid.cose, [grid.cose[-1]]])[:, None]
+    # advective y-courant at centers
+    va = 0.5 * (cry[:-1, :] + cry[1:, :])
+    return jnp.asarray(crx), jnp.asarray(cry), jnp.asarray(yfx), jnp.asarray(va)
+
+
+def cosine_bell(grid, lon0, lat0, radius):
+    lat = np.linspace(-0.5 * math.pi, 0.5 * math.pi, grid.jm)[:, None]
+    lon = (-math.pi + grid.dl * np.arange(grid.im))[None, :]
+    r = np.arccos(np.clip(np.sin(lat0) * np.sin(lat) +
+                          np.cos(lat0) * np.cos(lat) * np.cos(lon - lon0),
+                          -1, 1))
+    h = np.where(r < radius, 500.0 * (1 + np.cos(math.pi * r / radius)), 0.0)
+    return jnp.asarray(h)
+
+
+def grid_mass(grid, h):
+    w = np.asarray(grid.cosp).copy()
+    w[0] = w[-1] = grid.acap / grid.im
+    return float(jnp.sum(h * jnp.asarray(w)[:, None]))
+
+
+class TestCosineBell:
+    @pytest.mark.parametrize("alpha_deg", [90.0, 45.0])
+    def test_revolution_over_poles(self, alpha_deg):
+        """Williamson et al. (1992) test 1: advect a cosine bell one full
+        revolution through the poles; shape and mass must be preserved."""
+        jm, im = 49, 72   # ~3.75 deg, keeps the test fast
+        grid = make_grid(im, jm, 1)
+        u0 = 2 * math.pi * c.REARTH / (12.0 * 86400.0)
+        nsteps = 240
+        dt = 12.0 * 86400.0 / nsteps
+        alpha = math.radians(alpha_deg)
+        crx, cry, yfx, va = solid_body_courants(grid, dt, alpha, u0)
+        assert float(jnp.max(jnp.abs(crx))) < im / 3  # FFSL representable
+
+        h0 = cosine_bell(grid, 3 * math.pi / 2, 0.0, c.REARTH / 3 / c.REARTH)
+        ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
+        cosp = jnp.asarray(grid.cosp)
+        acosp = jnp.asarray(grid.acosp)
+
+        @jax.jit
+        def step(h):
+            dh, fx, fy = tp.tp2c(va, h, crx, cry, 4, 4, crx, yfx, cosp,
+                                 acosp, grid.rcap, ffsl)
+            return h + dh
+
+        h = h0
+        mass0 = grid_mass(grid, h0)
+        for _ in range(nsteps):
+            h = step(h)
+        h = np.asarray(h)
+
+        # mass conservation
+        np.testing.assert_allclose(grid_mass(grid, jnp.asarray(h)), mass0,
+                                   rtol=1e-11)
+        # near-positivity: the inner-outer splitting of the 2-D scheme allows
+        # small undershoots (the reference repairs them with fill_module /
+        # qneg3, SURVEY §4); bound them to 0.1% of the bell amplitude
+        assert h.min() >= -5e-3 * float(jnp.max(h0))
+        # shape preservation: normalized l2 error against initial bell
+        h0n = np.asarray(h0)
+        l2 = np.sqrt(np.sum((h - h0n) ** 2) / np.sum(h0n ** 2))
+        assert l2 < 0.35, l2
+        # peak not excessively damped
+        assert h.max() > 0.5 * h0n.max()
