@@ -1,0 +1,193 @@
+"""FV dycore component: dyn_run orchestration, trac2d, te_map.
+
+Equivalent of /root/reference/fv/dyn_comp.F90's dyn_run (742-2823) with the
+upstream te_map/trac2d contracts (SURVEY §2.2). Structure (SURVEY §3.1):
+
+    for iv in 1..nv (vertical-remap subcycle):
+      for n in 1..n2 (tracer subcycle):
+        save dp0; zero cx/cy/mfx/mfy
+        for it in 1..nsplit: cd_core small step (accumulating Courants/fluxes)
+        trac2d: large-Δt tracer transport with accumulated fluxes
+      te_map: conservative vertical remap back to the hybrid coordinate
+
+The MPI transposes bracketing each phase in the reference (dyn_comp.F90:
+1563-1815, 2494-2682) have no equivalent: one resident sharding serves all
+phases (SURVEY §7.1.1). Subcycle factorization follows dyn_comp.F90:1497-1524.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import tp_core as tp
+from ...ops.fill import fillz
+from ...ops.remap import ppm_remap
+from ...utils import constants as c
+from ...utils.config import FVConfig
+from .cd_core import DynState, cd_step, pressure_vars
+from .grid import FVGrid
+from .vertical import HybridCoord
+
+
+def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
+           fill: bool = True):
+    """Large-timestep tracer transport with accumulated Courant numbers and
+    mass fluxes (upstream trac2d contract, dyn_comp.F90:2385-2388).
+
+    q: (nq, km, jm, im); dp0: (km, jm, im) pre-step thickness; cx/mfx at west
+    edges (km, jm, im); cy/mfy at south edges (km, jm+1, im). Tracer mass
+    q*dp0 is updated in flux form; the new thickness is diagnosed from the
+    same mass fluxes so tracer mixing ratios remain consistent with the
+    continuity equation (free-stream preserving by construction).
+    """
+    cosp = jnp.asarray(grid.cosp)
+    acosp = jnp.asarray(grid.acosp)
+    jm = dp0.shape[-2]
+    ffsl = jnp.max(jnp.abs(cx), axis=-1) > 1.0
+    va = 0.5 * (cy[..., :-1, :] + cy[..., 1:, :])
+
+    # thickness implied by the accumulated mass fluxes
+    ddp = mfx - jnp.roll(mfx, -1, axis=-1) + \
+        (mfy[..., :-1, :] - mfy[..., 1:, :]) * acosp[:, None]
+    ddp = ddp.at[..., 0, :].set(
+        -jnp.sum(mfy[..., 1, :], axis=-1, keepdims=True) * grid.rcap)
+    ddp = ddp.at[..., -1, :].set(
+        jnp.sum(mfy[..., jm - 1, :], axis=-1, keepdims=True) * grid.rcap)
+    dp_new = dp0 + ddp
+
+    def transport_one(qm):
+        def level(args):
+            q_k, dp0_k, cx_k, cy_k, mfx_k, mfy_k, va_k, ffsl_k = args
+            fx, fy = tp.tp2d(va_k, q_k, cx_k, cy_k, iord, jord, mfx_k, mfy_k,
+                             cosp, ffsl_k, 1)
+            dqm = fx - jnp.roll(fx, -1, axis=-1) + \
+                (fy[:-1, :] - fy[1:, :]) * acosp[:, None]
+            dqm = dqm.at[0, :].set(-jnp.sum(fy[1, :]) * grid.rcap)
+            dqm = dqm.at[-1, :].set(jnp.sum(fy[jm - 1, :]) * grid.rcap)
+            return dqm
+
+        dqm = jax.vmap(level)((qm, dp0, cx, cy, mfx, mfy, va, ffsl))
+        return (qm * dp0 + dqm) / dp_new
+
+    q_new = jax.vmap(transport_one)(q)
+    if fill:
+        # vertical borrowing repair of splitting undershoots (fill_module
+        # role, dyn_comp.F90 `fill` flag)
+        qk = jnp.moveaxis(q_new, 1, -1)          # (nq, jm, im, km)
+        dpk = jnp.moveaxis(dp_new, 0, -1)
+        qk, _ = fillz(qk, dpk[None])
+        q_new = jnp.moveaxis(qk, -1, 1)
+    return q_new, dp_new
+
+
+def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
+           kord: int = 4, consv: bool = False):
+    """Vertical remap from Lagrangian surfaces to the hybrid coordinate
+    (upstream te_map contract, dyn_comp.F90:79, 2699-2740).
+
+    Remaps pt (mass-weighted), tracers, and u/v (on edge-averaged pressure
+    thickness). Total air mass per column is preserved exactly (ps from the
+    Lagrangian pe). consv=True additionally restores column total energy by
+    a uniform pt correction (energy-conserving remap role).
+    """
+    km, jm, im = state.delp.shape
+    nq = state.q.shape[0]
+    pe, pk, pkz, peln = pressure_vars(state.delp, ptop)
+    ps = pe[-1]                                   # (jm, im)
+    pe_tgt = jnp.moveaxis(coord.pint(ps), -1, 0)  # (km+1, jm, im)
+
+    ncol = jm * im
+
+    def flat(a, nk):
+        return a.reshape((nk, ncol)).T            # (ncol, nk)
+
+    def unflat(a, nk):
+        return a.T.reshape((nk, jm, im))
+
+    pe_s = flat(pe, km + 1)
+    pe_t = flat(pe_tgt, km + 1)
+
+    pt_new = unflat(ppm_remap(pe_s, flat(state.pt, km), pe_t, kord), km)
+    q_new = jnp.stack([
+        unflat(ppm_remap(pe_s, flat(state.q[m], km), pe_t, kord), km)
+        for m in range(nq)], axis=0)
+
+    # winds: remap on pressure profiles averaged to their staggered positions
+    pe_su = flat(0.5 * (pe + jnp.concatenate(
+        [pe[:, 0:1, :], pe[:, :-1, :]], axis=1)), km + 1)
+    pe_tu = flat(0.5 * (pe_tgt + jnp.concatenate(
+        [pe_tgt[:, 0:1, :], pe_tgt[:, :-1, :]], axis=1)), km + 1)
+    u_new = unflat(ppm_remap(pe_su, flat(state.u, km), pe_tu, kord), km)
+    pe_sv = flat(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1)
+    pe_tv = flat(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1)
+    v_new = unflat(ppm_remap(pe_sv, flat(state.v, km), pe_tv, kord), km)
+
+    delp_new = pe_tgt[1:] - pe_tgt[:-1]
+
+    if consv:
+        # restore column total energy: cp*Tv + K integrated over dp
+        def col_energy(st_delp, st_pt, st_u, st_v, pk_i, peln_i):
+            pkz_l = (pk_i[1:] - pk_i[:-1]) / (c.CAPPA *
+                                              (peln_i[1:] - peln_i[:-1]))
+            tv = st_pt * pkz_l
+            from .cd_core import d2a_winds
+            ua, va = d2a_winds(st_u, st_v)
+            ke = 0.5 * (ua ** 2 + va ** 2)
+            return jnp.sum(st_delp * (c.CPAIR * tv + ke), axis=0)
+
+        te0 = col_energy(state.delp, state.pt, state.u, state.v, pk, peln)
+        pe2, pk2, pkz2, peln2 = pressure_vars(delp_new, ptop)
+        te1 = col_energy(delp_new, pt_new, u_new, v_new, pk2, peln2)
+        # uniform additive pt correction closing the energy budget
+        corr = (te0 - te1) / (c.CPAIR * jnp.sum(delp_new * pkz2, axis=0))
+        pt_new = pt_new + corr[None]
+
+    return state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new, q=q_new)
+
+
+def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
+            cfg: FVConfig, ndt: float):
+    """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
+
+    Subcycle factorization per dyn_comp.F90:1497-1524:
+        n2 = (nspltrac + nv - 1)//nv ; nsplit = (ns + n2*nv - 1)//(n2*nv)
+        dt = ndt/(nsplit*n2*nv)
+    """
+    ns, nspltrac, nv = cfg.resolved_splits(ndt, grid.im, grid.jm)
+    n2 = (nspltrac + nv - 1) // nv
+    nsplit = (ns + n2 * nv - 1) // (n2 * nv)
+    dt = ndt / (nsplit * n2 * nv)
+    ptop = coord.ptop
+
+    def tracer_cycle(st, _):
+        dp0 = st.delp
+        zx = jnp.zeros_like(st.delp)
+        zy = jnp.zeros((st.delp.shape[0], grid.jm + 1, grid.im),
+                       st.delp.dtype)
+        acc0 = dict(cx=zx, cy=zy, mfx=zx, mfy=zy)
+
+        def small_step(carry, _):
+            st_i, acc = carry
+            st_i, d = cd_step(st_i, grid, ptop, phis, dt,
+                              iord=cfg.iord, jord=cfg.jord,
+                              dyn_filter=cfg.fft_flt >= 0)
+            acc = dict(cx=acc["cx"] + d["cx"], cy=acc["cy"] + d["cy"],
+                       mfx=acc["mfx"] + d["mfx"], mfy=acc["mfy"] + d["mfy"])
+            return (st_i, acc), None
+
+        (st, acc), _ = jax.lax.scan(small_step, (st, acc0), None,
+                                    length=nsplit)
+        q_new, _dp_chk = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
+                                acc["mfy"], grid, cfg.iord, cfg.jord)
+        return st.replace(q=q_new), None
+
+    def remap_cycle(st, _):
+        st, _ = jax.lax.scan(tracer_cycle, st, None, length=n2)
+        st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve)
+        return st, None
+
+    state, _ = jax.lax.scan(remap_cycle, state, None, length=nv)
+    return state

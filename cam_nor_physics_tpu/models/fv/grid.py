@@ -134,8 +134,8 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
     # polar filter: ycrit from grid aspect ratio (dynamics_vars.F90:924-927)
     rat = im / (2.0 * (jm - 1.0))
     ycrit = math.acos(min(0.81, rat)) * 180.0 / math.pi
-    pftc = _pft_coefficients(im, cosp, ycrit)
-    pfte = _pft_coefficients(im, cose, ycrit)
+    pftc = _pft_coefficients(im, cosp, ycrit, pole_rows_exempt=True)
+    pfte = _pft_coefficients(im, cose, ycrit, pole_rows_exempt=False)
 
     return FVGrid(im=im, jm=jm, km=km, dl=dl, dp=dp, cosp=cosp, sinp=sinp,
                   cose=cose, sine=sine[:jm], acosp=acosp, acosu=acosu,
@@ -144,8 +144,8 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
                   pft_center=pftc, pft_edge=pfte, rdy=1.0 / (ae * dp))
 
 
-def _pft_coefficients(im: int, coslat: np.ndarray, ycrit_deg: float
-                      ) -> np.ndarray:
+def _pft_coefficients(im: int, coslat: np.ndarray, ycrit_deg: float,
+                      pole_rows_exempt: bool = True) -> np.ndarray:
     """FFT polar-filter response per (row, zonal wavenumber).
 
     Equivalent role to upstream pft_cf (contract at dynamics_vars.F90:928-938):
@@ -166,9 +166,13 @@ def _pft_coefficients(im: int, coslat: np.ndarray, ycrit_deg: float
     resp[:, 0] = 1.0                        # never damp the zonal mean
     need = coslat < coszc
     resp = np.where(need[:, None], resp, 1.0)
-    # pole rows carry no zonal structure in the cap mean; leave response 1
-    resp[0, :] = 1.0
-    resp[-1, :] = 1.0
+    if pole_rows_exempt:
+        # center pole rows are cap means with no zonal structure; exempting
+        # them avoids 0/0 from cosp=0. Edge arrays must NOT be exempted: the
+        # first/last edge rows sit at ~±(90°-dp/2) and need the strongest
+        # filtering (the cd_core polar instability lives exactly there).
+        resp[0, :] = 1.0
+        resp[-1, :] = 1.0
     return resp
 
 

@@ -1,0 +1,177 @@
+"""ZM convection CAM interface — zm_conv_tend / zm_conv_tend_2 equivalents.
+
+Re-implementation of /root/reference/physics/zm_conv_intr.F90:390-1028: drives
+the ZM pipeline on a PhysicsState, applies tendencies through the
+physics_update machinery in the reference's order (deep convection ->
+evaporation -> momentum transport -> convtran1), stores mass-flux/precip
+fields in the physics buffer, and returns the accumulated ptend plus the
+diagnostic bundle (the ~40 outfld payloads).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ...utils import constants as c
+from ...utils.config import ZMConfig
+from .constituents import ConstituentRegistry
+from .physics_buffer import PhysicsBuffer
+from .state import (PhysicsPtend, PhysicsState, physics_update, ptend_init,
+                    ptend_sum)
+from .zm_conv import ZMConvOut, zm_conv_evap, zm_convr
+from .zm_transport import convtran, momtran
+
+
+@struct.dataclass
+class ZMTendOut:
+    ptend_all: PhysicsPtend
+    state1: PhysicsState          # provisionally updated state
+    pbuf: PhysicsBuffer
+    # coupler-facing outputs (zm_conv_tend arg list)
+    mcon: jnp.ndarray             # kg/m2/s at interfaces
+    cme: jnp.ndarray
+    zdu: jnp.ndarray
+    pflx: jnp.ndarray
+    rliq: jnp.ndarray
+    rice: jnp.ndarray
+    jctop: jnp.ndarray
+    jcbot: jnp.ndarray
+    diagnostics: dict             # outfld payload (CAPE, FREQZM, ZMDT, ...)
+
+
+def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
+                 state: PhysicsState, pbuf: PhysicsBuffer,
+                 pblh, tpert, landfrac, ztodt: float, msg: int = 0
+                 ) -> ZMTendOut:
+    """Deep-convection tendency driver (zm_conv_tend,
+    /root/reference/physics/zm_conv_intr.F90:390-951), microp off."""
+    ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
+    dtype = state.t.dtype
+    diags = {}
+
+    # ---- zm_convr on the current state (intr:662-673; delt = ztodt/2) ----
+    out: ZMConvOut = zm_convr(
+        cfg, msg, state.t, state.q[:, :, 0], state.pmid, state.pint,
+        state.pdel, state.zm, state.phis, state.zi, pblh, tpert, landfrac,
+        0.5 * ztodt)
+
+    maskf = out.ideep.astype(dtype)
+    diags["CAPE"] = out.cape
+    diags["FREQZM"] = maskf
+    mcon_kg = out.mcon * 100.0 / c.GRAVIT        # mb/s -> kg/m2/s (intr:701)
+    diags["CMFMC_DP"] = mcon_kg
+    diags["ZMMU"] = out.mu * 100.0 / c.GRAVIT
+    diags["ZMMD"] = out.md * 100.0 / c.GRAVIT
+    diags["ZMDT"] = out.heat / c.CPAIR
+    diags["ZMDQ"] = out.qtnd
+    diags["DLFZM"] = out.dlf
+    diags["EURT"] = out.eurt[:, -1]
+    diags["PCONVT"] = jnp.where(out.ideep,
+                                jnp.take_along_axis(state.pmid,
+                                                    out.jt[:, None], 1)[:, 0],
+                                state.ps)
+    diags["PCONVB"] = jnp.where(out.ideep,
+                                jnp.take_along_axis(state.pmid,
+                                                    out.maxg[:, None], 1)[:, 0],
+                                state.ps)
+
+    lq = (True,) + (False,) * (pcnst - 1)
+    ptend_conv = ptend_init("zm_convr", ncol, pver, pcnst, ls=True, lq=lq,
+                            dtype=dtype)
+    ptend_conv = ptend_conv.replace(
+        s=out.heat, q=ptend_conv.q.at[:, :, 0].set(out.qtnd))
+
+    ptend_all = ptend_init("zm_conv_tend", ncol, pver, pcnst, dtype=dtype)
+    ptend_all = ptend_sum(ptend_all, ptend_conv, name="zm_conv_tend")
+    state1, _ = physics_update(state, ptend_conv, ztodt, registry)
+
+    # ---- evaporation of precip on the updated state (intr:764-798) ----
+    cld = pbuf.get("CLD")
+    ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
+                      state1.q[:, :, 0], landfrac, out.rprd, cld, ztodt,
+                      out.prec)
+    ptend_evap = ptend_init("zm_conv_evap", ncol, pver, pcnst, ls=True, lq=lq,
+                            dtype=dtype)
+    ptend_evap = ptend_evap.replace(
+        s=ev["tend_s"], q=ptend_evap.q.at[:, :, 0].set(ev["tend_q"]))
+    diags["EVAPTZM"] = ev["tend_s"] / c.CPAIR
+    diags["EVAPQZM"] = ev["tend_q"]
+    diags["FZSNTZM"] = ev["tend_s_snwprd"] / c.CPAIR
+    diags["EVSNTZM"] = ev["tend_s_snwevmlt"] / c.CPAIR
+    diags["ZMFLXPRC"] = ev["flxprec"]
+    diags["ZMFLXSNW"] = ev["flxsnow"]
+    diags["ZMNTPRPD"] = ev["ntprprd"]
+    diags["ZMNTSNPD"] = ev["ntsnprd"]
+    diags["PRECZ"] = ev["prec"]
+
+    ptend_all = ptend_sum(ptend_all, ptend_evap, name="zm_conv_tend")
+    state1, _ = physics_update(state1, ptend_evap, ztodt, registry)
+
+    # ---- momentum transport (intr:822-858) ----
+    mt = momtran(state1.u, state1.v, out.mu, out.md, out.du, out.eu, out.ed,
+                 out.dp, out.jt, out.maxg, ztodt, cfg.momcu, cfg.momcd)
+    ptend_mom = ptend_init("momtran", ncol, pver, pcnst, ls=True, lu=True,
+                           lv=True, dtype=dtype)
+    ptend_mom = ptend_mom.replace(u=mt["dudt"], v=mt["dvdt"], s=mt["seten"])
+    diags["ZMMTT"] = mt["seten"] / c.CPAIR
+    diags["ZMMTU"] = mt["dudt"]
+    diags["ZMMTV"] = mt["dvdt"]
+    diags["ZMUPGU"] = mt["pguall"][0]
+    diags["ZMVPGU"] = mt["pguall"][1]
+    diags["ZMICUU"] = mt["icwu"][0]
+    diags["ZMICVU"] = mt["icwu"][1]
+
+    ptend_all = ptend_sum(ptend_all, ptend_mom, name="zm_conv_tend")
+    state1, _ = physics_update(state1, ptend_mom, ztodt, registry)
+
+    # ---- convective transport pass 1: cloud liquid/ice (intr:875-886) ----
+    doconv = registry.mask("is_convtran1")
+    dq_tran = convtran(doconv, state1.q, out.mu, out.md, out.du, out.eu,
+                       out.ed, out.dp, out.jt, out.maxg, ztodt)
+    lq1 = tuple(m for m in doconv)
+    ptend_tr = ptend_init("convtran1", ncol, pver, pcnst, lq=lq1, dtype=dtype)
+    ptend_tr = ptend_tr.replace(q=dq_tran)
+    ix_liq = registry.index("CLDLIQ")
+    ix_ice = registry.index("CLDICE")
+    if ix_liq > 0:
+        diags["ZMDLIQ"] = dq_tran[:, :, ix_liq]
+    if ix_ice > 0:
+        diags["ZMDICE"] = dq_tran[:, :, ix_ice]
+    ptend_all = ptend_sum(ptend_all, ptend_tr, name="zm_conv_tend")
+    state1, _ = physics_update(state1, ptend_tr, ztodt, registry)
+
+    # ---- pbuf stores (intr:591-621 / evaporation block) ----
+    pbuf = pbuf.update(
+        ZM_MU=out.mu, ZM_EU=out.eu, ZM_DU=out.du, ZM_MD=out.md, ZM_ED=out.ed,
+        ZM_DP=out.dp, ZM_DSUBCLD=out.dsubcld,
+        ZM_JT=out.jt.astype(dtype), ZM_MAXG=out.maxg.astype(dtype),
+        ZM_IDEEP=maskf, RPRDDP=out.rprd, ICWMRDP=out.ql,
+        NEVAPR_DPCU=ev["tend_q"], PREC_DP=ev["prec"], SNOW_DP=ev["snow"],
+        DP_FLXPRC=ev["flxprec"], DP_FLXSNW=ev["flxsnow"],
+        DLFZM=out.dlf, CMFMC_DP=mcon_kg)
+
+    return ZMTendOut(ptend_all=ptend_all, state1=state1, pbuf=pbuf,
+                     mcon=mcon_kg, cme=out.cme, zdu=out.zdu, pflx=out.pflx,
+                     rliq=out.rliq, rice=out.rice, jctop=out.jctop,
+                     jcbot=out.jcbot, diagnostics=diags)
+
+
+def zm_conv_tend_2(registry: ConstituentRegistry, state: PhysicsState,
+                   pbuf: PhysicsBuffer, ztodt: float) -> PhysicsPtend:
+    """Second convective-transport pass on convtran2 species with dry dp
+    (zm_conv_tend_2, zm_conv_intr.F90:955-1028; called from tphysac)."""
+    ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
+    dtype = state.t.dtype
+    doconv = registry.mask("is_convtran2")
+    ptend = ptend_init("convtran2", ncol, pver, pcnst, lq=doconv, dtype=dtype)
+    if not any(doconv):
+        return ptend
+    dpdry = state.pdeldry * 0.01      # mb, matching ZM internal units
+    dq = convtran(doconv, state.q, pbuf.get("ZM_MU"), pbuf.get("ZM_MD"),
+                  pbuf.get("ZM_DU"), pbuf.get("ZM_EU"), pbuf.get("ZM_ED"),
+                  pbuf.get("ZM_DP"), pbuf.get("ZM_JT").astype(jnp.int32),
+                  pbuf.get("ZM_MAXG").astype(jnp.int32), ztodt,
+                  dpdry=dpdry, dry_mask=tuple(
+                      cn.mixtype == "dry" for cn in registry.constituents))
+    return ptend.replace(q=dq)

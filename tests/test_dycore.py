@@ -1,0 +1,152 @@
+"""FV dycore tests: rest-state preservation, mass/tracer consistency,
+Held-Suarez short-run stability, te_map round trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.fv.cd_core import (DynState, cd_step,
+                                                   d2a_winds, pressure_vars)
+from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run, te_map, trac2d
+from cam_nor_physics_tpu.models.fv.grid import make_grid
+from cam_nor_physics_tpu.models.fv.held_suarez import (hs_forcing,
+                                                       hs_initial_state,
+                                                       isothermal_rest_state)
+from cam_nor_physics_tpu.models.fv.vertical import hybrid_coefficients
+from cam_nor_physics_tpu.utils.config import FVConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = make_grid(72, 46, 10)
+    coord = hybrid_coefficients(10)
+    phis = jnp.zeros((46, 72))
+    return grid, coord, phis
+
+
+def global_mass(grid, delp):
+    w = np.asarray(grid.cosp).copy()
+    w[0] = w[-1] = grid.acap / grid.im
+    return float((jnp.asarray(w)[None, :, None] * delp).sum())
+
+
+class TestRestState:
+    def test_cd_step_preserves_rest(self, setup):
+        grid, coord, phis = setup
+        st = isothermal_rest_state(grid, coord)
+        st1, _ = cd_step(st, grid, coord.ptop, phis, 120.0)
+        assert float(jnp.abs(st1.u).max()) == 0.0
+        assert float(jnp.abs(st1.v).max()) == 0.0
+        assert float(jnp.abs(st1.delp - st.delp).max()) == 0.0
+
+    def test_dyn_run_preserves_rest(self, setup):
+        grid, coord, phis = setup
+        st = isothermal_rest_state(grid, coord)
+        cfg = FVConfig(nsplit=4, nspltrac=1)
+        st1 = dyn_run(st, grid, coord, phis, cfg, 1800.0)
+        assert float(jnp.abs(st1.u).max()) < 1e-10
+        np.testing.assert_allclose(global_mass(grid, st1.delp),
+                                   global_mass(grid, st.delp), rtol=1e-13)
+
+
+class TestHeldSuarez:
+    def test_short_run_stable(self, setup):
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0)
+        cfg = FVConfig(nsplit=8, nspltrac=2)
+        dt = 1800.0
+
+        @jax.jit
+        def step(s):
+            s = dyn_run(s, grid, coord, phis, cfg, dt)
+            return hs_forcing(s, grid, coord.ptop, dt)
+
+        m0 = global_mass(grid, st.delp)
+        for _ in range(40):
+            st = step(st)
+        assert bool(jnp.isfinite(st.u).all() & jnp.isfinite(st.pt).all())
+        assert float(jnp.abs(st.u).max()) < 150.0   # umax guard (dyn_comp umax)
+        assert float(st.delp.min()) > 0.0
+        np.testing.assert_allclose(global_mass(grid, st.delp), m0, rtol=1e-12)
+
+    def test_forcing_relaxes_to_teq(self, setup):
+        grid, coord, phis = setup
+        st = isothermal_rest_state(grid, coord, t0=260.0)
+        pe, pk, pkz, _ = pressure_vars(st.delp, coord.ptop)
+        tv0 = np.asarray(st.pt * pkz)
+        st1 = hs_forcing(st, grid, coord.ptop, 1800.0)
+        tv1 = np.asarray(st1.pt * pkz)
+        from cam_nor_physics_tpu.models.fv.held_suarez import \
+            equilibrium_temperature
+        pmid = 0.5 * (pe[1:] + pe[:-1])
+        teq = np.asarray(equilibrium_temperature(
+            pmid, jnp.asarray(grid.lats)[:, None]))
+        # relaxation moves Tv strictly toward Teq where they differ
+        move = (tv1 - tv0) * (teq - tv0)
+        assert np.all(move >= -1e-12)
+
+
+class TestTracerConsistency:
+    def test_uniform_tracer_stays_uniform(self, setup):
+        """Free-stream preservation: mixing ratio q==1 must remain 1 after
+        trac2d with real accumulated dycore fluxes."""
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0,
+                              nq=1).replace()
+        st = st.replace(q=jnp.ones_like(st.q))
+        cfg = FVConfig(nsplit=4, nspltrac=1)
+        st1 = dyn_run(st, grid, coord, phis, cfg, 1800.0)
+        np.testing.assert_allclose(np.asarray(st1.q), 1.0, atol=1e-12)
+
+    def test_tracer_mass_conserved(self, setup):
+        grid, coord, phis = setup
+        rng = np.random.default_rng(0)
+        st = hs_initial_state(grid, coord, pert=1.0, nq=1)
+        qf = np.abs(rng.standard_normal((1,) + st.delp.shape)) * 1e-3
+        st = st.replace(q=jnp.asarray(qf))
+        cfg = FVConfig(nsplit=4, nspltrac=1)
+        w = np.asarray(grid.cosp).copy()
+        w[0] = w[-1] = grid.acap / grid.im
+        wj = jnp.asarray(w)[None, :, None]
+        m0 = float((wj * st.q[0] * st.delp).sum())
+        st1 = dyn_run(st, grid, coord, phis, cfg, 1800.0)
+        m1 = float((wj * st1.q[0] * st1.delp).sum())
+        np.testing.assert_allclose(m1, m0, rtol=1e-10)
+
+
+class TestTeMap:
+    def test_identity_on_reference_grid(self, setup):
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0)
+        st1 = te_map(st, coord, grid, coord.ptop)
+        # state already on hybrid surfaces -> remap is identity
+        np.testing.assert_allclose(np.asarray(st1.pt), np.asarray(st.pt),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(st1.delp), np.asarray(st.delp),
+                                   rtol=1e-12)
+
+    def test_consv_restores_energy(self, setup):
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0)
+        # perturb delp to mimic Lagrangian deformation (mass-neutral in
+        # column: move mass between adjacent layers)
+        shift = 0.1 * jnp.minimum(st.delp[:-1], st.delp[1:])
+        delp2 = st.delp.at[:-1].add(-shift).at[1:].add(shift)
+        st2 = st.replace(delp=delp2)
+
+        def tot_energy(s):
+            pe, pk, pkz, peln = pressure_vars(s.delp, coord.ptop)
+            tv = s.pt * pkz
+            ua, va = d2a_winds(s.u, s.v)
+            ke = 0.5 * (ua ** 2 + va ** 2)
+            from cam_nor_physics_tpu.utils import constants as c
+            w = np.asarray(grid.cosp).copy()
+            w[0] = w[-1] = grid.acap / grid.im
+            return float((jnp.asarray(w)[None, :, None] * s.delp *
+                          (c.CPAIR * tv + ke)).sum())
+
+        e0 = tot_energy(st2)
+        st3 = te_map(st2, coord, grid, coord.ptop, consv=True)
+        e1 = tot_energy(st3)
+        np.testing.assert_allclose(e1, e0, rtol=1e-10)
