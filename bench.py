@@ -1,0 +1,118 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json): grid-points/s per chip on the FV advection + ZM
+physics step. Config 3 geometry (1.9°x2.5° x 26 levels: 96x144x26) on
+whatever single device JAX exposes (TPU under the driver; CPU locally with
+BENCH_SMALL=1 for a smoke run). Per-phase timings mirroring the reference's
+t_startf regions (cd_core/trac2d/te_map inside dyn step; zm_convr) go to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_fn(fn, args, iters):
+    out = fn(*args)
+    jax.block_until_ready(out)          # compile + warm
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    dtype = jnp.float32
+    if small:
+        im, jm, km, iters = 72, 46, 10, 3
+    else:
+        im, jm, km, iters = 144, 96, 26, 10
+
+    from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run
+    from cam_nor_physics_tpu.models.fv.grid import make_grid
+    from cam_nor_physics_tpu.models.fv.held_suarez import (hs_forcing,
+                                                           hs_initial_state)
+    from cam_nor_physics_tpu.models.fv.vertical import hybrid_coefficients
+    from cam_nor_physics_tpu.utils.config import FVConfig, ZMConfig
+
+    grid = make_grid(im, jm, km)
+    coord = hybrid_coefficients(km)
+    phis = jnp.zeros((jm, im), dtype)
+    cfg = FVConfig(nsplit=4, nspltrac=1)
+    dt = 1800.0
+
+    @jax.jit
+    def dyn_step(state):
+        state = dyn_run(state, grid, coord, phis, cfg, dt)
+        return hs_forcing(state, grid, coord.ptop, dt)
+
+    state = hs_initial_state(grid, coord, pert=1.0, dtype=dtype)
+    # spin a few steps so the benchmarked state has realistic winds
+    for _ in range(3):
+        state = dyn_step(state)
+    jax.block_until_ready(state)
+    t_dyn = time_fn(dyn_step, (state,), iters)
+
+    # ---- ZM physics on the same number of columns ----
+    from cam_nor_physics_tpu.models.physics.constituents import \
+        default_registry
+    from cam_nor_physics_tpu.models.physics.physics_buffer import (
+        pbuf_register, zm_pbuf_specs)
+    from cam_nor_physics_tpu.models.physics.state import \
+        make_state_from_profiles
+    from cam_nor_physics_tpu.models.physics.zm_conv_intr import zm_conv_tend
+
+    ncol, pver = jm * im, km
+    reg = default_registry()
+    eta = np.linspace(0.003, 1.0, pver + 1) ** 1.2
+    pint = jnp.asarray(
+        np.broadcast_to(eta[None, :] * 1.0e5, (ncol, pver + 1)), dtype)
+    pmid = 0.5 * (pint[:, 1:] + pint[:, :-1])
+    t = jnp.maximum(300.0 * (pmid / 1.0e5) ** 0.19, 195.0).at[:, -1].add(2.0)
+    q0 = (0.017 * (pmid / pmid[:, -1:]) ** 2.5 + 1e-6).at[:, -3:].multiply(1.15)
+    q = jnp.zeros((ncol, pver, reg.pcnst), dtype).at[:, :, 0].set(q0)
+    pstate = make_state_from_profiles(
+        pint, t, jnp.zeros((ncol, pver), dtype),
+        jnp.zeros((ncol, pver), dtype), q, jnp.zeros((ncol,), dtype))
+    pbuf = pbuf_register(zm_pbuf_specs(ncol, pver), dtype).set(
+        "CLD", jnp.full((ncol, pver), 0.1, dtype))
+    zcfg = ZMConfig()
+    pblh = jnp.full((ncol,), 800.0, dtype)
+    tpert = jnp.full((ncol,), 0.3, dtype)
+    landfrac = jnp.ones((ncol,), dtype)
+
+    @jax.jit
+    def zm_step(s, pb):
+        o = zm_conv_tend(zcfg, reg, s, pb, pblh, tpert, landfrac, dt)
+        return o.state1, o.pbuf
+
+    t_zm = time_fn(zm_step, (pstate, pbuf), iters)
+
+    npts = im * jm * km
+    total = t_dyn + t_zm
+    value = npts / total
+    print(f"phase timings: dyn_step={t_dyn*1e3:.1f}ms zm_tend={t_zm*1e3:.1f}ms "
+          f"grid={im}x{jm}x{km} device={jax.devices()[0].platform}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "grid-points/s per chip (FV dyn step + ZM physics step)",
+        "value": value,
+        "unit": "gridpoints/s",
+        "vs_baseline": 1.0,   # reference publishes no numbers (BASELINE.md)
+    }))
+
+
+if __name__ == "__main__":
+    main()

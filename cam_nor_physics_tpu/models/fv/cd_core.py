@@ -34,11 +34,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ...ops import tp_core as tp
+from ...ops.tp_core import _rolly, edge_north, wset_interior, wset_row
 from ...utils import constants as c
-from .grid import FVGrid, polar_filter
+from .grid import (FVGrid, circulant_filter_matrices, polar_filter,
+                   polar_filter_matmul)
 
 
 @struct.dataclass
@@ -88,20 +91,18 @@ def d2a_winds(u, v):
     /root/reference/fv/dp_coupling.F90:269). u edges j&j+1 average to row j;
     v west edges i&i+1 average to center i. Pole rows get zero A winds (the
     cap carries no unique vector direction on the lat-lon grid)."""
-    ua = jnp.zeros_like(u)
-    ua = ua.at[..., 1:-1, :].set(0.5 * (u[..., 1:-1, :] + u[..., 2:, :]))
+    ua = wset_interior(jnp.zeros_like(u), 0.5 * (u + _rolly(u, -1)))
     va = 0.5 * (v + jnp.roll(v, -1, axis=-1))
-    va = va.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+    va = wset_row(wset_row(va, 0, 0.0), -1, 0.0)
     return ua, va
 
 
 def _corner_from_center(a):
-    """Average center field to SW corners: corner (j-1/2, i-1/2)."""
+    """Average center field to SW corners: corner (j-1/2, i-1/2); row 0 (the
+    south polar edge) zeroed."""
     a_w = jnp.roll(a, 1, axis=-1)
-    out = jnp.zeros_like(a)
-    return out.at[..., 1:, :].set(
-        0.25 * (a[..., 1:, :] + a_w[..., 1:, :] +
-                a[..., :-1, :] + a_w[..., :-1, :]))
+    cor = 0.25 * ((a + a_w) + _rolly(a + a_w, 1))
+    return wset_row(cor, 0, 0.0)
 
 
 def absolute_vorticity(u, v, grid: FVGrid):
@@ -118,9 +119,10 @@ def absolute_vorticity(u, v, grid: FVGrid):
     f0 = jnp.asarray(grid.f0)
 
     u_s = u                                  # south edge of row j
-    u_n = jnp.concatenate([u[..., 1:, :], jnp.zeros_like(u[..., :1, :])],
-                          axis=-2)           # north edge (edge j+1)
-    cose_n = jnp.concatenate([cose[1:], cose[-1:]])
+    u_n = wset_row(_rolly(u, -1), -1, 0.0)   # north edge (edge j+1)
+    cose_n = np.concatenate([np.asarray(grid.cose)[1:],
+                             np.asarray(grid.cose)[-1:]])
+    cose_n = jnp.asarray(cose_n)
     v_e = jnp.roll(v, -1, axis=-1)
 
     circ = (u_s * cose[:, None] - u_n * cose_n[:, None]) * dl * c.REARTH + \
@@ -134,8 +136,8 @@ def absolute_vorticity(u, v, grid: FVGrid):
                       keepdims=True) / (im * cap_area)
     circ_n = jnp.sum(u[..., -1, :] * cose[-1] * dl * c.REARTH, axis=-1,
                      keepdims=True) / (im * cap_area)
-    zeta = zeta.at[..., 0, :].set(circ_s)
-    zeta = zeta.at[..., -1, :].set(circ_n)
+    zeta = wset_row(zeta, 0, circ_s[..., None, :])
+    zeta = wset_row(zeta, -1, circ_n[..., None, :])
     return zeta + f0[:, None]
 
 
@@ -146,20 +148,18 @@ def divergence_corner(u, v, grid: FVGrid):
     cosp = jnp.asarray(grid.cosp)
     cose = jnp.asarray(grid.cose)
     u_w = jnp.roll(u, 1, axis=-1)
-    div = jnp.zeros_like(u)
     # corner (j-1/2 edge row j, i-1/2): δλ u at edge row j; δφ(v cosφ)
     # between center rows j and j-1
     vterm = v * cosp[:, None]
-    div = div.at[..., 1:-1, :].set(
-        (u[..., 1:-1, :] - u_w[..., 1:-1, :]) / (c.REARTH * cose[1:-1, None] * grid.dl)
-        + (vterm[..., 1:-1, :] - vterm[..., :-2, :]) /
-        (c.REARTH * cose[1:-1, None] * grid.dp))
-    return div
+    cose_s = jnp.where(cose > 0, cose, 1.0)[:, None]
+    full = (u - u_w) / (c.REARTH * cose_s * grid.dl) + \
+        (vterm - _rolly(vterm, 1)) / (c.REARTH * cose_s * grid.dp)
+    return wset_interior(jnp.zeros_like(u), full)
 
 
 def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             iord: int = 4, jord: int = 4, div2_coef_nd: float = 0.08,
-            dyn_filter: bool = True):
+            dyn_filter: bool = True, filter_impl: str = "fft"):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy)."""
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
@@ -174,8 +174,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     ua, va = d2a_winds(u, v)
     # uc at west edges (x-edge, center row); vc at south edges
     uc = 0.5 * (ua + jnp.roll(ua, 1, axis=-1))
-    vc = jnp.zeros_like(v)
-    vc = vc.at[..., 1:, :].set(0.5 * (va[..., 1:, :] + va[..., :-1, :]))
+    vc = wset_row(0.5 * (va + _rolly(va, 1)), 0, 0.0)
 
     # half-step Coriolis rotation of the advective winds (C step role)
     f_c = jnp.asarray(grid.f0)[:, None]
@@ -186,14 +185,12 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     # Courant numbers / background fluxes at D-flux positions
     safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
     crx = uc * dt / (c.REARTH * safe_cosp * dl)
-    crx = crx.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
-    # cry at south edges: (km, jm+1, im); edge row e uses vc at edge e
-    cry_rows = vc * dt / (c.REARTH * dp_)
-    cry = jnp.concatenate([cry_rows, jnp.zeros_like(cry_rows[..., :1, :])],
-                          axis=-2)
-    cry = cry.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
-    yfx = cry * jnp.concatenate([cose, cose[-1:]])[:, None]
-    va_c = 0.5 * (cry[..., :-1, :] + cry[..., 1:, :])
+    crx = wset_row(wset_row(crx, 0, 0.0), -1, 0.0)
+    # cry south-edge (km, jm, im): row e = Courant across south edge of
+    # row e; the polar edges carry no flux
+    cry = wset_row(vc * dt / (c.REARTH * dp_), 0, 0.0)
+    yfx = cry * cose[:, None]
+    va_c = 0.5 * (cry + edge_north(cry))
 
     ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
 
@@ -207,9 +204,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, iord, jord,
                                mfx_k, mfy_k, cosp, ffsl_k, 1)
         dpt = fx_pt - jnp.roll(fx_pt, -1, axis=-1) + \
-            (fy_pt[:-1, :] - fy_pt[1:, :]) * acosp[:, None]
-        dpt = dpt.at[0, :].set(-jnp.sum(fy_pt[1, :]) * grid.rcap)
-        dpt = dpt.at[-1, :].set(jnp.sum(fy_pt[jm - 1, :]) * grid.rcap)
+            (fy_pt - edge_north(fy_pt)) * acosp[:, None]
+        dpt = wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * grid.rcap)
+        dpt = wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * grid.rcap)
         return ddp, dpt, mfx_k, mfy_k
 
     ddp, dpt, mfx, mfy = jax.vmap(transport_level)(
@@ -240,11 +237,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         # flux of ζ northward across y-edges with upwind PPM (ytp)
         return tp.ytp(zeta_k, cry_k, vdt_k, jord, 0)
 
-    # edge mass flux for vorticity: v̄·dt at u points (edge rows)
-    v_edge = jnp.zeros((km, jm + 1, im), u.dtype)
+    # edge mass flux for vorticity: v̄·dt at u points (south-edge rows)
     v_c4 = _corner_from_center(0.5 * (v + jnp.roll(v, -1, axis=-1)))
-    v_edge = v_edge.at[..., :jm, :].set(
-        0.5 * (v_c4 + jnp.roll(v_c4, -1, axis=-1)))
+    v_edge = 0.5 * (v_c4 + jnp.roll(v_c4, -1, axis=-1))
     fy_z = jax.vmap(yflux_vort)((zeta_a, cry, v_edge * dt, ffsl))
 
     # x-flux of vorticity at west edges with uc·dt
@@ -265,23 +260,21 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     dx_th = (jnp.roll(th_c, -1, axis=-1) - th_c) / (c.REARTH * cose_s * dl)
     pi_u = 0.5 * (pi_c + jnp.roll(pi_c, -1, axis=-1))
 
-    du = fy_z[..., :jm, :] - dt * (dx_en - c.CPAIR * pi_u * dx_th)
-    du = du.at[..., 0, :].set(0.0)
+    du = fy_z - dt * (dx_en - c.CPAIR * pi_u * dx_th)
+    du = wset_row(du, 0, 0.0)
 
     # δy at v point (i-1/2, j): corners (j+1/2)-(j-1/2) = rows j+1 and j
     def dy_of(ac):
-        out = jnp.zeros_like(v)
-        return out.at[..., 1:-1, :].set(
-            (ac[..., 2:, :] - ac[..., 1:-1, :]) / (c.REARTH * dp_))
+        return wset_interior(jnp.zeros_like(v),
+                             (_rolly(ac, -1) - ac) / (c.REARTH * dp_))
 
     dy_en = dy_of(en_c)
     dy_th = dy_of(th_c)
-    pi_v = jnp.zeros_like(v)
-    pi_v = pi_v.at[..., 1:-1, :].set(0.5 * (pi_c[..., 2:, :] +
-                                            pi_c[..., 1:-1, :]))
+    pi_v = wset_interior(jnp.zeros_like(v),
+                         0.5 * (_rolly(pi_c, -1) + pi_c))
 
     dv = -fx_z - dt * (dy_en - c.CPAIR * pi_v * dy_th)
-    dv = dv.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+    dv = wset_row(wset_row(dv, 0, 0.0), -1, 0.0)
 
     # ---- del2 divergence damping ----
     div = divergence_corner(u, v, grid)
@@ -289,15 +282,24 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     ddiv_x = (jnp.roll(div, -1, axis=-1) - div) / \
         (c.REARTH * jnp.where(cose[:, None] > 0, cose[:, None], 1.0) * dl)
     du = du + dt * nu * ddiv_x
-    ddiv_y = jnp.zeros_like(v)
-    ddiv_y = ddiv_y.at[..., 1:-1, :].set(
-        (div[..., 2:, :] - div[..., 1:-1, :]) / (c.REARTH * dp_))
+    ddiv_y = wset_interior(jnp.zeros_like(v),
+                           (_rolly(div, -1) - div) / (c.REARTH * dp_))
     dv = dv + dt * nu * ddiv_y
 
     # ---- polar filter on wind tendencies ----
     if dyn_filter:
-        du = polar_filter(du, jnp.asarray(grid.pft_edge))
-        dv = polar_filter(dv, jnp.asarray(grid.pft_center))
+        if filter_impl == "matmul":
+            # circulant-matmul form: exact same spectral damping, runs on the
+            # MXU and avoids sharded-FFT layout restrictions (grid.py)
+            du = polar_filter_matmul(
+                du, jnp.asarray(circulant_filter_matrices(grid.pft_edge),
+                                du.dtype))
+            dv = polar_filter_matmul(
+                dv, jnp.asarray(circulant_filter_matrices(grid.pft_center),
+                                dv.dtype))
+        else:
+            du = polar_filter(du, jnp.asarray(grid.pft_edge))
+            dv = polar_filter(dv, jnp.asarray(grid.pft_center))
 
     u_new = u + du
     v_new = v + dv
@@ -310,13 +312,10 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
 def vc_at_uc(vc):
     """Average vc (south edges) to uc points (west edges, center rows)."""
-    vc_n = jnp.concatenate([vc[..., 1:, :], jnp.zeros_like(vc[..., :1, :])],
-                           axis=-2)
-    vc_c = 0.5 * (vc + vc_n)                       # to centers
+    vc_c = 0.5 * (vc + edge_north(vc))             # to centers
     return 0.5 * (vc_c + jnp.roll(vc_c, 1, axis=-1))
 
 
 def uc_at_vc(uc):
     """Average uc (west edges, center rows) to vc points (south edges)."""
-    out = jnp.zeros_like(uc)
-    return out.at[..., 1:, :].set(0.5 * (uc[..., 1:, :] + uc[..., :-1, :]))
+    return wset_row(0.5 * (uc + _rolly(uc, 1)), 0, 0.0)

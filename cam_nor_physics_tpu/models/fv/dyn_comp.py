@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ...ops import tp_core as tp
 from ...ops.fill import fillz
+from ...ops.tp_core import _rolly, edge_north, wset_row
 from ...ops.remap import ppm_remap
 from ...utils import constants as c
 from ...utils.config import FVConfig
@@ -38,24 +39,28 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
     mass fluxes (upstream trac2d contract, dyn_comp.F90:2385-2388).
 
     q: (nq, km, jm, im); dp0: (km, jm, im) pre-step thickness; cx/mfx at west
-    edges (km, jm, im); cy/mfy at south edges (km, jm+1, im). Tracer mass
-    q*dp0 is updated in flux form; the new thickness is diagnosed from the
-    same mass fluxes so tracer mixing ratios remain consistent with the
-    continuity equation (free-stream preserving by construction).
+    edges (km, jm, im); cy/mfy south-edge indexed (km, jm, im), row 0 unused.
+    Tracer mass q*dp0 is updated in flux form; the new thickness is diagnosed
+    from the same mass fluxes so tracer mixing ratios remain consistent with
+    the continuity equation (free-stream preserving by construction).
     """
     cosp = jnp.asarray(grid.cosp)
     acosp = jnp.asarray(grid.acosp)
     jm = dp0.shape[-2]
     ffsl = jnp.max(jnp.abs(cx), axis=-1) > 1.0
-    va = 0.5 * (cy[..., :-1, :] + cy[..., 1:, :])
+    va = 0.5 * (cy + edge_north(cy))
 
     # thickness implied by the accumulated mass fluxes
     ddp = mfx - jnp.roll(mfx, -1, axis=-1) + \
-        (mfy[..., :-1, :] - mfy[..., 1:, :]) * acosp[:, None]
-    ddp = ddp.at[..., 0, :].set(
-        -jnp.sum(mfy[..., 1, :], axis=-1, keepdims=True) * grid.rcap)
-    ddp = ddp.at[..., -1, :].set(
-        jnp.sum(mfy[..., jm - 1, :], axis=-1, keepdims=True) * grid.rcap)
+        (mfy - edge_north(mfy)) * acosp[:, None]
+    ddp = wset_row(
+        ddp, 0,
+        -jnp.sum(mfy[..., 1, :], axis=-1, keepdims=True)[..., None, :] *
+        grid.rcap)
+    ddp = wset_row(
+        ddp, -1,
+        jnp.sum(mfy[..., jm - 1, :], axis=-1, keepdims=True)[..., None, :] *
+        grid.rcap)
     dp_new = dp0 + ddp
 
     def transport_one(qm):
@@ -64,9 +69,9 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
             fx, fy = tp.tp2d(va_k, q_k, cx_k, cy_k, iord, jord, mfx_k, mfy_k,
                              cosp, ffsl_k, 1)
             dqm = fx - jnp.roll(fx, -1, axis=-1) + \
-                (fy[:-1, :] - fy[1:, :]) * acosp[:, None]
-            dqm = dqm.at[0, :].set(-jnp.sum(fy[1, :]) * grid.rcap)
-            dqm = dqm.at[-1, :].set(jnp.sum(fy[jm - 1, :]) * grid.rcap)
+                (fy - edge_north(fy)) * acosp[:, None]
+            dqm = wset_row(dqm, 0, -jnp.sum(fy[1, :]) * grid.rcap)
+            dqm = wset_row(dqm, -1, jnp.sum(fy[jm - 1, :]) * grid.rcap)
             return dqm
 
         dqm = jax.vmap(level)((qm, dp0, cx, cy, mfx, mfy, va, ffsl))
@@ -116,10 +121,11 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
         for m in range(nq)], axis=0)
 
     # winds: remap on pressure profiles averaged to their staggered positions
-    pe_su = flat(0.5 * (pe + jnp.concatenate(
-        [pe[:, 0:1, :], pe[:, :-1, :]], axis=1)), km + 1)
-    pe_tu = flat(0.5 * (pe_tgt + jnp.concatenate(
-        [pe_tgt[:, 0:1, :], pe_tgt[:, :-1, :]], axis=1)), km + 1)
+    def south_shift(a):                   # a[:, j-1], row 0 -> row 0
+        return wset_row(_rolly(a, 1), 0, a)
+
+    pe_su = flat(0.5 * (pe + south_shift(pe)), km + 1)
+    pe_tu = flat(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1)
     u_new = unflat(ppm_remap(pe_su, flat(state.u, km), pe_tu, kord), km)
     pe_sv = flat(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1)
     pe_tv = flat(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1)
@@ -149,7 +155,7 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
 
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
-            cfg: FVConfig, ndt: float):
+            cfg: FVConfig, ndt: float, filter_impl: str = "fft"):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
 
     Subcycle factorization per dyn_comp.F90:1497-1524:
@@ -165,15 +171,14 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     def tracer_cycle(st, _):
         dp0 = st.delp
         zx = jnp.zeros_like(st.delp)
-        zy = jnp.zeros((st.delp.shape[0], grid.jm + 1, grid.im),
-                       st.delp.dtype)
-        acc0 = dict(cx=zx, cy=zy, mfx=zx, mfy=zy)
+        acc0 = dict(cx=zx, cy=zx, mfx=zx, mfy=zx)
 
         def small_step(carry, _):
             st_i, acc = carry
             st_i, d = cd_step(st_i, grid, ptop, phis, dt,
                               iord=cfg.iord, jord=cfg.jord,
-                              dyn_filter=cfg.fft_flt >= 0)
+                              dyn_filter=cfg.fft_flt >= 0,
+                              filter_impl=filter_impl)
             acc = dict(cx=acc["cx"] + d["cx"], cy=acc["cy"] + d["cy"],
                        mfx=acc["mfx"] + d["mfx"], mfy=acc["mfy"] + d["mfy"])
             return (st_i, acc), None

@@ -183,6 +183,28 @@ def polar_filter(field, resp):
     return jnp.fft.irfft(spec * resp, n=field.shape[-1], axis=-1)
 
 
+def circulant_filter_matrices(resp: np.ndarray) -> np.ndarray:
+    """Materialize the polar filter as per-row circulant matrices (jm, im, im).
+
+    Spectral damping by a real response is exactly circular convolution with
+    the kernel h = irfft(resp); M[j, i, m] = h[j, (i-m) mod im]. This form
+    runs the filter on the MXU as a batched matmul and sidesteps FFT-layout
+    restrictions under SPMD partitioning. Rows with resp==1 yield identity
+    rows (the matmul is still exact there).
+    """
+    im = 2 * (resp.shape[1] - 1)
+    h = np.fft.irfft(resp, im, axis=1)              # (jm, im)
+    i = np.arange(im)
+    idx = (i[:, None] - i[None, :]) % im            # (im, im)
+    return h[:, idx]
+
+
+def polar_filter_matmul(field, circ):
+    """Circulant-matmul polar filter: field (..., jm, im), circ (jm, im, im).
+    Identical (to roundoff) to `polar_filter` with the generating resp."""
+    return jnp.einsum('jim,...jm->...ji', circ, field)
+
+
 def ffsl_flags(grid: FVGrid, crx, cosa=None):
     """Rows where flux-form semi-Lagrangian (integer-CFL) x-transport is
     needed: |c| > 1 anywhere in the row (cd_core's ffsl determination).

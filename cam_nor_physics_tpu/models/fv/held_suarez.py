@@ -55,8 +55,8 @@ def hs_forcing(state: DynState, grid: FVGrid, ptop: float, dt: float
 
     kv = KF * kt_vert
     # damp on the staggered points with sigma averaged appropriately
-    kv_u = jnp.concatenate([kv[:, :1, :], 0.5 * (kv[:, 1:, :] + kv[:, :-1, :])],
-                           axis=1)
+    from ...ops.tp_core import _rolly, wset_row
+    kv_u = wset_row(0.5 * (kv + _rolly(kv, 1)), 0, kv)
     kv_v = 0.5 * (kv + jnp.roll(kv, 1, axis=-1))
     u_new = state.u * jnp.exp(-dt * kv_u)
     v_new = state.v * jnp.exp(-dt * kv_v)

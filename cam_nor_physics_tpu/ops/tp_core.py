@@ -43,6 +43,38 @@ def _rollx(a, shift):
     return jnp.roll(a, shift, axis=-1)
 
 
+def wset_row(a, row: int, value, axis: int = -2):
+    """a.at[row].set(value) along `axis`, expressed as elementwise where.
+
+    Row updates via dynamic-update-slice on an axis that may be sharded
+    miscompile in XLA's CPU SPMD partitioner (per-shard clipping in fused
+    multi-output programs); the where-form partitions exactly. `value` must
+    broadcast against `a` with the row axis of size 1 (scalars and (im,)
+    vectors both work for axis=-2).
+    """
+    n = a.shape[axis]
+    shape = [1] * a.ndim
+    shape[axis] = n
+    mask = (jnp.arange(n) == (row % n)).reshape(shape)
+    return jnp.where(mask, value, a)
+
+
+def wset_interior(a, value, axis: int = -2):
+    """a.at[1:-1].set(value) along `axis` as elementwise where; `value` has
+    the same shape as `a` (already padded/rolled to full rows)."""
+    n = a.shape[axis]
+    shape = [1] * a.ndim
+    shape[axis] = n
+    idx = jnp.arange(n).reshape(shape)
+    return jnp.where((idx >= 1) & (idx <= n - 2), value, a)
+
+
+def _rolly(a, shift, axis: int = -2):
+    """Shift along the y axis (non-periodic use: callers overwrite the rows
+    that wrapped). jnp.roll partitions to a collective permute."""
+    return jnp.roll(a, shift, axis=axis)
+
+
 def _gatherx(a, idx):
     """a[..., idx[...]] with periodic wrap; idx same shape as a."""
     im = a.shape[-1]
@@ -283,13 +315,13 @@ def ymist(q, jord: int, iv: int):
     """N-S slopes with pole mirroring (ymist, tp_core.F90:1084-1214).
 
     q: (jm, im). iv=0 scalar, iv=1 vector (sign flip across the pole).
-    Returns dm (jm, im).
+    Returns dm (jm, im). Row updates are where-forms (see wset_row).
     """
     jm, im = q.shape
     im2 = im // 2
     # interior: dm[j] = 0.25 (q[j+1]-q[j-1])
-    dm_int = jnp.zeros_like(q)
-    dm_int = dm_int.at[1:-1, :].set(0.25 * (q[2:, :] - q[:-2, :]))
+    dm_int = wset_interior(jnp.zeros_like(q),
+                           0.25 * (_rolly(q, -1) - _rolly(q, 1)))
 
     qs_mir = jnp.roll(q[1, :], -im2, axis=-1)   # q(i+im2, row 1)
     qn_mir = jnp.roll(q[-2, :], -im2, axis=-1)  # q(i+im2, row jm-2)
@@ -320,39 +352,37 @@ def ymist(q, jord: int, iv: int):
     dm_s = jnp.where(half, mirror_sign * jnp.roll(dm_s, im2), dm_s)
     dm_n = jnp.where(half, mirror_sign * jnp.roll(dm_n, im2), dm_n)
 
-    dm = dm_int.at[0, :].set(dm_s).at[-1, :].set(dm_n)
+    dm = wset_row(wset_row(dm_int, 0, dm_s), -1, dm_n)
 
     if jord > 0:
         # monotonic constraint on interior rows (tp_core.F90:1200-1211)
-        qmax = jnp.maximum(jnp.maximum(q[:-2, :], q[1:-1, :]), q[2:, :]) - \
-            q[1:-1, :]
-        qmin = q[1:-1, :] - jnp.minimum(jnp.minimum(q[:-2, :], q[1:-1, :]),
-                                        q[2:, :])
-        lim = jnp.sign(dm[1:-1, :]) * jnp.minimum(
-            jnp.minimum(jnp.abs(dm[1:-1, :]), qmin), qmax)
-        dm = dm.at[1:-1, :].set(lim)
+        qm, qp = _rolly(q, 1), _rolly(q, -1)
+        qmax = jnp.maximum(jnp.maximum(qm, q), qp) - q
+        qmin = q - jnp.minimum(jnp.minimum(qm, q), qp)
+        lim = jnp.sign(dm) * jnp.minimum(jnp.minimum(jnp.abs(dm), qmin), qmax)
+        dm = wset_interior(dm, lim)
     return dm
 
 
 def fyppm(c, q, dm, jord: int, iv: int):
     """N-S PPM flux (fyppm, tp_core.F90:1222-1388).
 
-    c: (jm+1, im) Courant at edges (edge e = south edge of row e);
-    q, dm: (jm, im). Returns flux (jm+1, im), valid for edges e in [1, jm-1].
+    y-edge convention: c is (jm, im), row e = Courant across the SOUTH edge
+    of row e (valid e in [1, jm-1]; row 0 ignored). Returns flux (jm, im)
+    with the same convention and row 0 zeroed. The north polar edge (old
+    edge jm) carries no flux and has no slot — callers use
+    `edge_north`-style shifts to form divergences.
     """
     jm, im = q.shape
     im2 = im // 2
 
     # al[j] = 0.5 (q[j-1]+q[j]) + (dm[j-1]-dm[j])/3, cell-indexed south edge
-    al = jnp.zeros_like(q)
-    al = al.at[1:, :].set(0.5 * (q[:-1, :] + q[1:, :]) +
-                          R3 * (dm[:-1, :] - dm[1:, :]))
-    ar = jnp.concatenate([al[1:, :], jnp.zeros((1, im), q.dtype)], axis=0)
-
+    al_full = 0.5 * (_rolly(q, 1) + q) + R3 * (_rolly(dm, 1) - dm)
     # pole mirroring (tp_core.F90:1312-1344)
     sgn = 1.0 if iv == 0 else -1.0
-    al = al.at[0, :].set(sgn * jnp.roll(al[1, :], -im2))
-    ar = ar.at[-1, :].set(sgn * jnp.roll(ar[-2, :], -im2))
+    al = wset_row(al_full, 0, sgn * jnp.roll(al_full[1, :], -im2))
+    ar = _rolly(al, -1)                               # ar[j] = al[j+1]
+    ar = wset_row(ar, -1, sgn * jnp.roll(al[-1, :], -im2))
 
     if jord in (3, 5):
         a6 = 3.0 * (q + q - (al + ar))
@@ -361,41 +391,44 @@ def fyppm(c, q, dm, jord: int, iv: int):
     a6, ar, al = lmppm(dm, a6, ar, al, q, jord - 3)
 
     # flux at edge e from cell e-1 (c>0) or cell e (c<0)
-    ce = c[1:jm, :]                                   # edges 1..jm-1
-    flux_pos = ar[:-1, :] + 0.5 * ce * (al[:-1, :] - ar[:-1, :] +
-                                        a6[:-1, :] * (1.0 - R23 * ce))
-    flux_neg = al[1:, :] - 0.5 * ce * (ar[1:, :] - al[1:, :] +
-                                       a6[1:, :] * (1.0 + R23 * ce))
-    fe = jnp.where(ce > 0.0, flux_pos, flux_neg)
-    z = jnp.zeros((1, im), q.dtype)
-    return jnp.concatenate([z, fe, z], axis=0)
+    flux_pos = _rolly(ar, 1) + 0.5 * c * (_rolly(al, 1) - _rolly(ar, 1) +
+                                          _rolly(a6, 1) * (1.0 - R23 * c))
+    flux_neg = al - 0.5 * c * (ar - al + a6 * (1.0 + R23 * c))
+    fe = jnp.where(c > 0.0, flux_pos, flux_neg)
+    return wset_row(fe, 0, 0.0)
 
 
 def ytp(q, c, ymass, jord: int, iv: int):
     """N-S flux (ytp, tp_core.F90:980-1076).
 
-    q: (jm, im); c, ymass: (jm+1, im) edge-indexed. Returns fy (jm+1, im).
+    q: (jm, im); c, ymass: (jm, im) south-edge indexed (see fyppm). Returns
+    fy (jm, im) south-edge fluxes, row 0 zeroed.
     """
     jm, im = q.shape
-    e_idx = jnp.arange(1, jm)[:, None]
-    ce = c[1:jm, :]
+    # upwind two-point select: edge e flux donor is row e-1 (c>0) or row e.
+    # |c|<=1 is a scheme requirement (y transport is CFL-limited; the
+    # reference's ytp makes the same assumption). Expressed as a select of
+    # static shifts, NOT take_along_axis: dynamic gathers along a sharded
+    # axis miscompile under the SPMD partitioner (per-shard index clipping).
+    up = c > 0.0
+    q_dn = _rolly(q, 1)                          # row e-1 at edge e
 
     if jord == 1:
-        jt = jnp.floor(e_idx + 1 - ce).astype(jnp.int32) - 1
-        jt = jnp.clip(jt, 0, jm - 1)
-        fe = jnp.take_along_axis(q, jt, axis=0)
+        fe = jnp.where(up, q_dn, q)
     else:
         dm = ymist(q, jord, iv)
         if abs(jord) >= 3:
             return fyppm(c, q, dm, jord, iv) * ymass
-        jt = jnp.floor(e_idx + 1 - ce).astype(jnp.int32) - 1
-        jt = jnp.clip(jt, 0, jm - 1)
-        fe = jnp.take_along_axis(q, jt, axis=0) + \
-            (jnp.sign(ce) - ce) * jnp.take_along_axis(dm, jt, axis=0)
+        fe = jnp.where(up, q_dn, q) + \
+            (jnp.sign(c) - c) * jnp.where(up, _rolly(dm, 1), dm)
 
-    z = jnp.zeros((1, im), q.dtype)
-    fy = jnp.concatenate([z, fe, z], axis=0)
-    return fy * ymass
+    return wset_row(fe * ymass, 0, 0.0)
+
+
+def edge_north(fy):
+    """South-edge array -> north-edge array: out[j] = fy[j+1], with the
+    polar north edge (no flux) zeroed. fy: (..., jm, im)."""
+    return wset_row(_rolly(fy, -1), -1, 0.0)
 
 
 def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
@@ -403,9 +436,10 @@ def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
     """2-D transport on the D grid (tp2d, tp_core.F90:163-276).
 
     va: (jm, im) advective y-Courant at cell centers; q: (jm, im);
-    crx: (jm, im) x-Courant; cry, yfx: (jm+1, im) edge-indexed y-Courant and
-    background y-mass-flux; xfx: (jm, im) x mass flux; cosp: (jm,) cos(lat);
-    ffsl: (jm,) bool. Returns (fx, fy).
+    crx: (jm, im) x-Courant; cry, yfx: (jm, im) south-edge y-Courant and
+    background y-mass-flux (row 0 unused); xfx: (jm, im) x mass flux;
+    cosp: (jm,) cos(lat); ffsl: (jm,) bool. Returns (fx, fy) with fy in the
+    (jm, im) south-edge convention.
     """
     jm, im = q.shape
 
@@ -415,22 +449,21 @@ def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
     crx_e = _rollx(crx, -1)
     adx = q + 0.5 * (wk1 - wk1_e + q * (crx_e - crx))
     # poles: adx = q (tp_core.F90:247-256)
-    adx = adx.at[0, :].set(q[0, :]).at[-1, :].set(q[-1, :])
+    adx = wset_row(wset_row(adx, 0, q), -1, q)
 
     fy = ytp(adx, cry, yfx, jord, 0)
 
     # inner advective y-operator (tp_core.F90:260-265):
-    # wk1[j] = q[j] + 0.5 va (q[jp] - q[jp+1]); Fortran jp = int(j_F - va)
-    # maps to 0-based jp0 = floor(j0 + 1 - va) - 1
-    j_idx = jnp.arange(jm)[:, None]
-    jp = jnp.floor(j_idx + 1 - va).astype(jnp.int32) - 1
-    jp = jnp.clip(jp, 0, jm - 2)
-    q_jp = jnp.take_along_axis(q, jp, axis=0)
-    q_jp1 = jnp.take_along_axis(q, jp + 1, axis=0)
-    ady = q + 0.5 * va * (q_jp - q_jp1)
+    # wk1[j] = q[j] + 0.5 va (q[jp] - q[jp+1]); Fortran jp = int(j_F - va),
+    # i.e. jp = j-1 for va>0 else j given |va|<=1 (y CFL limit). Written as
+    # a select of static shifts — dynamic gathers along the (shardable) y
+    # axis miscompile under the SPMD partitioner.
+    q_m = wset_row(_rolly(q, 1), 0, q)       # q[j-1], row 0 -> q[0]
+    q_p = wset_row(_rolly(q, -1), -1, q)     # q[j+1], row jm-1 -> q[jm-1]
+    ady = q + 0.5 * va * jnp.where(va > 0.0, q_m - q, q - q_p)
     # rows 0 and jm-1 are overwritten by the polar-cap update in tp2c; the
     # reference leaves them at q via loop bounds js2g0/jn2g0
-    ady = ady.at[0, :].set(q[0, :]).at[-1, :].set(q[-1, :])
+    ady = wset_row(wset_row(ady, 0, q), -1, q)
 
     fx = xtp(ady, crx, xfx, cosp, ffsl, iord, id_)
     return fx, fy
@@ -441,14 +474,15 @@ def tp2c(va, h, crx, cry, iord: int, jord: int, xfx, yfx, cosp, acosp, rcap,
     """C-grid transport + flux divergence with polar-cap closure
     (tp2c, tp_core.F90:72-155).
 
-    Returns (dh, fx, fy): dh = fx[i]-fx[i+1] + (fy[e]-fy[e+1])*acosp, with the
-    polar rows replaced by the cap-mean of the meridional flux.
+    Returns (dh, fx, fy): dh = fx[i]-fx[i+1] + (fy[j]-fy[j+1])*acosp, with
+    the polar rows replaced by the cap-mean of the meridional flux. fy in the
+    (jm, im) south-edge convention.
     """
     jm, im = h.shape
     fx, fy = tp2d(va, h, crx, cry, iord, jord, xfx, yfx, cosp, ffsl, 0)
-    dh = fx - _rollx(fx, -1) + (fy[:-1, :] - fy[1:, :]) * acosp[:, None]
+    dh = fx - _rollx(fx, -1) + (fy - edge_north(fy)) * acosp[:, None]
     # polar caps (tp_core.F90:130-152)
     s_sum = -jnp.sum(fy[1, :]) * rcap
     n_sum = jnp.sum(fy[jm - 1, :]) * rcap
-    dh = dh.at[0, :].set(s_sum).at[-1, :].set(n_sum)
+    dh = wset_row(wset_row(dh, 0, s_sum), -1, n_sum)
     return dh, fx, fy

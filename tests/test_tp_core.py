@@ -134,14 +134,15 @@ def solid_body_courants(grid, dt, alpha, u0):
                                               np.inf)[:, None] * grid.dl)
     crx[0, :] = 0.0
     crx[-1, :] = 0.0
-    # cry at south edges of rows (edge e), yfx = cry * cose
+    # cry at south edges of rows ((jm, im) south-edge convention, row 0
+    # unused), yfx = cry * cose
     v_e = vwind(lat_e[:, None], lon_c[None, :])
-    cry_rows = v_e * dt / (c.REARTH * grid.dp)       # rows 0..jm-1, edge e=row
-    cry = np.zeros((jm + 1, im))
-    cry[1:jm, :] = cry_rows[1:jm, :]
-    yfx = cry * np.concatenate([grid.cose, [grid.cose[-1]]])[:, None]
-    # advective y-courant at centers
-    va = 0.5 * (cry[:-1, :] + cry[1:, :])
+    cry = v_e * dt / (c.REARTH * grid.dp)            # row e = south edge e
+    cry[0, :] = 0.0
+    yfx = cry * grid.cose[:, None]
+    # advective y-courant at centers: 0.5 (cry[j] + cry[j+1]), north edge 0
+    cry_n = np.concatenate([cry[1:, :], np.zeros((1, im))], axis=0)
+    va = 0.5 * (cry + cry_n)
     return jnp.asarray(crx), jnp.asarray(cry), jnp.asarray(yfx), jnp.asarray(va)
 
 
