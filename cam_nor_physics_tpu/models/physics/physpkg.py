@@ -1,0 +1,236 @@
+"""Physics package driver — physpkg equivalent (tphysbc/tphysac sequences).
+
+Re-implementation of /root/reference/physics/physpkg.F90 (3053 lines), the
+CLUBB-reordered CAM physics driver. The reference's chunk/OMP machinery
+(physpkg.F90:1147-1161) has no equivalent: the whole column batch runs as one
+jitted program (SURVEY §2.3 P4). Parameterizations the reference calls but
+does not shadow (CLUBB, MG microphysics, RRTMG radiation, gravity waves,
+chemistry, …) are cleanly stubbed behind their interface contracts — each stub
+returns a zero ptend and writes its expected pbuf fields, so the sequencing,
+energy accounting, and pbuf dataflow match physpkg.F90 §3.3/3.5 exactly and a
+real implementation can slot in per stub.
+
+Sequence (pre-coupler, tphysbc, physpkg.F90:2508-2942):
+  qneg3 -> energy fixer -> dry adjustment -> deep convection (ZM) ->
+  convect_diagnostics -> cam_export
+Sequence (post-coupler, tphysac, physpkg.F90:1342-2506):
+  qneg4 flux limiter -> surface-flux application (vertical_diffusion's
+  surface term; full PBL diffusion stubbed via CLUBB slot) -> macro/micro
+  substep loop (CLUBB + microphysics stubs) -> wet deposition stub ->
+  convect_deep_tend_2 -> radiation stub -> dry-mass/energy adjustment ->
+  teout save
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ...utils import constants as c
+from ...utils.config import PhysConfig, ZMConfig
+from ..coupling.camsrfexch import CamIn, CamOut, cam_export
+from .check_energy import check_energy_chng, check_energy_fix, column_energy
+from .constituents import ConstituentRegistry
+from .convect_diagnostics import convect_diagnostics_calc
+from .dadadj import dadadj_tend
+from .physics_buffer import PhysicsBuffer, pbuf_register, zm_pbuf_specs
+from .state import (PhysicsState, PhysicsTend, physics_dme_adjust,
+                    physics_update, ptend_init, ptend_sum, set_dry_to_wet)
+from .zm_conv_intr import zm_conv_tend, zm_conv_tend_2
+from ...ops.fill import qneg3, qneg4
+
+
+def physpkg_pbuf_specs(ncol: int, pver: int) -> dict:
+    """Full pbuf registration: ZM set + driver-level persistent fields
+    (phys_register, physpkg.F90:100-352)."""
+    specs = dict(zm_pbuf_specs(ncol, pver))
+    specs.update({
+        "TEOUT": ((ncol,), "global"),        # physpkg.F90:231
+        "DTCORE": ((ncol, pver), "global"),  # dynamics T tendency diag
+        "QINI": ((ncol, pver), "physpkg"),
+        "CLDLIQINI": ((ncol, pver), "physpkg"),
+        "CLDICEINI": ((ncol, pver), "physpkg"),
+        "RLIQBC": ((ncol,), "physpkg"),      # physpkg.F90:2894
+    })
+    return specs
+
+
+@struct.dataclass
+class PhysRunOut:
+    state: PhysicsState
+    pbuf: PhysicsBuffer
+    tend: PhysicsTend
+    cam_out: CamOut
+    diagnostics: dict
+
+
+def _stub_ptend(name: str, state: PhysicsState):
+    """Zero ptend with the interface shape of an unported parameterization
+    (CLUBB / MG / RRTMG / gw / chem slots; contracts at physpkg.F90:1736,
+    1813, 2030, 2254)."""
+    return ptend_init(name, state.ncol, state.pver, state.pcnst,
+                      dtype=state.t.dtype)
+
+
+def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
+            registry: ConstituentRegistry, state: PhysicsState,
+            pbuf: PhysicsBuffer, cam_in: CamIn, ztodt: float,
+            nstep: int = 1) -> PhysRunOut:
+    """Pre-coupler physics (tphysbc, physpkg.F90:2508-2942)."""
+    ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
+    dtype = state.t.dtype
+    diags = {}
+    tend = PhysicsTend.zeros(ncol, pver, dtype)
+
+    # save step-start vapor/condensate for dme_adjust + budget diags
+    pbuf = pbuf.update(QINI=state.q[:, :, 0])
+    ixliq, ixice = registry.index("CLDLIQ"), registry.index("CLDICE")
+    if ixliq > 0:
+        pbuf = pbuf.set("CLDLIQINI", state.q[:, :, ixliq])
+    if ixice > 0:
+        pbuf = pbuf.set("CLDICEINI", state.q[:, :, ixice])
+
+    # qneg3 (physpkg.F90:2702-2707)
+    qmin = jnp.asarray(registry.qmin_array(), dtype)
+    q_fixed, _, _ = qneg3(state.q, qmin[None, None, :])
+    state = state.replace(q=q_fixed)
+
+    # ---- ENERGY FIXER (physpkg.F90:2726-2781) ----
+    # close the dycore's energy non-conservation against the previous step's
+    # exported energy (TEOUT); nstep 0 has no previous value
+    teout_prev = pbuf.get("TEOUT") if nstep > 0 else None
+    if teout_prev is not None:
+        heat = check_energy_fix(state, registry, teout_prev) / ztodt
+        # an exactly-zero TEOUT means the pbuf was never filled (cold start
+        # mid-sequence); the fixer must not fire against it
+        heat = jnp.where((teout_prev != 0.0)[:, None], heat, 0.0)
+    else:
+        heat = jnp.zeros_like(state.t)
+    ptend = ptend_init("chkenergyfix", ncol, pver, pcnst, ls=True,
+                       dtype=dtype).replace(s=heat)
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    state, ediag = check_energy_chng(state, registry, ztodt,
+                                     flx_sen=jnp.sum(heat * state.pdel,
+                                                     axis=-1) / c.GRAVIT)
+    diags["EFIX"] = jnp.sum(heat * state.pdel, axis=-1) / c.GRAVIT
+
+    # ---- DRY ADJUSTMENT (physpkg.F90:2786-2806) ----
+    tend_s, tend_q = dadadj_tend(state, ztodt)
+    lq = (True,) + (False,) * (pcnst - 1)
+    ptend = ptend_init("dadadj", ncol, pver, pcnst, ls=True, lq=lq,
+                       dtype=dtype)
+    ptend = ptend.replace(s=tend_s, q=ptend.q.at[:, :, 0].set(tend_q))
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+
+    # ---- DEEP CONVECTION (physpkg.F90:2813-2868 -> zm_conv_tend) ----
+    pblh = pbuf.get("PBLH")
+    tpert = pbuf.get("TPERT")
+    zm_out = zm_conv_tend(zm_cfg, registry, state, pbuf, pblh, tpert,
+                          cam_in.landfrac, ztodt)
+    state, pbuf = zm_out.state1, zm_out.pbuf
+    diags.update(zm_out.diagnostics)
+    prec_dp = pbuf.get("PREC_DP")
+    snow_dp = pbuf.get("SNOW_DP")
+    state, ediag = check_energy_chng(
+        state, registry, ztodt,
+        flx_cnd=prec_dp + zm_out.rliq,         # both m/s (physpkg.F90:2867)
+        flx_ice=snow_dp + zm_out.rice)
+    diags["ZM_TE_ERR"] = ediag.te_err
+
+    # ---- merged convection diagnostics (physpkg.F90:2885-2887) ----
+    diags.update(convect_diagnostics_calc(state, pbuf))
+    pbuf = pbuf.set("RLIQBC", zm_out.rliq)               # (:2894-2895)
+
+    # ---- export to surface models (physpkg.F90:2933-2940) ----
+    cam_out = cam_export(state, prec_dp, snow_dp)
+
+    return PhysRunOut(state=state, pbuf=pbuf, tend=tend, cam_out=cam_out,
+                      diagnostics=diags)
+
+
+def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
+            state: PhysicsState, pbuf: PhysicsBuffer, cam_in: CamIn,
+            ztodt: float) -> PhysRunOut:
+    """Post-coupler physics (tphysac, physpkg.F90:1342-2506)."""
+    ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
+    dtype = state.t.dtype
+    diags = {}
+    tend = PhysicsTend.zeros(ncol, pver, dtype)
+
+    # ---- qneg4 surface-flux limiter (physpkg.F90:1546-1649) ----
+    cflx = qneg4(cam_in.cflx, state.q[:, -1, :],
+                 state.pdel[:, -1:].repeat(pcnst, axis=-1), ztodt, c.GRAVIT)
+
+    # ---- surface-flux application (the surface term of
+    # vertical_diffusion_tend, physpkg.F90:2144; full PBL mixing belongs to
+    # the CLUBB slot below) ----
+    gdp = c.GRAVIT / state.pdel[:, -1]
+    lq = tuple(True for _ in range(pcnst))
+    ptend = ptend_init("vertical_diffusion", ncol, pver, pcnst, ls=True,
+                       lu=True, lv=True, lq=lq, dtype=dtype)
+    ptend = ptend.replace(
+        s=ptend.s.at[:, -1].set(cam_in.shf * gdp),
+        u=ptend.u.at[:, -1].set(cam_in.wsx * gdp),
+        v=ptend.v.at[:, -1].set(cam_in.wsy * gdp),
+        q=ptend.q.at[:, -1, :].set(cflx * gdp[:, None]))
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    state, _ = check_energy_chng(state, registry, ztodt,
+                                 flx_vap=cflx[:, 0], flx_sen=cam_in.shf)
+
+    # ---- macro/micro substep loop (physpkg.F90:1719-1915) ----
+    n_sub = phys_cfg.cld_macmic_num_steps
+    for _ in range(n_sub):
+        # clubb_tend_cam slot: PBL turbulence + shallow convection +
+        # macrophysics (physpkg.F90:1736) — STUB
+        ptend = _stub_ptend("clubb", state)
+        state, tend = physics_update(state, ptend, ztodt / n_sub,
+                                     registry, tend)
+        # microp_driver_tend slot: MG/PUMAS stratiform microphysics
+        # (physpkg.F90:1813-1906) — STUB
+        ptend = _stub_ptend("microp", state)
+        state, tend = physics_update(state, ptend, ztodt / n_sub,
+                                     registry, tend)
+
+    # ---- aerosol wet deposition slot (physpkg.F90:1936-1960) — STUB ----
+    ptend = _stub_ptend("wetdep", state)
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+
+    # ---- convective tracer transport pass 2 (physpkg.F90:1988) ----
+    ptend = zm_conv_tend_2(registry, state, pbuf, ztodt)
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+
+    # ---- radiation slot (physpkg.F90:2030-2051) — STUB (zero net flux) ----
+    ptend = _stub_ptend("radheat", state)
+    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+
+    # ---- dry-mass / energy adjustment (physpkg.F90:2394-2452) ----
+    # FV is a moist dycore: convert dry-basis tracers back to wet, then
+    # adjust layer masses for the vapor change since step start (THT variant)
+    state = set_dry_to_wet(state, registry)
+    qini = pbuf.get("QINI")
+    state = physics_dme_adjust(state, qini, registry, variant="tht")
+
+    # ---- save teout for next step's energy fixer (physpkg.F90:2394) ----
+    te, _ = column_energy(state, registry)
+    pbuf = pbuf.set("TEOUT", te)
+
+    cam_out = cam_export(state, pbuf.get("PREC_DP"), pbuf.get("SNOW_DP"))
+    return PhysRunOut(state=state, pbuf=pbuf, tend=tend, cam_out=cam_out,
+                      diagnostics=diags)
+
+
+def phys_run1(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
+              registry: ConstituentRegistry, state: PhysicsState,
+              pbuf: PhysicsBuffer, cam_in: CamIn, ztodt: float,
+              nstep: int = 1) -> PhysRunOut:
+    """Pre-coupler driver (phys_run1, physpkg.F90:1057-1173): the reference's
+    per-chunk OMP loop over tphysbc is one batched call here."""
+    return tphysbc(phys_cfg, zm_cfg, registry, state, pbuf, cam_in, ztodt,
+                   nstep)
+
+
+def phys_run2(phys_cfg: PhysConfig, registry: ConstituentRegistry,
+              state: PhysicsState, pbuf: PhysicsBuffer, cam_in: CamIn,
+              ztodt: float) -> PhysRunOut:
+    """Post-coupler driver (phys_run2, physpkg.F90:1179-1293)."""
+    return tphysac(phys_cfg, registry, state, pbuf, cam_in, ztodt)

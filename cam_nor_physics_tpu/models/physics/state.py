@@ -298,6 +298,55 @@ def set_dry_to_wet(state: PhysicsState, registry: ConstituentRegistry) -> Physic
     return state.replace(q=jnp.where(wet[None, None, :], state.q * fac, state.q))
 
 
+def physics_dme_adjust(state: PhysicsState, qini, registry: ConstituentRegistry,
+                       variant: str = "tht") -> PhysicsState:
+    """Dry-mass/energy adjustment after physics (physics_dme_adjust,
+    /root/reference/physics/physics_types.F90:1213-1794).
+
+    The FV ("LR") dycore is moist: water-vapor changes from physics must
+    change layer mass. Per-layer factor fdq = 1 + (qv - qini) scales pdel;
+    wet constituents are rescaled to conserve their mass; pressure fields are
+    rebuilt. variant="tht" additionally applies a uniform column temperature
+    correction restoring total (cp·T + K + L·qv) energy — the reference's
+    energy-conserving `_THT` dispatch (:1413-1794); variant="bab" skips it
+    (:1265).  qini: vapor mixing ratio (wet) at the start of physics.
+    """
+    qv = state.q[:, :, 0]
+    fdq = 1.0 + qv - qini
+    pdel_new = state.pdel * fdq
+    wet = jnp.array([cn.mixtype == "wet" for cn in registry.constituents])
+    q_new = jnp.where(wet[None, None, :], state.q / fdq[:, :, None], state.q)
+
+    pint_top = state.pint[:, :1]
+    pint_new = jnp.concatenate(
+        [pint_top, pint_top + jnp.cumsum(pdel_new, axis=-1)], axis=-1)
+    ps_new = pint_new[:, -1]
+    lnpint_new = jnp.log(pint_new)
+    pmid_new = pdel_new / (lnpint_new[:, 1:] - lnpint_new[:, :-1])
+
+    t_new = state.t
+    if variant == "tht":
+        # uniform additive T correction closing the column moist static
+        # energy budget across the mass adjustment
+        e0 = jnp.sum(state.pdel * (c.CPAIR * state.t +
+                                   (c.LATVAP + c.LATICE) * qv), axis=-1)
+        e1 = jnp.sum(pdel_new * (c.CPAIR * t_new +
+                                 (c.LATVAP + c.LATICE) * q_new[:, :, 0]),
+                     axis=-1)
+        corr = (e0 - e1) / (c.CPAIR * jnp.sum(pdel_new, axis=-1))
+        t_new = t_new + corr[:, None]
+
+    state = state.replace(
+        t=t_new, q=q_new, ps=ps_new, pint=pint_new, lnpint=lnpint_new,
+        pdel=pdel_new, rpdel=1.0 / pdel_new, pmid=pmid_new,
+        lnpmid=jnp.log(pmid_new))
+    zi, zm = geopotential_t(state.lnpint, state.lnpmid, state.pint,
+                            state.pmid, state.pdel, state.rpdel,
+                            state.t, state.q[:, :, 0])
+    s = state.t * c.CPAIR + c.GRAVIT * zm + state.phis[:, None]
+    return state.replace(zi=zi, zm=zm, s=s)
+
+
 def physics_state_check(state: PhysicsState, name: str = "") -> dict[str, Any]:
     """Finite/range validation (physics_state_check equivalent,
     physics_types.F90:501-694). Returns a dict of boolean scalars; callers can
