@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ...ops import tp_core as tp
 from ...ops.fill import fillz
 from ...ops.tp_core import _rolly, edge_north, wset_row
-from ...ops.remap import ppm_remap
+from ...ops.remap import ppm_remap, ppm_remap_multi
 from ...utils import constants as c
 from ...utils.config import FVConfig
 from .cd_core import DynState, cd_step, pressure_vars
@@ -115,10 +115,14 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
     pe_s = flat(pe, km + 1)
     pe_t = flat(pe_tgt, km + 1)
 
-    pt_new = unflat(ppm_remap(pe_s, flat(state.pt, km), pe_t, kord), km)
-    q_new = jnp.stack([
-        unflat(ppm_remap(pe_s, flat(state.q[m], km), pe_t, kord), km)
-        for m in range(nq)], axis=0)
+    # pt + all tracers share the center interfaces: one multi-field remap
+    # (search masks computed once — SURVEY §2.3 P6's tracer batching)
+    fields = jnp.stack([flat(state.pt, km)] +
+                       [flat(state.q[m], km) for m in range(nq)])
+    remapped = ppm_remap_multi(pe_s, fields, pe_t, kord)
+    pt_new = unflat(remapped[0], km)
+    q_new = jnp.stack([unflat(remapped[1 + m], km) for m in range(nq)],
+                      axis=0)
 
     # winds: remap on pressure profiles averaged to their staggered positions
     def south_shift(a):                   # a[:, j-1], row 0 -> row 0

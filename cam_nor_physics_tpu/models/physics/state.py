@@ -282,20 +282,21 @@ def set_state_pdry(state: PhysicsState) -> PhysicsState:
 
 
 def set_wet_to_dry(state: PhysicsState, registry: ConstituentRegistry) -> PhysicsState:
-    """Convert wet-type constituents to dry mixing ratio basis
-    (set_wet_to_dry equivalent, physics_types.F90:1968-1985)."""
+    """Convert DRY-type constituents from the (moist) dycore's wet mixing
+    ratio basis to their declared dry basis (set_wet_to_dry equivalent,
+    physics_types.F90:1968-1985 — the reference loops constituents with
+    cnst_type == 'dry'; wet-type ones, including water vapor, stay wet)."""
     fac = (state.pdel / state.pdeldry)[:, :, None]
-    wet = jnp.array([mt == "wet" for mt in
-                     (cn.mixtype for cn in registry.constituents)])
-    return state.replace(q=jnp.where(wet[None, None, :], state.q * fac, state.q))
+    dry = jnp.array([cn.mixtype == "dry" for cn in registry.constituents])
+    return state.replace(q=jnp.where(dry[None, None, :], state.q * fac, state.q))
 
 
 def set_dry_to_wet(state: PhysicsState, registry: ConstituentRegistry) -> PhysicsState:
-    """Inverse of set_wet_to_dry (physics_types.F90:1988-2005)."""
+    """Inverse of set_wet_to_dry (physics_types.F90:1988-2005): dry-type
+    constituents back to the dycore's wet basis."""
     fac = (state.pdeldry / state.pdel)[:, :, None]
-    wet = jnp.array([mt == "wet" for mt in
-                     (cn.mixtype for cn in registry.constituents)])
-    return state.replace(q=jnp.where(wet[None, None, :], state.q * fac, state.q))
+    dry = jnp.array([cn.mixtype == "dry" for cn in registry.constituents])
+    return state.replace(q=jnp.where(dry[None, None, :], state.q * fac, state.q))
 
 
 def physics_dme_adjust(state: PhysicsState, qini, registry: ConstituentRegistry,

@@ -103,19 +103,28 @@ def ppm_remap(pe_src, q, pe_tgt, kord: int = 4):
     M_src = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
 
     def mass_at(x):
-        """M(x) for target interface positions x (ncol, n)."""
-        # containing source cell: k such that pe_src[k] <= x < pe_src[k+1]
-        k = jnp.clip(
-            jax.vmap(jnp.searchsorted, (0, 0))(pe_src, x) - 1, 0, km - 1)
-        pe_k = jnp.take_along_axis(pe_src, k, axis=1)
-        dp_k = jnp.take_along_axis(dp, k, axis=1)
+        """M(x) for target interface positions x (ncol, n).
+
+        The containing-cell search is a comparison-count (monotone
+        interfaces), and the per-cell coefficient lookups are one one-hot
+        contraction over the small level axis — no hardware gathers, which
+        dominate HBM traffic on TPU and miscompile under SPMD sharding.
+        """
+        # k = #{j : pe_src[j] <= x} - 1, clipped to valid cells
+        cnt = jnp.sum(pe_src[:, None, :] <= x[:, :, None], axis=-1)
+        k = jnp.clip(cnt - 1, 0, km - 1)
+        onehot = (k[:, :, None] == jnp.arange(km)).astype(q.dtype)
+
+        def at_k(a):                       # a: (ncol, km) -> (ncol, n)
+            return jnp.einsum('cnk,ck->cn', onehot, a)
+
+        pe_k = at_k(pe_src[:, :km])
+        dp_k = at_k(dp)
         s = jnp.clip((x - pe_k) / jnp.where(dp_k == 0, 1e-300, dp_k), 0.0, 1.0)
-        al_k = jnp.take_along_axis(al, k, axis=1)
-        d_k = jnp.take_along_axis(delta, k, axis=1)
-        a6_k = jnp.take_along_axis(a6, k, axis=1)
+        al_k, d_k, a6_k = at_k(al), at_k(delta), at_k(a6)
         # q(s') = al + s' (delta + a6 (1 - s'));  ∫_0^s q ds'
         part = al_k * s + 0.5 * (d_k + a6_k) * s ** 2 - a6_k * s ** 3 / 3.0
-        return jnp.take_along_axis(M_src, k, axis=1) + dp_k * part
+        return at_k(M_src[:, :km]) + dp_k * part
 
     M_tgt = mass_at(pe_tgt)
     # pin the endpoints exactly: shared top/bottom interfaces carry the full
@@ -126,7 +135,49 @@ def ppm_remap(pe_src, q, pe_tgt, kord: int = 4):
     return (M_tgt[:, 1:] - M_tgt[:, :-1]) / dpe_t
 
 
+def ppm_remap_multi(pe_src, qs, pe_tgt, kord: int = 4):
+    """Remap several fields sharing the same interface sets in one pass.
+
+    qs: (nf, ncol, km) -> (nf, ncol, km_t). The containing-cell search and
+    one-hot masks are computed once and reused across fields — the per-field
+    cost is just the PPM reconstruction and a few contractions (this is what
+    makes te_map's pt+tracers remap one fused program instead of nf
+    sequential ones).
+    """
+    nf, ncol, km = qs.shape
+    dp = pe_src[:, 1:] - pe_src[:, :-1]
+    al, ar, a6 = jax.vmap(lambda q: _ppm_edges_nonuniform(q, dp, kord))(qs)
+    delta = ar - al
+    csum = jnp.cumsum(qs * dp[None], axis=-1)
+    M_src = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+
+    cnt = jnp.sum(pe_src[:, None, :] <= pe_tgt[:, :, None], axis=-1)
+    k = jnp.clip(cnt - 1, 0, km - 1)
+    onehot = (k[:, :, None] == jnp.arange(km)).astype(qs.dtype)
+
+    def at_k(a):                           # (ncol, km) -> (ncol, n)
+        return jnp.einsum('cnk,ck->cn', onehot, a)
+
+    def at_k_f(a):                         # (nf, ncol, km) -> (nf, ncol, n)
+        return jnp.einsum('cnk,fck->fcn', onehot, a)
+
+    pe_k = at_k(pe_src[:, :km])
+    dp_k = at_k(dp)
+    s = jnp.clip((pe_tgt - pe_k) / jnp.where(dp_k == 0, 1e-300, dp_k),
+                 0.0, 1.0)
+    al_k, d_k, a6_k = at_k_f(al), at_k_f(delta), at_k_f(a6)
+    part = al_k * s[None] + 0.5 * (d_k + a6_k) * s[None] ** 2 - \
+        a6_k * s[None] ** 3 / 3.0
+    M_tgt = at_k_f(M_src[..., :km]) + dp_k[None] * part
+    M_tgt = M_tgt.at[..., 0].set(0.0)
+    M_tgt = M_tgt.at[..., -1].set(M_src[..., -1])
+    dpe_t = (pe_tgt[:, 1:] - pe_tgt[:, :-1])[None]
+    return (M_tgt[..., 1:] - M_tgt[..., :-1]) / dpe_t
+
+
 def remap_state(pe_src, pe_tgt, fields: dict, kord: int = 4) -> dict:
     """Remap a dict of (ncol, km) fields from pe_src to pe_tgt."""
-    return {name: ppm_remap(pe_src, f, pe_tgt, kord)
-            for name, f in fields.items()}
+    names = list(fields)
+    out = ppm_remap_multi(pe_src, jnp.stack([fields[n] for n in names]),
+                          pe_tgt, kord)
+    return {n: out[i] for i, n in enumerate(names)}

@@ -1,0 +1,65 @@
+"""Coupled atmosphere stepping tests (cam_comp sequence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.atm_comp import AtmModel, atm_init, atm_step
+from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+from cam_nor_physics_tpu.models.fv.held_suarez import hs_initial_state
+from cam_nor_physics_tpu.utils.config import FVConfig
+
+
+@pytest.fixture(scope="module")
+def coupled():
+    model = AtmModel.create(48, 24, 10, dt=1800.0,
+                            fv_cfg=FVConfig(nsplit=4, nspltrac=1))
+    st_dyn = hs_initial_state(model.grid, model.coord, pert=1.0,
+                              nq=model.registry.pcnst)
+    q = jnp.full_like(st_dyn.q, 1e-4)
+    q = q.at[0].set(3e-3 * (st_dyn.delp / st_dyn.delp.max()))
+    st_dyn = st_dyn.replace(q=q)
+    phis = jnp.zeros((24, 48))
+    state = atm_init(model, st_dyn, phis)
+    ncol = 24 * 48
+    cam_in = CamIn.zeros(ncol, model.registry.pcnst)
+    cam_in = cam_in.replace(shf=jnp.full((ncol,), 10.0),
+                            landfrac=jnp.full((ncol,), 0.3))
+    return model, state, cam_in
+
+
+class TestAtmStep:
+    def test_five_steps_finite_and_active(self, coupled):
+        model, state, cam_in = coupled
+        step0 = jax.jit(lambda s: atm_step(model, s, cam_in,
+                                           first_step=True))
+        stepn = jax.jit(lambda s: atm_step(model, s, cam_in))
+        state, cam_out, diags = step0(state)
+        for _ in range(4):
+            state, cam_out, diags = stepn(state)
+        for leaf in jax.tree.leaves(state):
+            assert bool(jnp.isfinite(leaf).all())
+        assert int(state.nstep) == 5
+        # deep convection active somewhere on a moist unstable planet
+        assert float(diags["CAPE"].max()) > 0.0
+        assert float(jnp.abs(state.dyn.u).max()) < 150.0
+
+    def test_dry_air_mass_conserved(self, coupled):
+        """Total dry-air mass must be exactly conserved by the coupled loop
+        (the dme_adjust contract): moist mass changes only via precip/evap."""
+        model, state, cam_in = coupled
+        g = model.grid
+        w = np.asarray(g.cosp).copy()
+        w[0] = w[-1] = g.acap / g.im
+        wj = jnp.asarray(w)[None, :, None]
+
+        def dry_mass(dyn):
+            return float((wj * dyn.delp * (1.0 - dyn.q[0])).sum())
+
+        m0 = dry_mass(state.dyn)
+        step0 = jax.jit(lambda s: atm_step(model, s, cam_in,
+                                           first_step=True))
+        state2, _, _ = step0(state)
+        m1 = dry_mass(state2.dyn)
+        np.testing.assert_allclose(m1, m0, rtol=5e-7)

@@ -1,0 +1,102 @@
+"""Diagnostics tests: TEM interpolation/eddy fluxes, cam_diagnostics payloads."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.fv.ctem import (ctem_diags,
+                                                interp_to_pressure)
+from cam_nor_physics_tpu.models.physics.cam_diagnostics import (
+    diag_conv, diag_conv_tend_ini, diag_export, diag_phys_writeout,
+    diag_register, diag_surf)
+from cam_nor_physics_tpu.utils.history import HistoryRegistry
+
+
+class TestInterp:
+    def test_linear_in_logp_exact(self):
+        km, jm, im = 8, 4, 6
+        pmid = jnp.broadcast_to(
+            jnp.geomspace(1e3, 1e5, km)[:, None, None], (km, jm, im))
+        # field linear in ln p interpolates exactly
+        field = 3.0 * jnp.log(pmid) - 7.0
+        plev = np.geomspace(2e3, 8e4, 5)
+        out = interp_to_pressure(field, pmid, plev)
+        ref = 3.0 * np.log(plev)[:, None, None] - 7.0
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.broadcast_to(ref, (5, jm, im)),
+                                   rtol=1e-12)
+
+    def test_out_of_range_clamps(self):
+        km, jm, im = 4, 2, 3
+        pmid = jnp.broadcast_to(
+            jnp.geomspace(1e4, 9e4, km)[:, None, None], (km, jm, im))
+        field = jnp.broadcast_to(
+            jnp.arange(km, dtype=jnp.float64)[:, None, None], (km, jm, im))
+        out = interp_to_pressure(field, pmid, np.array([1e3, 1e5]))
+        np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(out[1]), km - 1.0)
+
+
+class TestCtem:
+    def test_zonal_symmetric_flow_has_no_eddy_flux(self):
+        km, jm, im = 6, 8, 12
+        pmid = jnp.broadcast_to(
+            jnp.geomspace(1e4, 1e5, km)[:, None, None], (km, jm, im))
+        lat = jnp.linspace(-1.0, 1.0, jm)[None, :, None]
+        u = 20.0 * jnp.cos(lat) * jnp.ones((km, jm, im))
+        v = jnp.zeros((km, jm, im))
+        w = jnp.zeros((km, jm, im))
+        t = 280.0 * jnp.ones((km, jm, im))
+        d = ctem_diags(u, v, w, t, pmid)
+        np.testing.assert_allclose(np.asarray(d["UV2d"]), 0.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(d["VTH2d"]), 0.0, atol=1e-10)
+
+    def test_correlated_eddies_produce_flux(self):
+        km, jm, im = 4, 6, 16
+        pmid = jnp.broadcast_to(
+            jnp.geomspace(1e4, 1e5, km)[:, None, None], (km, jm, im))
+        x = jnp.sin(2 * jnp.pi * jnp.arange(im) / im)[None, None, :]
+        ones = jnp.ones((km, jm, im))
+        v = 5.0 * x * ones
+        t = 280.0 + 2.0 * x * ones          # v' and theta' in phase
+        d = ctem_diags(jnp.zeros_like(v), v, jnp.zeros_like(v), t, pmid)
+        assert float(np.asarray(d["VTH2d"]).min()) > 0.0
+
+
+class TestCamDiagnostics:
+    def _mini_state(self):
+        from cam_nor_physics_tpu.models.physics.state import \
+            make_state_from_profiles
+        ncol, pver, pcnst = 4, 8, 3
+        pint = jnp.broadcast_to(jnp.linspace(1e3, 1e5, pver + 1),
+                                (ncol, pver + 1))
+        t = jnp.full((ncol, pver), 270.0)
+        q = jnp.full((ncol, pver, pcnst), 1e-4)
+        return make_state_from_profiles(
+            pint, t, jnp.zeros((ncol, pver)), jnp.zeros((ncol, pver)), q,
+            jnp.zeros((ncol,)))
+
+    def test_payloads_and_registration(self):
+        st = self._mini_state()
+        reg = HistoryRegistry()
+        reg.addfld("T", "K", "Temperature")
+        diag_register(reg)
+        out = diag_phys_writeout(st)
+        assert set(out) >= {"T", "Q", "PS", "TMQ", "RELHUM"}
+        tmq = np.asarray(out["TMQ"])
+        np.testing.assert_allclose(
+            tmq, np.asarray((st.q[:, :, 0] * st.pdel).sum(-1)) / 9.80616,
+            rtol=1e-12)
+        ini = diag_conv_tend_ini(st)
+        st2 = st.replace(t=st.t + 1.0)
+        dc = diag_conv(st2, ini, 100.0)
+        np.testing.assert_allclose(np.asarray(dc["DTCOND"]), 0.01)
+
+    def test_surface_and_export(self):
+        from cam_nor_physics_tpu.models.coupling.camsrfexch import (CamIn,
+                                                                    CamOut)
+        cam_in = CamIn.zeros(4, 3)
+        cam_out = CamOut.zeros(4, 3)
+        s = diag_surf(cam_in, cam_out)
+        e = diag_export(cam_out)
+        assert "SHFLX" in s and "PRECT" in e
