@@ -158,6 +158,48 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
     return state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new, q=q_new)
 
 
+def axial_angular_momentum(state: DynState, grid: FVGrid):
+    """Global axial (relative) angular momentum integral
+    (the par_vecsum/shr_reprosum payload of the AM fixer,
+    dyn_comp.F90:1952-2069): M = sum u·cosφ·dm over the sphere, with dm
+    proportional to delp·cell-area. Deterministic on TPU (fixed reduction
+    order — SURVEY §2.3 P11), so no reprosum machinery is needed.
+    """
+    cose = jnp.asarray(grid.cose)[None, :, None]
+    # u is edge-staggered: weight rows by the edge-centered area measure
+    w = cose * grid.dl * grid.dp
+    return jnp.sum(state.u * cose * state.delp * w)
+
+
+def am_fixer(state: DynState, grid: FVGrid, am0):
+    """Restore the pre-step global axial AM by a solid-rotation-like wind
+    increment u -= (ΔM/me0)·cosφ (dyn_comp.F90:2030-2069; the cose-weighted
+    correction of the reference with the optional taper omitted —
+    documented simplification, taper affects only the vertical shape)."""
+    am1 = axial_angular_momentum(state, grid)
+    cose = jnp.asarray(grid.cose)[None, :, None]
+    w = cose * grid.dl * grid.dp
+    me0 = jnp.sum(cose * cose * state.delp * w)          # ∫cos²φ dm measure
+    du = -(am1 - am0) / me0 * cose
+    u_new = state.u + du
+    u_new = u_new * (jnp.asarray(grid.cose)[None, :, None] > 0)
+    return state.replace(u=u_new)
+
+
+def benergy(state: DynState, grid: FVGrid, ptop: float):
+    """Global total-energy integral before dynamics (upstream benergy
+    contract, dyn_comp.F90:1327-1329): area-weighted sum of
+    cp·Tv + K over mass."""
+    pe, pk, pkz, peln = pressure_vars(state.delp, ptop)
+    tv = state.pt * pkz
+    from .cd_core import d2a_winds
+    ua, va = d2a_winds(state.u, state.v)
+    ke = 0.5 * (ua ** 2 + va ** 2)
+    w = jnp.asarray(grid.cosp).at[0].set(grid.acap / grid.im) \
+        .at[-1].set(grid.acap / grid.im)[None, :, None]
+    return jnp.sum(w * state.delp * (c.CPAIR * tv + ke))
+
+
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             cfg: FVConfig, ndt: float, filter_impl: str = "fft"):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
@@ -179,10 +221,14 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
 
         def small_step(carry, _):
             st_i, acc = carry
+            am0 = axial_angular_momentum(st_i, grid) if cfg.am_fixer else None
             st_i, d = cd_step(st_i, grid, ptop, phis, dt,
                               iord=cfg.iord, jord=cfg.jord,
                               dyn_filter=cfg.fft_flt >= 0,
                               filter_impl=filter_impl)
+            if cfg.am_fixer:
+                # global AM restoration per small step (dyn_comp.F90:1952-2069)
+                st_i = am_fixer(st_i, grid, am0)
             acc = dict(cx=acc["cx"] + d["cx"], cy=acc["cy"] + d["cy"],
                        mfx=acc["mfx"] + d["mfx"], mfy=acc["mfy"] + d["mfy"])
             return (st_i, acc), None
