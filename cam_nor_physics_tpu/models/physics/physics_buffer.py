@@ -77,7 +77,8 @@ def zm_pbuf_specs(ncol: int, pver: int) -> dict:
         "DP_CLDLIQ": mid, "DP_CLDICE": mid,
         "ICWMRDP": mid, "RPRDDP": mid, "NEVAPR_DPCU": mid,
         "PREC_DP": srf, "SNOW_DP": srf,
-        "DLFZM": mid, "DIFZM": mid, "CMFMC_DP": edge,
+        "DLFZM": mid, "DIFZM": mid, "DNLFZM": mid, "DNIFZM": mid,
+        "CMFMC_DP": edge,
         "CLD": ((ncol, pver), "global"),
         "FRACIS": ((ncol, pver), "physpkg"),
         "TPERT": srf, "PBLH": ((ncol,), "global"),

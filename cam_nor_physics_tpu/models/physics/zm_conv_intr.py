@@ -76,11 +76,26 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
                                                     out.maxg[:, None], 1)[:, 0],
                                 state.ps)
 
+    # optional convective microphysics (zmconv_microp; zm_mphy role):
+    # phase/number partition of updraft condensate + detrainment, freezing
+    # heating folded into the convective heating
+    heat = out.heat
+    dlf_out, dif_out = out.dlf, jnp.zeros_like(out.dlf)
+    if cfg.microp:
+        from .zm_microphysics import zm_mphy
+        mp = zm_mphy(out.ql, state.t, out.du, None, out.dlf, ztodt)
+        heat = heat + mp.frz
+        dlf_out, dif_out = mp.dlf, mp.dif
+        pbuf = pbuf.update(DNLFZM=mp.dnlf, DNIFZM=mp.dnif,
+                           DP_CLDLIQ=mp.qliq, DP_CLDICE=mp.qice)
+        diags["DNLFZM"] = mp.dnlf
+        diags["DNIFZM"] = mp.dnif
+
     lq = (True,) + (False,) * (pcnst - 1)
     ptend_conv = ptend_init("zm_convr", ncol, pver, pcnst, ls=True, lq=lq,
                             dtype=dtype)
     ptend_conv = ptend_conv.replace(
-        s=out.heat, q=ptend_conv.q.at[:, :, 0].set(out.qtnd))
+        s=heat, q=ptend_conv.q.at[:, :, 0].set(out.qtnd))
 
     ptend_all = ptend_init("zm_conv_tend", ncol, pver, pcnst, dtype=dtype)
     ptend_all = ptend_sum(ptend_all, ptend_conv, name="zm_conv_tend")
@@ -149,7 +164,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         ZM_IDEEP=maskf, RPRDDP=out.rprd, ICWMRDP=out.ql,
         NEVAPR_DPCU=ev["tend_q"], PREC_DP=ev["prec"], SNOW_DP=ev["snow"],
         DP_FLXPRC=ev["flxprec"], DP_FLXSNW=ev["flxsnow"],
-        DLFZM=out.dlf, CMFMC_DP=mcon_kg)
+        DLFZM=dlf_out, DIFZM=dif_out, CMFMC_DP=mcon_kg)
 
     return ZMTendOut(ptend_all=ptend_all, state1=state1, pbuf=pbuf,
                      mcon=mcon_kg, cme=out.cme, zdu=out.zdu, pflx=out.pflx,
