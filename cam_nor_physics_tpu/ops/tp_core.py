@@ -38,9 +38,23 @@ R3 = 1.0 / 3.0
 R23 = 2.0 / 3.0
 
 
+def _roll_static(a, shift: int, axis: int):
+    """jnp.roll with a static shift as explicit slice+concat: jnp.roll
+    lowers through dynamic_slice, which Mosaic (Pallas TPU) does not
+    implement; the static form lowers everywhere and fuses identically."""
+    axis = axis % a.ndim
+    n = a.shape[axis]
+    s = (-shift) % n
+    if s == 0:
+        return a
+    lo = jax.lax.slice_in_dim(a, s, n, axis=axis)
+    hi = jax.lax.slice_in_dim(a, 0, s, axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
 def _rollx(a, shift):
     """Periodic shift along the x (last) axis; positive shift moves east->i+."""
-    return jnp.roll(a, shift, axis=-1)
+    return _roll_static(a, shift, -1)
 
 
 def wset_row(a, row: int, value, axis: int = -2):
@@ -71,8 +85,14 @@ def wset_interior(a, value, axis: int = -2):
 
 def _rolly(a, shift, axis: int = -2):
     """Shift along the y axis (non-periodic use: callers overwrite the rows
-    that wrapped). jnp.roll partitions to a collective permute."""
-    return jnp.roll(a, shift, axis=axis)
+    that wrapped). Partitions to a collective permute under SPMD."""
+    return _roll_static(a, shift, axis)
+
+
+def _rollv(v, shift):
+    """Roll a 1-D (im,) vector via a 2-D op: Mosaic (Pallas TPU) restricts
+    1-D shuffles, so keep the roll two-dimensional."""
+    return _roll_static(v[None, :], shift, -1)[0]
 
 
 def _gatherx(a, idx):
@@ -219,7 +239,10 @@ def _wrap_segment_sum(q, start, length, max_len: int):
     must satisfy 0 <= length <= im (guaranteed: |c| <= im/3).
     """
     im = q.shape[-1]
-    cs = jnp.cumsum(q, axis=-1)                      # cs[i] = sum q[0..i]
+    # prefix sum as a lower-triangular contraction: exact same sums, runs on
+    # the MXU, and lowers inside Pallas kernels (Mosaic has no cumsum)
+    tri = jnp.tril(jnp.ones((im, im), q.dtype))
+    cs = jnp.einsum('im,...m->...i', tri, q)         # cs[i] = sum q[0..i]
     total = cs[..., -1:]
 
     a = jnp.mod(start, im)
@@ -242,7 +265,9 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     """
     jm, im = q.shape
     cosa = cosa[:, None]
-    ffsl = ffsl[:, None]
+    # expand the row flag via a float reshape + compare: Mosaic cannot
+    # insert a minor dim on i1 (bool) vectors
+    ffsl = jnp.asarray(ffsl, q.dtype)[:, None] > 0.5
     if max_cfl_int is None:
         max_cfl_int = im // 3
 
@@ -336,24 +361,27 @@ def ymist(q, jord: int, iv: int):
     dm_int = wset_interior(jnp.zeros_like(q),
                            0.25 * (_rolly(q, -1) - _rolly(q, 1)))
 
-    qs_mir = jnp.roll(q[1, :], -im2, axis=-1)   # q(i+im2, row 1)
-    qn_mir = jnp.roll(q[-2, :], -im2, axis=-1)  # q(i+im2, row jm-2)
+    # explicit positive row indices: negative indexing lowers through
+    # dynamic_slice, which Mosaic (Pallas TPU) does not implement
+    q_n1, q_n2 = q[jm - 1, :], q[jm - 2, :]
+    qs_mir = _rollv(q[1, :], -im2)              # q(i+im2, row 1)
+    qn_mir = _rollv(q_n2, -im2)                 # q(i+im2, row jm-2)
 
     if iv == 0:
         tmp_s = 0.25 * (q[1, :] - qs_mir)
         qmax_s = jnp.maximum(jnp.maximum(q[1, :], q[0, :]), qs_mir) - q[0, :]
         qmin_s = q[0, :] - jnp.minimum(jnp.minimum(q[1, :], q[0, :]), qs_mir)
-        tmp_n = 0.25 * (qn_mir - q[-2, :])
-        qmax_n = jnp.maximum(jnp.maximum(qn_mir, q[-1, :]), q[-2, :]) - q[-1, :]
-        qmin_n = q[-1, :] - jnp.minimum(jnp.minimum(qn_mir, q[-1, :]), q[-2, :])
+        tmp_n = 0.25 * (qn_mir - q_n2)
+        qmax_n = jnp.maximum(jnp.maximum(qn_mir, q_n1), q_n2) - q_n1
+        qmin_n = q_n1 - jnp.minimum(jnp.minimum(qn_mir, q_n1), q_n2)
         mirror_sign = -1.0
     else:
         tmp_s = 0.25 * (q[1, :] + qs_mir)
         qmax_s = jnp.maximum(jnp.maximum(q[1, :], q[0, :]), -qs_mir) - q[0, :]
         qmin_s = q[0, :] - jnp.minimum(jnp.minimum(q[1, :], q[0, :]), -qs_mir)
-        tmp_n = -0.25 * (qn_mir + q[-2, :])
-        qmax_n = jnp.maximum(jnp.maximum(-qn_mir, q[-1, :]), q[-2, :]) - q[-1, :]
-        qmin_n = q[-1, :] - jnp.minimum(jnp.minimum(-qn_mir, q[-1, :]), q[-2, :])
+        tmp_n = -0.25 * (qn_mir + q_n2)
+        qmax_n = jnp.maximum(jnp.maximum(-qn_mir, q_n1), q_n2) - q_n1
+        qmin_n = q_n1 - jnp.minimum(jnp.minimum(-qn_mir, q_n1), q_n2)
         mirror_sign = 1.0
 
     dm_s = jnp.sign(tmp_s) * jnp.minimum(jnp.minimum(jnp.abs(tmp_s), qmax_s),
@@ -362,8 +390,8 @@ def ymist(q, jord: int, iv: int):
                                          qmin_n)
     # second half of each pole row mirrors the first (tp_core.F90:1149-1151)
     half = jnp.arange(im) >= im2
-    dm_s = jnp.where(half, mirror_sign * jnp.roll(dm_s, im2), dm_s)
-    dm_n = jnp.where(half, mirror_sign * jnp.roll(dm_n, im2), dm_n)
+    dm_s = jnp.where(half, mirror_sign * _rollv(dm_s, im2), dm_s)
+    dm_n = jnp.where(half, mirror_sign * _rollv(dm_n, im2), dm_n)
 
     dm = wset_row(wset_row(dm_int, 0, dm_s), -1, dm_n)
 
@@ -393,9 +421,9 @@ def fyppm(c, q, dm, jord: int, iv: int):
     al_full = 0.5 * (_rolly(q, 1) + q) + R3 * (_rolly(dm, 1) - dm)
     # pole mirroring (tp_core.F90:1312-1344)
     sgn = 1.0 if iv == 0 else -1.0
-    al = wset_row(al_full, 0, sgn * jnp.roll(al_full[1, :], -im2))
+    al = wset_row(al_full, 0, sgn * _rollv(al_full[1, :], -im2))
     ar = _rolly(al, -1)                               # ar[j] = al[j+1]
-    ar = wset_row(ar, -1, sgn * jnp.roll(al[-1, :], -im2))
+    ar = wset_row(ar, -1, sgn * _rollv(al[jm - 1, :], -im2))
 
     if jord in (3, 5):
         a6 = 3.0 * (q + q - (al + ar))
