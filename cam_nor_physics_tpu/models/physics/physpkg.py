@@ -219,6 +219,18 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     ptend = _stub_ptend("radheat", state)
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
+    # ---- Rayleigh friction (physpkg.F90:2177-2185) ----
+    if phys_cfg.raytau0 > 0.0:
+        from .rayleigh_friction import rayleigh_friction_tend
+        dudt, dvdt, dsdt = rayleigh_friction_tend(
+            state, ztodt, phys_cfg.rayk0, phys_cfg.raykrange,
+            phys_cfg.raytau0)
+        ptend = ptend_init("rayleigh_friction", ncol, pver, pcnst, ls=True,
+                           lu=True, lv=True, dtype=dtype)
+        ptend = ptend.replace(u=dudt, v=dvdt, s=dsdt)
+        state, tend = physics_update(state, ptend, ztodt, registry, tend)
+        state, _ = check_energy_chng(state, registry, ztodt)
+
     _snap(diags, phys_cfg, 'dme_adjust_before', state)
     # ---- dry-mass / energy adjustment (physpkg.F90:2394-2452) ----
     # FV is a moist dycore: convert dry-basis tracers back to wet, then

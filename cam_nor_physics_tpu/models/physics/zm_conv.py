@@ -203,7 +203,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
                   mp=jnp.zeros((ncol,), dtype),
                   tmix_b=t_launch, qsmix_b=qs_launch, qtmix_b=qtp0)
     _, (smix_r, qtmix_r, tmix_r, qsmix_r, dzdp_r) = jax.lax.scan(
-        ascent_step2, carryA, xs, unroll=4)
+        ascent_step2, carryA, xs)
     # un-reverse to (ncol, pver) top-down
     unrev = lambda a: a.T[:, ::-1]
     smix = unrev(smix_r)
@@ -311,7 +311,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
         )
         return new_cy, (tp_k, qstp_k, tpv_k)
 
-    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP, unroll=4)
+    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP)
     tp = unrev(tp_r)
     qstp = unrev(qstp_r)
     tpv = unrev(tpv_r)

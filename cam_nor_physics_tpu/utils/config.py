@@ -168,6 +168,11 @@ class PhysConfig:
     # when True, tphysbc/tphysac record T/q before+after each
     # parameterization into the diagnostics payload for offline diffing
     cam_snapshot: bool = False
+    # Rayleigh friction (rayleigh_friction_tend, physpkg.F90:2177-2185):
+    # raytau0 <= 0 disables (the upstream default without the namelist)
+    rayk0: int = 2
+    raykrange: float = 0.0
+    raytau0: float = 0.0          # e-folding time at model top (days)
 
     def cam_physpkg_is(self, name: str) -> bool:
         return self.cam_physpkg == name
