@@ -46,19 +46,25 @@ class AtmModel:
     phys_cfg: PhysConfig
     zm_cfg: ZMConfig
     dt: float                      # coupling (large) timestep (s)
+    # polar filter implementation: "fft" (default) or "matmul" (circulant,
+    # MXU path; required for sharded runs on CPU backends whose SPMD FFT
+    # has layout restrictions — see grid.py)
+    filter_impl: str = "fft"
 
     @classmethod
     def create(cls, im: int, jm: int, km: int, dt: float = 1800.0,
                registry: ConstituentRegistry | None = None,
                fv_cfg: FVConfig | None = None,
                phys_cfg: PhysConfig | None = None,
-               zm_cfg: ZMConfig | None = None) -> "AtmModel":
+               zm_cfg: ZMConfig | None = None,
+               filter_impl: str = "fft") -> "AtmModel":
         return cls(grid=make_grid(im, jm, km),
                    coord=hybrid_coefficients(km),
                    registry=registry or default_registry(),
                    fv_cfg=fv_cfg or FVConfig(),
                    phys_cfg=phys_cfg or PhysConfig(),
-                   zm_cfg=zm_cfg or ZMConfig(), dt=dt)
+                   zm_cfg=zm_cfg or ZMConfig(), dt=dt,
+                   filter_impl=filter_impl)
 
 
 @struct.dataclass
@@ -109,7 +115,8 @@ def atm_step(model: AtmModel, state: AtmState, cam_in: CamIn,
 
     # physics -> dycore, large dynamics step, dycore -> physics
     dyn = p_d_coupling(state.dyn, o2.state, g, coord.ptop, model.dt, reg)
-    dyn = dyn_run(dyn, g, coord, state.phis, model.fv_cfg, model.dt)
+    dyn = dyn_run(dyn, g, coord, state.phis, model.fv_cfg, model.dt,
+                  filter_impl=model.filter_impl)
     phys = d_p_coupling(dyn, g, state.phis, coord.ptop, reg)
 
     diags = dict(o1.diagnostics)

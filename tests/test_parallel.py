@@ -62,3 +62,55 @@ class TestShardedStep:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+    def test_coupled_step_sharded_matches(self):
+        """The FULL coupled step (physics + coupling + dynamics) must be
+        decomposition-invariant: 8-way y-sharded vs single device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cam_nor_physics_tpu.models.atm_comp import (AtmModel, atm_init,
+                                                         atm_step)
+        from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+        from cam_nor_physics_tpu.parallel.mesh import make_mesh
+
+        jm, im, km = 24, 32, 4
+        model = AtmModel.create(im, jm, km, dt=1800.0,
+                                fv_cfg=FVConfig(nsplit=2, nspltrac=1),
+                                filter_impl="matmul")
+        dyn0 = hs_initial_state(model.grid, model.coord, pert=0.0,
+                                nq=model.registry.pcnst)
+        dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-4).at[0].set(
+            3e-3 * (dyn0.delp / dyn0.delp.max())))
+        state = atm_init(model, dyn0, jnp.zeros((jm, im)))
+        ncol = jm * im
+        cam_in = CamIn.zeros(ncol, model.registry.pcnst)
+        cam_in = cam_in.replace(shf=jnp.full((ncol,), 10.0),
+                                landfrac=jnp.full((ncol,), 0.3))
+
+        ref, _, _ = jax.jit(
+            lambda s: atm_step(model, s, cam_in, first_step=True))(state)
+
+        mesh = make_mesh(8, x_shards=1)
+
+        def spec(a):
+            if a.ndim >= 2 and a.shape[-2] == jm and a.shape[-1] == im:
+                return P(*([None] * (a.ndim - 2)), 'y', None)
+            if a.ndim >= 1 and a.shape[0] == ncol:
+                return P('y')
+            return P()
+
+        def place(tree):
+            return jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, spec(a))),
+                tree)
+
+        out, _, _ = jax.jit(
+            lambda s, ci: atm_step(model, s, ci, first_step=True))(
+            place(state), place(cam_in))
+        for name in ["u", "v", "pt", "delp", "q"]:
+            a = np.asarray(getattr(ref.dyn, name))
+            b = np.asarray(getattr(out.dyn, name))
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() < 1e-11 * scale, name
+        np.testing.assert_allclose(np.asarray(out.phys.t),
+                                   np.asarray(ref.phys.t), atol=1e-10)
