@@ -51,6 +51,10 @@ def physpkg_pbuf_specs(ncol: int, pver: int) -> dict:
         "CLDLIQINI": ((ncol, pver), "physpkg"),
         "CLDICEINI": ((ncol, pver), "physpkg"),
         "RLIQBC": ((ncol,), "physpkg"),      # physpkg.F90:2894
+        # aerosol water uptake state for modal optics (pbuf DGNUMWET /
+        # QAERWAT, modal_aer_opt.F90 usage; filled by the wateruptake slot)
+        "DGNUMWET": ((ncol, pver), "global"),
+        "QAERWAT": ((ncol, pver), "global"),
     })
     return specs
 
@@ -155,6 +159,22 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     # ---- merged convection diagnostics (physpkg.F90:2885-2887) ----
     diags.update(convect_diagnostics_calc(state, pbuf))
     pbuf = pbuf.set("RLIQBC", zm_out.rliq)               # (:2894-2895)
+
+    # ---- modal aerosol optics diagnostics (physpkg.F90:2899-2930: the
+    # nstep-0 calcsize/wateruptake + optics branch, skipped for oslo) ----
+    if (phys_cfg.prog_modal_aero and not phys_cfg.use_oslo_aero
+            and phys_cfg.aero_modes):
+        from .modal_aer_opt import modal_aero_lw, modal_aero_sw
+        mass = state.pdel / c.GRAVIT
+        dgnumwet = pbuf.get("DGNUMWET")
+        qaerwat = pbuf.get("QAERWAT")
+        for mode in phys_cfg.aero_modes:
+            specmmr = [state.q[:, :, registry.index(n)]
+                       for n in mode.species_names]
+            sw = modal_aero_sw(mode, specmmr, dgnumwet, qaerwat, mass)
+            diags[f"AODVIS_{mode.name}"] = sw["AODVIS"]
+            diags[f"AODABS_{mode.name}"] = sw["AODABS"]
+            diags[f"BURDEN_{mode.name}"] = sw["burden"]
 
     # ---- export to surface models (physpkg.F90:2933-2940) ----
     cam_out = cam_export(state, prec_dp, snow_dp)

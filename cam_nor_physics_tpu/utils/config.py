@@ -173,6 +173,11 @@ class PhysConfig:
     rayk0: int = 2
     raykrange: float = 0.0
     raytau0: float = 0.0          # e-folding time at model top (days)
+    # modal aerosol optics modes (rad_constituents role): tuple of
+    # modal_aer_opt.AeroMode; when non-empty and prog_modal_aero (and not
+    # use_oslo_aero), tphysbc emits the AOD diagnostics family
+    # (physpkg.F90:2899-2930 nstep-0 aerosol-optics branch)
+    aero_modes: tuple = ()
 
     def cam_physpkg_is(self, name: str) -> bool:
         return self.cam_physpkg == name
