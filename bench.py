@@ -50,7 +50,9 @@ def main():
     grid = make_grid(im, jm, km)
     coord = hybrid_coefficients(km)
     phis = jnp.zeros((jm, im), dtype)
-    cfg = FVConfig(nsplit=4, nspltrac=1)
+    # auto splits: the benchmarked configuration must be the STABLE one
+    # (resolved_splits gives nsplit=8 at 1.9x2.5, validated on long HS runs)
+    cfg = FVConfig()
     dt = 1800.0
 
     @jax.jit

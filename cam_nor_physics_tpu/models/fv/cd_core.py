@@ -38,7 +38,7 @@ import numpy as np
 from flax import struct
 
 from ...ops import tp_core as tp
-from ...ops.tp_core import _rolly, edge_north, wset_interior, wset_row
+from ...ops.tp_core import _rollx, _rolly, edge_north, wset_interior, wset_row
 from ...utils import constants as c
 from .grid import (FVGrid, circulant_filter_matrices, polar_filter,
                    polar_filter_matmul)
@@ -159,7 +159,8 @@ def divergence_corner(u, v, grid: FVGrid):
 
 def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             iord: int = 4, jord: int = 4, div2_coef_nd: float = 0.08,
-            dyn_filter: bool = True, filter_impl: str = "fft"):
+            dyn_filter: bool = True, filter_impl: str = "fft",
+            ke_method: str = "centered", del2_velocity: float = 0.0):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy)."""
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
@@ -224,7 +225,19 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     # ---- vector-invariant wind update ----
     zeta_a = absolute_vorticity(u, v, grid)
-    ke = 0.5 * (ua ** 2 + va ** 2)
+    if ke_method == "avg_sq":
+        # average-of-squares KE at centers: 0.25(u_j^2+u_{j+1}^2) +
+        # 0.25(v_i^2+v_{i+1}^2). The square-of-averages form feeds the
+        # Hollingsworth–Kållberg instability of vector-invariant schemes
+        # (observed: tropical blow-up as the HS jet spins up); averaging the
+        # squares keeps KE consistent with the staggered circulation terms.
+        u_n = wset_row(_rolly(u, -1), -1, 0.0)
+        ke_u = wset_interior(jnp.zeros_like(u), 0.5 * (u ** 2 + u_n ** 2))
+        ke_v = 0.5 * (v ** 2 + jnp.roll(v, -1, axis=-1) ** 2)
+        ke_v = wset_row(wset_row(ke_v, 0, 0.0), -1, 0.0)
+        ke = 0.5 * (ke_u + ke_v)
+    else:
+        ke = 0.5 * (ua ** 2 + va ** 2)
     energy = ke + phi_m + c.CPAIR * pt_new * pkz   # K + Φ + cp·θv·π
     # the cpθv·δπ term is applied as δ(cpθvπ) − cpπδθv (product rule), i.e.
     # gradient of the Montgomery-like potential minus the compensation term
@@ -285,6 +298,23 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     ddiv_y = wset_interior(jnp.zeros_like(v),
                            (_rolly(div, -1) - div) / (c.REARTH * dp_))
     dv = dv + dt * nu * ddiv_y
+
+    if del2_velocity > 0.0:
+        # del2 velocity damping (the div24del2flag=42 / del2coef path,
+        # dyn_comp.F90 namelist): explicit Laplacian diffusion of the winds
+        cs = jnp.where(cose[:, None] > 0, cose[:, None], 1.0)
+        rdx2 = 1.0 / (c.REARTH * cs * dl) ** 2
+        rdy2 = 1.0 / (c.REARTH * dp_) ** 2
+
+        def lap(a):
+            d2x = (_rollx(a, -1) - 2.0 * a + _rollx(a, 1)) * rdx2
+            d2y = wset_interior(
+                jnp.zeros_like(a),
+                (_rolly(a, -1) - 2.0 * a + _rolly(a, 1)) * rdy2)
+            return d2x + d2y
+
+        du = du + dt * del2_velocity * lap(u)
+        dv = dv + dt * del2_velocity * lap(v)
 
     # ---- polar filter on wind tendencies ----
     if dyn_filter:

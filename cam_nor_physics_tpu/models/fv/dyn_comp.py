@@ -225,7 +225,10 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             st_i, d = cd_step(st_i, grid, ptop, phis, dt,
                               iord=cfg.iord, jord=cfg.jord,
                               dyn_filter=cfg.fft_flt >= 0,
-                              filter_impl=filter_impl)
+                              filter_impl=filter_impl,
+                              del2_velocity=(cfg.del2coef
+                                             if cfg.div24del2flag == 42
+                                             else 0.0))
             if cfg.am_fixer:
                 # global AM restoration per small step (dyn_comp.F90:1952-2069)
                 st_i = am_fixer(st_i, grid, am0)

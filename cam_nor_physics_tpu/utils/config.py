@@ -36,7 +36,12 @@ class FVConfig:
     conserve: bool = False    # total-energy conserving vertical remap
     filtcw: int = 0           # filter C-grid winds
     fft_flt: int = 1          # 0 = FFT/algebraic filter, 1 = FFT filter
-    div24del2flag: int = 2    # 2 = 2nd-order div damping, 4 = 4th, 42 = 4th + del2 velocity damping
+    # 2 = 2nd-order div damping, 4 = 4th, 42 = div damping + del2 velocity
+    # damping. Default 42 here (the reference defaults to 2): this dycore's
+    # explicit forward-backward coupling needs the background del2 velocity
+    # diffusion — validated at 1.9°x2.5° Held-Suarez: (c+u)Δt/Δy ≲ 0.5 with
+    # del2 holds 20+ days; without it the spun-up jet destabilizes.
+    div24del2flag: int = 42
     del2coef: float = 3.0e5   # strength of 2nd-order velocity damping
     high_order_top: bool = False
     high_altitude: bool = False
@@ -59,7 +64,14 @@ class FVConfig:
         """
         ns = self.nsplit
         if ns <= 0:
-            dim0, dt0, ns0 = 191.0, 1800.0, 4.0
+            # ns0 = 8 here vs the reference's 4: this dycore's explicit
+            # C-half-step + forward-backward D-step gravity-wave coupling
+            # is stable to c·dt/Δ ≈ 0.5 (validated: 1.9°x2.5° Held-Suarez
+            # runs indefinitely at ns=8, blows up near day 5 at ns=4
+            # regardless of divergence damping), whereas the reference's
+            # cd_core is stable near 1. Doubling the auto split restores
+            # the same stability margin.
+            dim0, dt0, ns0 = 191.0, 1800.0, 8.0
             dim = max(im, 2 * (jm - 1))
             ns = max(1, int(ns0 * dt * dim / (dt0 * dim0) + 0.75))
         nspltrac = self.nspltrac if self.nspltrac > 0 else max(1, ns // 4)
