@@ -214,6 +214,11 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
 
     _snap(diags, phys_cfg, 'vertical_diffusion_after', state)
     # ---- macro/micro substep loop (physpkg.F90:1719-1915) ----
+    # the macrophysics slot's cloud-fraction product: diagnostic Sundqvist
+    # + convective fraction into the CLD pbuf field (cldfrc role)
+    from .cloud_fraction import cldfrc
+    pbuf = pbuf.set("CLD", cldfrc(state, pbuf.get("CMFMC_DP")))
+
     n_sub = phys_cfg.cld_macmic_num_steps
     for _ in range(n_sub):
         # clubb_tend_cam slot: PBL turbulence + shallow convection +

@@ -22,6 +22,13 @@ from .state import (PhysicsPtend, PhysicsState, physics_update, ptend_init,
 from .zm_conv import ZMConvOut, zm_conv_evap, zm_convr
 from .zm_transport import convtran, momtran
 
+# ZM_ORG organization-tracer parameters (the zmconv_org pathway;
+# dimensionless "organization" sourced from precip-evaporation moistening
+# with a ~3 h memory, feeding back as launch-perturbation warmth)
+ORG_TAU = 10800.0      # decay timescale (s)
+ORG_PROD = 1.0e3       # production per unit evap moistening rate
+ORG2TPERT = 50.0       # K per unit near-surface organization
+
 
 @struct.dataclass
 class ZMTendOut:
@@ -49,6 +56,15 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
     dtype = state.t.dtype
     diags = {}
+
+    # ---- ZM_ORG organization feedback (zmconv_org; ZM_ORG constituent,
+    # zm_conv_intr.F90:101-172): sub-grid organization from prior convective
+    # activity boosts the launch perturbation ----
+    ix_org = registry.index("ZM_ORG") if cfg.org else -1
+    if ix_org > 0:
+        org_low = jnp.mean(state.q[:, -5:, ix_org], axis=-1)
+        tpert = tpert + jnp.clip(ORG2TPERT * org_low, 0.0, 2.0)
+        diags["ZM_ORG2D"] = org_low
 
     # ---- zm_convr on the current state (intr:662-673; delt = ztodt/2) ----
     out: ZMConvOut = zm_convr(
@@ -122,6 +138,19 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
 
     ptend_all = ptend_sum(ptend_all, ptend_evap, name="zm_conv_tend")
     state1, _ = physics_update(state1, ptend_evap, ztodt, registry)
+
+    # ---- ZM_ORG source/decay (intr:773-777: org sourced from downdraft/
+    # precip evaporation, first-order decay) ----
+    if ix_org > 0:
+        prod = ORG_PROD * jnp.maximum(ev["tend_q"], 0.0)   # evap moistening
+        dorg = prod - state1.q[:, :, ix_org] / ORG_TAU
+        lq_org = tuple(m == ix_org for m in range(pcnst))
+        ptend_org = ptend_init("zm_org", ncol, pver, pcnst, lq=lq_org,
+                               dtype=dtype)
+        ptend_org = ptend_org.replace(
+            q=ptend_org.q.at[:, :, ix_org].set(dorg))
+        ptend_all = ptend_sum(ptend_all, ptend_org, name="zm_conv_tend")
+        state1, _ = physics_update(state1, ptend_org, ztodt, registry)
 
     # ---- momentum transport (intr:822-858) ----
     mt = momtran(state1.u, state1.v, out.mu, out.md, out.du, out.eu, out.ed,
