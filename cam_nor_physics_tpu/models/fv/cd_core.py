@@ -160,7 +160,8 @@ def divergence_corner(u, v, grid: FVGrid):
 def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             iord: int = 4, jord: int = 4, div2_coef_nd: float = 0.08,
             dyn_filter: bool = True, filter_impl: str = "fft",
-            ke_method: str = "centered", del2_velocity: float = 0.0):
+            ke_method: str = "centered", del2_velocity: float = 0.0,
+            c_sw_pgf: bool = False):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy)."""
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
@@ -171,17 +172,78 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     acosp = jnp.asarray(grid.acosp)
     fc_e = jnp.asarray(grid.fc)
 
-    # ---- C-grid advective winds (d2a2c + half-step Coriolis/PGF) ----
+    # ---- C-grid advective winds (d2a2c + c_sw half step) ----
     ua, va = d2a_winds(u, v)
     # uc at west edges (x-edge, center row); vc at south edges
-    uc = 0.5 * (ua + jnp.roll(ua, 1, axis=-1))
-    vc = wset_row(0.5 * (va + _rolly(va, 1)), 0, 0.0)
+    uc0 = 0.5 * (ua + jnp.roll(ua, 1, axis=-1))
+    vc0 = wset_row(0.5 * (va + _rolly(va, 1)), 0, 0.0)
 
-    # half-step Coriolis rotation of the advective winds (C step role)
     f_c = jnp.asarray(grid.f0)[:, None]
     dt5 = 0.5 * dt
-    uc = uc + dt5 * f_c * vc_at_uc(vc)
-    vc = vc - dt5 * fc_e[:, None] * uc_at_vc(uc)
+    safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
+
+    if c_sw_pgf:
+        # EXPERIMENTAL (default off): full c_sw half step — advance delp/pt
+        # dt/2 on the C grid, then kick uc/vc with Coriolis + the PGF of the
+        # half-advanced state (the reference c_sw's role, which buys its
+        # cΔt/Δ ≈ 1 stability). In THIS formulation — where the D step
+        # evaluates its PGF from the post-transport state — the combination
+        # is empirically unstable (blows up within 40 low-res HS steps);
+        # enabling it requires moving the D-step PGF to a time-centered
+        # evaluation jointly. Kept for that follow-up; the validated default
+        # is the Coriolis-only half step + del2 damping + halved Δt_small.
+        crx_c = uc0 * dt5 / (c.REARTH * safe_cosp * dl)
+        crx_c = wset_row(wset_row(crx_c, 0, 0.0), -1, 0.0)
+        cry_c = wset_row(vc0 * dt5 / (c.REARTH * dp_), 0, 0.0)
+        yfx_c = cry_c * cose[:, None]
+        va_c2 = 0.5 * (cry_c + edge_north(cry_c))
+        ffsl_c = jnp.max(jnp.abs(crx_c), axis=-1) > 1.0
+
+        def ctrans_level(args):
+            delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
+            ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, 1, 1,
+                                        crx_k, yfx_k, cosp, acosp,
+                                        grid.rcap, ffsl_k)
+            fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, 1, 1,
+                                   mfx_k, mfy_k, cosp, ffsl_k, 1)
+            dpt = fx_pt - jnp.roll(fx_pt, -1, axis=-1) + \
+                (fy_pt - edge_north(fy_pt)) * acosp[:, None]
+            dpt = wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * grid.rcap)
+            dpt = wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * grid.rcap)
+            return ddp, dpt
+
+        ddp_c, dpt_c = jax.vmap(ctrans_level)(
+            (delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c))
+        delp_h = delp + ddp_c
+        pt_h = (pt * delp + dpt_c) / delp_h
+
+        pe_h, pk_h, pkz_h, _ = pressure_vars(delp_h, ptop)
+        wz_h = geopotential_k(pt_h, pk_h, phis)
+        phi_h = 0.5 * (wz_h[1:] + wz_h[:-1])
+        en_h = phi_h + c.CPAIR * pt_h * pkz_h
+
+        # C-grid PGF: plain center differences at the staggered points,
+        # product-rule form δ(Φ+cpθπ) − cpπδθ
+        dx_en = (en_h - _rollx(en_h, 1)) / (c.REARTH * safe_cosp * dl)
+        dx_th = (pt_h - _rollx(pt_h, 1)) / (c.REARTH * safe_cosp * dl)
+        pi_u = 0.5 * (pkz_h + _rollx(pkz_h, 1))
+        pgf_u = -(dx_en - c.CPAIR * pi_u * dx_th)
+        pgf_u = wset_row(wset_row(pgf_u, 0, 0.0), -1, 0.0)
+
+        dy_en = wset_row((en_h - _rolly(en_h, 1)) / (c.REARTH * dp_),
+                         0, 0.0)
+        dy_th = wset_row((pt_h - _rolly(pt_h, 1)) / (c.REARTH * dp_),
+                         0, 0.0)
+        pi_v = wset_row(0.5 * (pkz_h + _rolly(pkz_h, 1)), 0, pkz_h)
+        pgf_v = wset_row(-(dy_en - c.CPAIR * pi_v * dy_th), 0, 0.0)
+
+        uc = uc0 + dt5 * (f_c * vc_at_uc(vc0) + pgf_u)
+        vc = vc0 + dt5 * (-fc_e[:, None] * uc_at_vc(uc0) + pgf_v)
+    else:
+        # Coriolis-only half rotation (the pre-c_sw formulation; needs
+        # (c+u)Δt/Δ < ~0.5 — see FVConfig.div24del2flag notes)
+        uc = uc0 + dt5 * f_c * vc_at_uc(vc0)
+        vc = vc0 - dt5 * fc_e[:, None] * uc_at_vc(uc)
 
     # Courant numbers / background fluxes at D-flux positions
     safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]

@@ -201,7 +201,8 @@ def benergy(state: DynState, grid: FVGrid, ptop: float):
 
 
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
-            cfg: FVConfig, ndt: float, filter_impl: str = "fft"):
+            cfg: FVConfig, ndt: float, filter_impl: str = "fft",
+            c_sw_pgf: bool = False):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
 
     Subcycle factorization per dyn_comp.F90:1497-1524:
@@ -226,6 +227,7 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               iord=cfg.iord, jord=cfg.jord,
                               dyn_filter=cfg.fft_flt >= 0,
                               filter_impl=filter_impl,
+                              c_sw_pgf=c_sw_pgf,
                               del2_velocity=(cfg.del2coef
                                              if cfg.div24del2flag == 42
                                              else 0.0))

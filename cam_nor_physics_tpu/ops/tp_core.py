@@ -285,21 +285,26 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
 
     fx_upw = mfx * sel_reg(q)
 
-    dm4 = xmist(q, 2 if iord > 0 else iord)   # tp_core.F90:464-468
-    fx_van = mfx * (sel_reg(q) + sel_reg(dm4) * (jnp.sign(c) - c))
+    if iord == 1:
+        # static fast path (the C-grid half-step transport): pure upwind,
+        # no slope/PPM construction
+        fx_reg = fx_upw
+    else:
+        dm4 = xmist(q, 2 if iord > 0 else iord)   # tp_core.F90:464-468
+        fx_van = mfx * (sel_reg(q) + sel_reg(dm4) * (jnp.sign(c) - c))
 
-    al, ar, a6 = _ppm_edges(q, dm4, iord)
-    alm = _rollx(al, 1)
-    arm = _rollx(ar, 1)
-    a6m = _rollx(a6, 1)
-    fx_ppm_pos = arm + 0.5 * c * (alm - arm + a6m * (1.0 - R23 * c))
-    fx_ppm_neg = al - 0.5 * c * (ar - al + a6 * (1.0 + R23 * c))
-    fx_ppm = mfx * jnp.where(c > 0.0, fx_ppm_pos, fx_ppm_neg)
+        al, ar, a6 = _ppm_edges(q, dm4, iord)
+        alm = _rollx(al, 1)
+        arm = _rollx(ar, 1)
+        a6m = _rollx(a6, 1)
+        fx_ppm_pos = arm + 0.5 * c * (alm - arm + a6m * (1.0 - R23 * c))
+        fx_ppm_neg = al - 0.5 * c * (ar - al + a6 * (1.0 + R23 * c))
+        fx_ppm = mfx * jnp.where(c > 0.0, fx_ppm_pos, fx_ppm_neg)
 
-    upwind_row = (iord == 1) | (cosa < COS_UPW)
-    vanleer_row = (abs(iord) == 2) | (cosa < COS_VAN)
-    fx_reg = jnp.where(upwind_row, fx_upw,
-                       jnp.where(vanleer_row, fx_van, fx_ppm))
+        upwind_row = cosa < COS_UPW
+        vanleer_row = (abs(iord) == 2) | (cosa < COS_VAN)
+        fx_reg = jnp.where(upwind_row, fx_upw,
+                           jnp.where(vanleer_row, fx_van, fx_ppm))
 
     # ---------- FFSL branch (|c| may exceed 1; periodic wrap) ----------
     iu = jnp.trunc(c).astype(jnp.int32)
@@ -308,32 +313,38 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     itmp_neg = i_idx - iu           # fractional donor for c <= 0
     itmp = jnp.where(c > 0.0, itmp_pos, itmp_neg)
 
-    # 2nd-order slope for the FFSL branch (tp_core.F90:392-398)
-    qp1, qm1 = _rollx(q, -1), _rollx(q, 1)
-    tmp = 0.25 * (qp1 - qm1)
-    qmax = jnp.maximum(jnp.maximum(qm1, q), qp1) - q
-    qmin = q - jnp.minimum(jnp.minimum(qm1, q), qp1)
-    dm2 = jnp.sign(tmp) * jnp.minimum(jnp.minimum(jnp.abs(tmp), qmax), qmin)
-
     f_upw = rut * _gatherx(q, itmp)
-    f_van = jnp.where(
-        c > 0.0,
-        rut * (_gatherx(q, itmp) + _gatherx(dm2, itmp) * (1.0 - rut)),
-        rut * (_gatherx(q, itmp) - _gatherx(dm2, itmp) * (1.0 + rut)))
 
-    alf, arf, a6f = _ppm_edges(q, dm2, iord)
-    f_ppm = jnp.where(
-        c > 0.0,
-        rut * (_gatherx(arf, itmp) + 0.5 * rut *
-               (_gatherx(alf, itmp) - _gatherx(arf, itmp) +
-                _gatherx(a6f, itmp) * (1.0 - R23 * rut))),
-        rut * (_gatherx(alf, itmp) - 0.5 * rut *
-               (_gatherx(arf, itmp) - _gatherx(alf, itmp) +
-                _gatherx(a6f, itmp) * (1.0 + R23 * rut))))
+    if iord == 1:
+        f_frac = f_upw              # static upwind fast path
+    else:
+        # 2nd-order slope for the FFSL branch (tp_core.F90:392-398)
+        qp1, qm1 = _rollx(q, -1), _rollx(q, 1)
+        tmp = 0.25 * (qp1 - qm1)
+        qmax = jnp.maximum(jnp.maximum(qm1, q), qp1) - q
+        qmin = q - jnp.minimum(jnp.minimum(qm1, q), qp1)
+        dm2 = jnp.sign(tmp) * jnp.minimum(
+            jnp.minimum(jnp.abs(tmp), qmax), qmin)
 
-    ffsl_upw = (iord == 1) | (cosa < COS_UPW)
-    ffsl_ppm = (iord >= 3) & (cosa > COS_PPM)
-    f_frac = jnp.where(ffsl_upw, f_upw, jnp.where(ffsl_ppm, f_ppm, f_van))
+        f_van = jnp.where(
+            c > 0.0,
+            rut * (_gatherx(q, itmp) + _gatherx(dm2, itmp) * (1.0 - rut)),
+            rut * (_gatherx(q, itmp) - _gatherx(dm2, itmp) * (1.0 + rut)))
+
+        alf, arf, a6f = _ppm_edges(q, dm2, iord)
+        f_ppm = jnp.where(
+            c > 0.0,
+            rut * (_gatherx(arf, itmp) + 0.5 * rut *
+                   (_gatherx(alf, itmp) - _gatherx(arf, itmp) +
+                    _gatherx(a6f, itmp) * (1.0 - R23 * rut))),
+            rut * (_gatherx(alf, itmp) - 0.5 * rut *
+                   (_gatherx(arf, itmp) - _gatherx(alf, itmp) +
+                    _gatherx(a6f, itmp) * (1.0 + R23 * rut))))
+
+        ffsl_upw = cosa < COS_UPW
+        ffsl_ppm = (iord >= 3) & (cosa > COS_PPM)
+        f_frac = jnp.where(ffsl_upw, f_upw,
+                           jnp.where(ffsl_ppm, f_ppm, f_van))
 
     # integer-Courant whole-cell sum (tp_core.F90:430-440)
     npos = jnp.where(c >= 1.0, iu, 0)                 # cells [i-iu, i-1]
