@@ -115,9 +115,11 @@ def atm_step(model: AtmModel, state: AtmState, cam_in: CamIn,
 
     # physics -> dycore, large dynamics step, dycore -> physics
     dyn = p_d_coupling(state.dyn, o2.state, g, coord.ptop, model.dt, reg)
-    dyn = dyn_run(dyn, g, coord, state.phis, model.fv_cfg, model.dt,
-                  filter_impl=model.filter_impl)
-    phys = d_p_coupling(dyn, g, state.phis, coord.ptop, reg)
+    dyn, dyn_diags = dyn_run(dyn, g, coord, state.phis, model.fv_cfg,
+                             model.dt, filter_impl=model.filter_impl,
+                             return_diags=True)
+    phys = d_p_coupling(dyn, g, state.phis, coord.ptop, reg,
+                        omega=dyn_diags["omega"])
 
     diags = dict(o1.diagnostics)
     diags.update(o2.diagnostics)

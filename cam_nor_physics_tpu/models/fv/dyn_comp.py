@@ -202,7 +202,7 @@ def benergy(state: DynState, grid: FVGrid, ptop: float):
 
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             cfg: FVConfig, ndt: float, filter_impl: str = "fft",
-            c_sw_pgf: bool = False):
+            c_sw_pgf: bool = False, return_diags: bool = False):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
 
     Subcycle factorization per dyn_comp.F90:1497-1524:
@@ -245,9 +245,20 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         return st.replace(q=q_new), None
 
     def remap_cycle(st, _):
+        # omega diagnostic (the reference's omga accumulation +
+        # compute_vdot_gradp role, dyn_comp.F90:2071-2098): between remaps
+        # the hybrid layers are material surfaces, so the Lagrangian
+        # mid-pressure change over the cycle IS ω = Dp/Dt at midpoints.
+        pe0 = pressure_vars(st.delp, ptop)[0]
+        pmid0 = 0.5 * (pe0[1:] + pe0[:-1])
         st, _ = jax.lax.scan(tracer_cycle, st, None, length=n2)
+        pe1 = pressure_vars(st.delp, ptop)[0]
+        pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
+        omega = (pmid1 - pmid0) * (nv / ndt)
         st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve)
-        return st, None
+        return st, omega
 
-    state, _ = jax.lax.scan(remap_cycle, state, None, length=nv)
+    state, omegas = jax.lax.scan(remap_cycle, state, None, length=nv)
+    if return_diags:
+        return state, {"omega": omegas[-1]}
     return state

@@ -107,3 +107,19 @@ def check_energy_fix(state: PhysicsState, registry: ConstituentRegistry,
     pint_diff = state.pint[:, -1] - state.pint[:, 0]
     heat = deficit * c.GRAVIT / pint_diff           # J/kg/s per unit dt
     return jnp.broadcast_to(heat[:, None], state.t.shape)
+
+
+def check_energy_gmean(state: PhysicsState, registry: ConstituentRegistry,
+                       area_weights=None):
+    """Area-weighted global-mean total energy (check_energy_gmean role,
+    physpkg.F90:1115, called at the top of phys_run1).
+
+    Under pjit the column batch is global-logical, so the weighted mean IS
+    the global mean — the SPMD partitioner inserts the psum (deterministic
+    on TPU; the reference needs reprosum for the same property).
+    """
+    te, _ = column_energy(state, registry)
+    if area_weights is None:
+        area_weights = jnp.cos(state.lat)
+    w = jnp.maximum(area_weights, 0.0)
+    return jnp.sum(w * te) / jnp.maximum(jnp.sum(w), 1e-30)

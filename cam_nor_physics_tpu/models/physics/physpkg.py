@@ -29,7 +29,8 @@ from flax import struct
 from ...utils import constants as c
 from ...utils.config import PhysConfig, ZMConfig
 from ..coupling.camsrfexch import CamIn, CamOut, cam_export
-from .check_energy import check_energy_chng, check_energy_fix, column_energy
+from .check_energy import (check_energy_chng, check_energy_fix,
+                           check_energy_gmean, column_energy)
 from .constituents import ConstituentRegistry
 from .convect_diagnostics import convect_diagnostics_calc
 from .dadadj import dadadj_tend
@@ -279,9 +280,12 @@ def phys_run1(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
               pbuf: PhysicsBuffer, cam_in: CamIn, ztodt: float,
               nstep: int = 1) -> PhysRunOut:
     """Pre-coupler driver (phys_run1, physpkg.F90:1057-1173): the reference's
-    per-chunk OMP loop over tphysbc is one batched call here."""
-    return tphysbc(phys_cfg, zm_cfg, registry, state, pbuf, cam_in, ztodt,
-                   nstep)
+    per-chunk OMP loop over tphysbc is one batched call here. Emits the
+    global-mean energy (check_energy_gmean, :1115) into the diagnostics."""
+    out = tphysbc(phys_cfg, zm_cfg, registry, state, pbuf, cam_in, ztodt,
+                  nstep)
+    out.diagnostics["TEGMEAN"] = check_energy_gmean(out.state, registry)
+    return out
 
 
 def phys_run2(phys_cfg: PhysConfig, registry: ConstituentRegistry,

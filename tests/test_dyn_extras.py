@@ -91,3 +91,19 @@ class TestOfflineDyn:
                                    rtol=1e-12)
         # tracers untouched (prognostic in offline mode)
         np.testing.assert_allclose(np.asarray(out.q), np.asarray(st.q))
+
+
+class TestOmega:
+    def test_lagrangian_omega_diagnostic(self, setup):
+        """dyn_run(return_diags=True) returns omega = Dp/Dt at midpoints
+        (the omga accumulation role, dyn_comp.F90:2071-2098)."""
+        grid, coord, st = setup
+        phis = jnp.zeros((24, 48))
+        st2, d = dyn_run(st, grid, coord, phis,
+                         FVConfig(nsplit=2, nspltrac=1), 1800.0,
+                         return_diags=True)
+        om = np.asarray(d["omega"])
+        assert om.shape == st.delp.shape
+        assert np.isfinite(om).all()
+        # rest-like noise state: omega small but nonzero, bounded
+        assert 0.0 < np.abs(om).max() < 50.0
