@@ -92,3 +92,31 @@ class TestTimer:
             t.timed("double", f, jnp.ones((8,)))
         assert t.counts["double"] == 3
         assert "double" in t.table()
+
+
+class TestCheckTracers:
+    def test_mass_bookkeeping(self):
+        from cam_nor_physics_tpu.models.physics.check_tracers import (
+            check_tracers_chng, check_tracers_init)
+        from cam_nor_physics_tpu.models.physics.state import \
+            make_state_from_profiles
+        from cam_nor_physics_tpu.utils import constants as c
+        ncol, pver, pcnst = 3, 6, 2
+        pint = jnp.broadcast_to(jnp.linspace(1e4, 1e5, pver + 1),
+                                (ncol, pver + 1))
+        q = jnp.full((ncol, pver, pcnst), 1e-4)
+        st = make_state_from_profiles(pint, jnp.full((ncol, pver), 270.0),
+                                      jnp.zeros((ncol, pver)),
+                                      jnp.zeros((ncol, pver)), q,
+                                      jnp.zeros((ncol,)))
+        tr = check_tracers_init(st)
+        # unchanged state -> zero residual
+        tr, resid = check_tracers_chng(st, tr)
+        np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-18)
+        # add surface flux over dt; change q consistently
+        dt, flux = 1800.0, 2e-7
+        dq = flux * dt * c.GRAVIT / np.asarray(st.pdel[:, -1])
+        st2 = st.replace(q=st.q.at[:, -1, 0].add(jnp.asarray(dq)))
+        cflx = jnp.zeros((ncol, pcnst)).at[:, 0].set(flux)
+        tr, resid = check_tracers_chng(st2, tr, cflx, dt)
+        np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-12)
