@@ -300,6 +300,11 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         ke = 0.5 * (ke_u + ke_v)
     else:
         ke = 0.5 * (ua ** 2 + va ** 2)
+    # PGF from the POST-transport state (backward evaluation). Measured:
+    # this backward damping is load-bearing — a time-centered (trapezoidal)
+    # PGF destabilizes ~10x sooner (CPU HS test: dies at step 28 vs 321 at
+    # (c+u)Δt/Δy ≈ 0.9). Do not "fix" this to centered without an implicit
+    # gravity-wave treatment.
     energy = ke + phi_m + c.CPAIR * pt_new * pkz   # K + Φ + cp·θv·π
     # the cpθv·δπ term is applied as δ(cpθvπ) − cpπδθv (product rule), i.e.
     # gradient of the Montgomery-like potential minus the compensation term
