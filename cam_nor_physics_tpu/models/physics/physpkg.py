@@ -197,21 +197,25 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     cflx = qneg4(cam_in.cflx, state.q[:, -1, :],
                  state.pdel[:, -1:].repeat(pcnst, axis=-1), ztodt, c.GRAVIT)
 
-    # ---- surface-flux application (the surface term of
-    # vertical_diffusion_tend, physpkg.F90:2144; full PBL mixing belongs to
-    # the CLUBB slot below) ----
-    gdp = c.GRAVIT / state.pdel[:, -1]
+    # ---- implicit vertical diffusion + surface fluxes
+    # (vertical_diffusion_tend, physpkg.F90:2144-2171) ----
+    from .vertical_diffusion import vertical_diffusion_tend
+    vd = vertical_diffusion_tend(state, cam_in.shf, cflx, cam_in.wsx,
+                                 cam_in.wsy, pbuf.get("PBLH"), ztodt)
+    # frictional heating closes the KE budget of the momentum mixing
+    u1 = state.u + vd["dudt"] * ztodt
+    v1 = state.v + vd["dvdt"] * ztodt
+    dke = 0.5 * ((u1 ** 2 + v1 ** 2) - (state.u ** 2 + state.v ** 2))
     lq = tuple(True for _ in range(pcnst))
     ptend = ptend_init("vertical_diffusion", ncol, pver, pcnst, ls=True,
                        lu=True, lv=True, lq=lq, dtype=dtype)
     ptend = ptend.replace(
-        s=ptend.s.at[:, -1].set(cam_in.shf * gdp),
-        u=ptend.u.at[:, -1].set(cam_in.wsx * gdp),
-        v=ptend.v.at[:, -1].set(cam_in.wsy * gdp),
-        q=ptend.q.at[:, -1, :].set(cflx * gdp[:, None]))
+        s=vd["dsdt"] - dke / ztodt,
+        u=vd["dudt"], v=vd["dvdt"], q=vd["dqdt"])
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
     state, _ = check_energy_chng(state, registry, ztodt,
                                  flx_vap=cflx[:, 0], flx_sen=cam_in.shf)
+    diags["KVH"] = vd["kvh"]
 
     _snap(diags, phys_cfg, 'vertical_diffusion_after', state)
     # ---- macro/micro substep loop (physpkg.F90:1719-1915) ----
