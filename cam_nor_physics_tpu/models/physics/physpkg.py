@@ -245,9 +245,28 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     ptend = zm_conv_tend_2(registry, state, pbuf, ztodt)
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
-    # ---- radiation slot (physpkg.F90:2030-2051) — STUB (zero net flux) ----
-    ptend = _stub_ptend("radheat", state)
-    state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    # ---- radiation slot (physpkg.F90:2030-2051) ----
+    if phys_cfg.radiation_scheme == "gray":
+        # working gray two-stream radiation (see radiation.py); "rrtmg"
+        # remains the unported-stub branch awaiting a spectral port
+        from .radiation import radiation_tend
+        rad = radiation_tend(state, cam_in)
+        ptend = ptend_init("radheat", ncol, pver, pcnst, ls=True,
+                           dtype=dtype)
+        ptend = ptend.replace(s=rad["qrl"] + rad["qrs"])
+        state, tend = physics_update(state, ptend, ztodt, registry, tend)
+        # the column's radiative gain: SW absorbed in air + net LW gain
+        state, _ = check_energy_chng(
+            state, registry, ztodt,
+            flx_sen=(rad["FSNT"] - rad["FSNS"]) +
+                    (rad["FLNS"] - rad["FLNT"]))
+        for k in ("FSNT", "FLNT", "FSNS", "FLNS", "FLWDS"):
+            diags[k] = rad[k]
+        diags["QRL"] = rad["qrl"] / c.CPAIR
+        diags["QRS"] = rad["qrs"] / c.CPAIR
+    else:
+        ptend = _stub_ptend("radheat", state)
+        state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
     # ---- Rayleigh friction (physpkg.F90:2177-2185) ----
     if phys_cfg.raytau0 > 0.0:
