@@ -91,22 +91,32 @@ def check_energy_chng(state: PhysicsState, registry: ConstituentRegistry,
 
 def check_energy_fix(state: PhysicsState, registry: ConstituentRegistry,
                      teout_prev=None):
-    """Global energy fixer: uniform heating closing the dycore's energy error
-    (check_energy_fix; applied at the top of tphysbc, physpkg.F90:2726-2781).
+    """GLOBAL energy fixer: uniform heating closing the dycore's global
+    energy error (check_energy_fix, applied at the top of tphysbc,
+    physpkg.F90:2726-2781; the global mean comes from check_energy_gmean at
+    phys_run1 entry).
 
-    Returns a (ncol, pver) heating rate (J/kg/s) whose column integral equals
-    the per-column energy deficit (te_ini - te_cur)/dt — column-local here, with
-    the global-mean variant (psum over mesh) layered in parallel/reductions.
-    `teout_prev`: total energy at the end of the previous physics step; when
-    None the fixer heating is zero.
+    The deficit is the GLOBAL-MEAN difference between the energy exported at
+    the end of the previous physics step (teout) and the current energy —
+    per-column differences are the dycore's legitimate energy transport and
+    MUST NOT be touched (a column-local fixer cancels advective energy flux
+    and runs away; measured: aquaplanet tmax 494 K by step 60). The uniform
+    heating is applied per unit mass so its global integral equals the
+    deficit. Under pjit the means are global (psum inserted automatically).
+
+    Returns (ncol, pver) heating in J/kg (caller divides by dt).
+    `teout_prev` None -> zero.
     """
     if teout_prev is None:
         return jnp.zeros_like(state.t)
     te, _ = column_energy(state, registry)
-    deficit = teout_prev - te                       # J/m2
-    pint_diff = state.pint[:, -1] - state.pint[:, 0]
-    heat = deficit * c.GRAVIT / pint_diff           # J/kg/s per unit dt
-    return jnp.broadcast_to(heat[:, None], state.t.shape)
+    w = jnp.maximum(jnp.cos(state.lat), 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-30)
+    deficit_glob = jnp.sum(w * (teout_prev - te)) / wsum        # J/m2
+    mass_glob = jnp.sum(w * (state.pint[:, -1] - state.pint[:, 0])) / \
+        (wsum * c.GRAVIT)                                        # kg/m2
+    heat = deficit_glob / jnp.maximum(mass_glob, 1e-30)          # J/kg
+    return jnp.broadcast_to(heat, state.t.shape)
 
 
 def check_energy_gmean(state: PhysicsState, registry: ConstituentRegistry,

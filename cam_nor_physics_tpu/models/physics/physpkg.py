@@ -116,9 +116,9 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     teout_prev = pbuf.get("TEOUT") if nstep > 0 else None
     if teout_prev is not None:
         heat = check_energy_fix(state, registry, teout_prev) / ztodt
-        # an exactly-zero TEOUT means the pbuf was never filled (cold start
+        # an all-zero TEOUT means the pbuf was never filled (cold start
         # mid-sequence); the fixer must not fire against it
-        heat = jnp.where((teout_prev != 0.0)[:, None], heat, 0.0)
+        heat = jnp.where(jnp.any(teout_prev != 0.0), heat, 0.0)
     else:
         heat = jnp.zeros_like(state.t)
     ptend = ptend_init("chkenergyfix", ncol, pver, pcnst, ls=True,

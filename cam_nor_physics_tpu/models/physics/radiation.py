@@ -74,8 +74,12 @@ def radiation_tend(state, cam_in, coszrs=None, aero_lw_tau=None):
     ncol, pver = state.t.shape
     lat = state.lat
     if coszrs is None:
-        # annual/diurnal mean insolation factor: S0/4 weighting by latitude
-        coszrs = jnp.maximum(0.25 * (1.0 + 1.4 * (jnp.cos(lat) - 0.5)), 0.0)
+        # annual-mean insolation: S(φ) = (S0/4)(1 − Δs·P2(sinφ)) with
+        # Δs = 0.477 (the standard annual-mean fit) — globally balanced
+        # against an OLR of ~240 W/m2 (an unbalanced factor warms the
+        # aquaplanet ~1.7 K/day and eventually blows up convection)
+        p2 = 0.5 * (3.0 * jnp.sin(lat) ** 2 - 1.0)
+        coszrs = jnp.maximum(0.25 * (1.0 - 0.477 * p2), 0.0)
 
     # ---- LW ----
     sigma = state.pmid / state.ps[:, None]
