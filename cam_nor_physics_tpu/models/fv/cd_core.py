@@ -274,7 +274,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     ddp, dpt, mfx, mfy = jax.vmap(transport_level)(
         (delp, pt, crx, cry, yfx, va_c, ffsl))
-    delp_new = delp + ddp
+    # thickness floor guard rail (see trac2d note; prevents q/pt blow-up
+    # through near-zero Lagrangian layers in extreme states)
+    delp_new = jnp.maximum(delp + ddp, 0.05 * delp)
     pt_new = (pt * delp + dpt) / delp_new
 
     # ---- thermodynamics from the UPDATED mass/pt fields (geopk role) ----

@@ -61,7 +61,11 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
         ddp, -1,
         jnp.sum(mfy[..., jm - 1, :], axis=-1, keepdims=True)[..., None, :] *
         grid.rcap)
-    dp_new = dp0 + ddp
+    # guard rail (qneg3/umax-family sentinel, SURVEY §5.3): in violently
+    # deformed columns the flux-implied thickness can collapse toward zero,
+    # amplifying mixing ratios unboundedly (observed: q -> 98 kg/kg before
+    # a blow-up). Floor it; the subsequent te_map restores the coordinate.
+    dp_new = jnp.maximum(dp0 + ddp, 0.05 * dp0)
 
     def transport_one(qm):
         def level(args):

@@ -233,6 +233,11 @@ def physics_update(state: PhysicsState, ptend: PhysicsPtend, dt: float,
             else:
                 # qneg3 repair: reset below-minimum values to qmin (:329)
                 qm = jnp.maximum(qm, qmin[m])
+                if m == 0:
+                    # physical ceiling for vapor (guard-rail family): no
+                    # atmosphere holds >0.1 kg/kg; values beyond it are
+                    # numerical blow-up precursors
+                    qm = jnp.minimum(qm, 0.1)
         cols.append(qm)
     q = jnp.stack(cols, axis=-1)
 
