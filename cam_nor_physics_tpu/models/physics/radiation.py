@@ -25,7 +25,9 @@ from ...utils import constants as c
 
 SB = 5.670374419e-8       # Stefan-Boltzmann
 S0 = 1360.0               # solar constant (W/m2)
-TAU_EQ = 6.0              # LW optical depth at the equator
+TAU_EQ = 4.0              # LW optical depth at the equator (chosen so the
+                          # fixed-SST aquaplanet equilibrates inside the
+                          # physics' valid range; 6.0 runs away hot)
 TAU_POLE = 1.5            # at the poles
 F_LIN = 0.1               # linear fraction of the tau profile
 SW_TAU_REF = 0.12         # SW absorption optical depth scale (moist column)
