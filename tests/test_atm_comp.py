@@ -36,11 +36,11 @@ class TestAtmStep:
                                            first_step=True))
         stepn = jax.jit(lambda s: atm_step(model, s, cam_in))
         state, cam_out, diags = step0(state)
-        for _ in range(4):
+        for _ in range(2):
             state, cam_out, diags = stepn(state)
         for leaf in jax.tree.leaves(state):
             assert bool(jnp.isfinite(leaf).all())
-        assert int(state.nstep) == 5
+        assert int(state.nstep) == 3
         # deep convection active somewhere on a moist unstable planet
         assert float(diags["CAPE"].max()) > 0.0
         assert float(jnp.abs(state.dyn.u).max()) < 150.0

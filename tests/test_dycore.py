@@ -63,7 +63,9 @@ class TestHeldSuarez:
             return hs_forcing(s, grid, coord.ptop, dt)
 
         m0 = global_mass(grid, st.delp)
-        for _ in range(40):
+        # 16 steps catches gross instability; multi-day stability is covered
+        # by the TPU climate runs recorded in VALIDATION.md
+        for _ in range(16):
             st = step(st)
         assert bool(jnp.isfinite(st.u).all() & jnp.isfinite(st.pt).all())
         assert float(jnp.abs(st.u).max()) < 150.0   # umax guard (dyn_comp umax)
