@@ -100,6 +100,80 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     return state, timer
 
 
+def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
+                slab_ocean: bool = False, h_mix: float = 30.0, q_flux=None,
+                out_dir: str = "output", hist_every: int = 0,
+                ckpt_every: int = 0, check_every: int = 10):
+    """Integrate nsteps with an interactive surface: bulk aerodynamic fluxes
+    computed from the evolving state each step (the data-ocean coupler role),
+    and — with ``slab_ocean=True`` — a prognostic mixed-layer SST closing the
+    surface energy budget. Returns (state, sst, timer).
+
+    This is the standalone-aquaplanet driver shape: the reference gets
+    cam_in from the NorESM coupler; here the coupler IS the jitted step.
+    """
+    from .models.coupling.surface_fluxes import (bulk_surface_fluxes,
+                                                 slab_ocean_step)
+
+    os.makedirs(out_dir, exist_ok=True)
+    timer = PhaseTimer()
+
+    reg = default_registry_atm()
+    diag_register(reg)
+    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "SST"]:
+        reg.add_default(name)
+    writer = AsyncHistoryWriter(
+        reg, model.grid.lats, model.grid.lons, model.grid.km)
+    ncol = model.grid.jm * model.grid.im
+    hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+
+    def _step(s, sst, first):
+        cam_in = bulk_surface_fluxes(s.phys, sst, model.registry.pcnst)
+        s2, cam_out, diags = atm_step(model, s, cam_in, first_step=first)
+        if slab_ocean:
+            sst = slab_ocean_step(sst, cam_in, cam_out, model.dt,
+                                  h_mix=h_mix, q_flux=q_flux)
+        return s2, sst, cam_in, cam_out, diags
+
+    step_first = jax.jit(lambda s, t: _step(s, t, True))
+    step_rest = jax.jit(lambda s, t: _step(s, t, False))
+
+    tapes = 0
+    for i in range(nsteps):
+        fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
+        state, sst, cam_in, cam_out, diags = timer.timed(
+            "atm_step", fn, state, sst)
+
+        if hist_every:
+            payload = dict(diags)
+            payload.update(diag_phys_writeout(state.phys))
+            payload.update(diag_surf(cam_in, cam_out))
+            payload.update(diag_export(cam_out))
+            payload["SST"] = sst
+            hbuf = timer.timed("outfld", lambda b: outfld_many(b, payload),
+                               hbuf)
+            if (i + 1) % hist_every == 0:
+                days = float(state.nstep) * model.dt / 86400.0
+                with timer.region("history_write"):
+                    writer.write(os.path.join(out_dir, f"h0.{tapes:04d}.nc"),
+                                 hbuf, days)
+                tapes += 1
+                hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+
+        if ckpt_every and (i + 1) % ckpt_every == 0:
+            with timer.region("checkpoint"):
+                save_checkpoint(os.path.join(out_dir, f"ckpt_{i + 1:06d}"),
+                                (state, sst), {"nstep": int(state.nstep)})
+
+        if check_every and (i + 1) % check_every == 0:
+            with timer.region("sentinels"):
+                _check_state(state, i + 1)
+
+    writer.flush()
+    writer.close()
+    return state, sst, timer
+
+
 def quick_run(im=48, jm=24, km=10, nsteps=4, **kwargs):
     """Small end-to-end run (developer smoke / example)."""
     from .models.fv.held_suarez import hs_initial_state

@@ -59,3 +59,33 @@ def bulk_surface_fluxes(state, sst, pcnst: int) -> CamIn:
                         ts=sst, sst=sst,
                         landfrac=jnp.zeros((ncol,), dtype),
                         ocnfrac=jnp.ones((ncol,), dtype))
+
+
+# ---------------------------------------------------------------------------
+# Slab ("mixed-layer") ocean — closes the surface energy budget so the
+# standalone GCM has a finite equilibrium (a fixed-SST ocean is an infinite
+# heat source under a greenhouse; see VALIDATION.md). dSST/dt =
+# (net surface energy flux into the ocean) / (rho_w c_w h).
+# ---------------------------------------------------------------------------
+
+RHO_W = 1000.0
+CW = 4218.0
+SB_ = 5.670374419e-8
+
+
+def slab_ocean_step(sst, cam_in, cam_out, dt: float, h_mix: float = 30.0,
+                    q_flux=None, sst_min: float = 271.35):
+    """Advance the mixed-layer SST one step.
+
+    Net flux into the ocean = netsw + flwds − σSST⁴ − shf − lhf − L_f·snow.
+    `q_flux`: optional prescribed ocean heat transport divergence (W/m2,
+    positive = ocean loses heat, the aquaplanet "Q-flux"). SST floored at the
+    freezing point of seawater (a crude ice cap).
+    """
+    net = (cam_out.netsw + cam_out.flwds - SB_ * sst ** 4
+           - cam_in.shf - cam_in.lhf
+           - c.LATICE * c.RHOH2O * (cam_out.precsc + cam_out.precsl))
+    if q_flux is not None:
+        net = net - q_flux
+    sst_new = sst + dt * net / (RHO_W * CW * h_mix)
+    return jnp.maximum(sst_new, sst_min)

@@ -40,6 +40,8 @@ def diag_register(reg: HistoryRegistry) -> None:
         ("PRECT", "m/s", "Total precipitation rate", "srf"),
         ("PRECST", "m/s", "Total snow rate", "srf"),
         ("TS", "K", "Surface temperature", "srf"),
+        ("SST", "K", "Sea surface temperature (slab/prescribed ocean)",
+         "srf"),
     ]
     for name, units, long_name, vdim in pairs:
         if name not in reg.fields:

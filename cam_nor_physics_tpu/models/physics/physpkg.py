@@ -294,6 +294,10 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     pbuf = pbuf.set("TEOUT", te)
 
     cam_out = cam_export(state, pbuf.get("PREC_DP"), pbuf.get("SNOW_DP"))
+    if "FLWDS" in diags:
+        # route the radiation surface fluxes to the coupler (cam_export's
+        # netsw/flwds payload; consumed by e.g. the slab ocean)
+        cam_out = cam_out.replace(netsw=diags["FSNS"], flwds=diags["FLWDS"])
     return PhysRunOut(state=state, pbuf=pbuf, tend=tend, cam_out=cam_out,
                       diagnostics=diags)
 

@@ -7,7 +7,7 @@ import pytest
 
 from cam_nor_physics_tpu.models.atm_comp import AtmModel, atm_init, atm_step
 from cam_nor_physics_tpu.models.coupling.surface_fluxes import (
-    aquaplanet_sst, bulk_surface_fluxes)
+    aquaplanet_sst, bulk_surface_fluxes, slab_ocean_step)
 from cam_nor_physics_tpu.models.fv.held_suarez import hs_initial_state
 from cam_nor_physics_tpu.utils.config import FVConfig, PhysConfig
 
@@ -42,6 +42,46 @@ class TestBulkFluxes:
         assert 1.0 < np.asarray(cam_in.shf).max() < 500.0
 
 
+class TestSlabOcean:
+    def _coupler(self, ncol, netsw=0.0, flwds=0.0, shf=0.0, lhf=0.0):
+        from cam_nor_physics_tpu.models.coupling.camsrfexch import (CamIn,
+                                                                    CamOut)
+        ci = CamIn.zeros(ncol, 1).replace(shf=jnp.full((ncol,), shf),
+                                          lhf=jnp.full((ncol,), lhf))
+        co = CamOut.zeros(ncol, 1).replace(netsw=jnp.full((ncol,), netsw),
+                                        flwds=jnp.full((ncol,), flwds))
+        return ci, co
+
+    def test_radiative_equilibrium_fixed_point(self):
+        # netsw + flwds = sigma*SST^4 and no turbulent fluxes -> SST constant
+        sst = jnp.full((3,), 290.0)
+        sigma = 5.670374419e-8
+        ci, co = self._coupler(3, netsw=200.0,
+                               flwds=float(sigma * 290.0 ** 4) - 200.0)
+        sst1 = slab_ocean_step(sst, ci, co, dt=1800.0)
+        np.testing.assert_allclose(np.asarray(sst1), 290.0, atol=1e-6)
+
+    def test_cooling_rate_and_floor(self):
+        # pure sigma*T^4 loss: dSST = -sigma*T^4*dt/(rho c h); floor at 271.35
+        sst = jnp.full((2,), 280.0)
+        ci, co = self._coupler(2)
+        sst1 = slab_ocean_step(sst, ci, co, dt=1800.0, h_mix=30.0)
+        expect = 280.0 - 5.670374419e-8 * 280.0 ** 4 * 1800.0 / (1e3 * 4218.0
+                                                                 * 30.0)
+        np.testing.assert_allclose(np.asarray(sst1), expect, rtol=1e-6)
+        frozen = slab_ocean_step(jnp.full((2,), 271.4), ci, co, dt=86400.0)
+        np.testing.assert_allclose(np.asarray(frozen), 271.35)
+
+    def test_qflux_cools(self):
+        sst = jnp.full((2,), 290.0)
+        sigma = 5.670374419e-8
+        ci, co = self._coupler(2, flwds=float(sigma * 290.0 ** 4))
+        warm = slab_ocean_step(sst, ci, co, dt=1800.0)
+        cooled = slab_ocean_step(sst, ci, co, dt=1800.0,
+                                 q_flux=jnp.full((2,), 40.0))
+        assert (np.asarray(cooled) < np.asarray(warm)).all()
+
+
 class TestAquaplanetGCM:
     def test_full_gcm_steps(self):
         model = AtmModel.create(48, 24, 10, dt=1800.0,
@@ -69,3 +109,27 @@ class TestAquaplanetGCM:
         assert 100.0 < float(np.asarray(diags["FLNT"]).mean()) < 400.0
         assert 100.0 < float(np.asarray(diags["FSNT"]).mean()) < 450.0
         assert float(diags["CAPE"].max()) > 0.0
+
+    def test_run_coupled_slab_ocean(self, tmp_path):
+        from cam_nor_physics_tpu.driver import run_coupled
+        model = AtmModel.create(48, 24, 10, dt=1800.0,
+                                fv_cfg=FVConfig(nsplit=4, nspltrac=1),
+                                phys_cfg=PhysConfig(radiation_scheme="gray"))
+        dyn0 = hs_initial_state(model.grid, model.coord, pert=1.0,
+                                nq=model.registry.pcnst)
+        dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-6).at[0].set(
+            1e-2 * (dyn0.delp / dyn0.delp.max()) ** 2))
+        state = atm_init(model, dyn0, jnp.zeros((24, 48)))
+        sst0 = aquaplanet_sst(state.phys.lat)
+        state, sst, timer = run_coupled(
+            model, state, sst0, nsteps=3, slab_ocean=True, h_mix=10.0,
+            out_dir=str(tmp_path), hist_every=3, check_every=3)
+        assert bool(jnp.isfinite(sst).all())
+        # the slab responded (h=10 m reacts within a step) but stayed sane
+        dsst = np.abs(np.asarray(sst - sst0))
+        assert dsst.max() > 1e-6 and dsst.max() < 5.0
+        assert (np.asarray(sst) >= 271.35 - 1e-9).all()
+        from scipy.io import netcdf_file
+        with netcdf_file(str(tmp_path / "h0.0000.nc"), "r") as nc:
+            assert "SST" in nc.variables
+            assert np.isfinite(nc.variables["SST"][:]).all()
