@@ -237,8 +237,28 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         pi_v = wset_row(0.5 * (pkz_h + _rolly(pkz_h, 1)), 0, pkz_h)
         pgf_v = wset_row(-(dy_en - c.CPAIR * pi_v * dy_th), 0, 0.0)
 
-        uc = uc0 + dt5 * (f_c * vc_at_uc(vc0) + pgf_u)
-        vc = vc0 + dt5 * (-fc_e[:, None] * uc_at_vc(uc0) + pgf_v)
+        duc = dt5 * (f_c * vc_at_uc(vc0) + pgf_u)
+        dvc = dt5 * (-fc_e[:, None] * uc_at_vc(uc0) + pgf_v)
+        if dyn_filter:
+            # polar-filter the C-wind increments (filtcw role,
+            # dyn_comp.F90 namelist `filtcw`): the staggered C-grid PGF
+            # carries a 1/cosφ factor, and unfiltered near-pole grid-scale
+            # kicks feed straight into the transport Courant numbers —
+            # measured: without this, the half step blows up at the pole
+            # row within ~15 small steps even at Cy=0.25. uc lives on
+            # center rows (like v), vc on edge rows (like u).
+            if filter_impl == "matmul":
+                duc = polar_filter_matmul(
+                    duc, jnp.asarray(circulant_filter_matrices(
+                        grid.pft_center), duc.dtype))
+                dvc = polar_filter_matmul(
+                    dvc, jnp.asarray(circulant_filter_matrices(
+                        grid.pft_edge), dvc.dtype))
+            else:
+                duc = polar_filter(duc, jnp.asarray(grid.pft_center))
+                dvc = polar_filter(dvc, jnp.asarray(grid.pft_edge))
+        uc = uc0 + duc
+        vc = vc0 + dvc
     else:
         # Coriolis-only half rotation (the pre-c_sw formulation; needs
         # (c+u)Δt/Δ < ~0.5 — see FVConfig.div24del2flag notes)
