@@ -161,7 +161,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             iord: int = 4, jord: int = 4, div2_coef_nd: float = 0.08,
             dyn_filter: bool = True, filter_impl: str = "fft",
             ke_method: str = "centered", del2_velocity: float = 0.0,
-            c_sw_pgf: bool = False):
+            c_sw_pgf: bool = False, filter_dm: bool = False):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy)."""
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
@@ -294,6 +294,22 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     ddp, dpt, mfx, mfy = jax.vmap(transport_level)(
         (delp, pt, crx, cry, yfx, va_c, ffsl))
+    if dyn_filter and filter_dm:
+        # EXPERIMENTAL: polar-filter the mass/pt transport increments too.
+        # The wind-tendency filter alone leaves near-pole zonal delp/pt
+        # structure undamped; at large small-steps (nsplit=4 at 1.9°x2.5°)
+        # the unfiltered mass side of the gravity-wave coupling is a
+        # candidate driver of the polar-cap blow-up. Mode 0 (zonal mean) is
+        # untouched, so global mass is exactly conserved.
+        if filter_impl == "matmul":
+            circ_c = jnp.asarray(circulant_filter_matrices(grid.pft_center),
+                                 ddp.dtype)
+            ddp = polar_filter_matmul(ddp, circ_c)
+            dpt = polar_filter_matmul(dpt, circ_c)
+        else:
+            pftc = jnp.asarray(grid.pft_center)
+            ddp = polar_filter(ddp, pftc)
+            dpt = polar_filter(dpt, pftc)
     # thickness floor guard rail (see trac2d note; prevents q/pt blow-up
     # through near-zero Lagrangian layers in extreme states)
     delp_new = jnp.maximum(delp + ddp, 0.05 * delp)
@@ -309,7 +325,21 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     # ---- vector-invariant wind update ----
     zeta_a = absolute_vorticity(u, v, grid)
-    if ke_method == "avg_sq":
+    if ke_method == "upwind":
+        # upstream-biased KE (the Hollingsworth–Kållberg cure used by the
+        # FV family: evaluate the KE-gradient term with the same upwind
+        # bias as the vorticity flux, so the two vector-invariant terms
+        # cancel consistently for a balanced jet). At each center, select
+        # the u edge (south row j vs north row j+1) from which the
+        # meridional flow arrives, and the v edge (west i vs east i+1)
+        # from which the zonal flow arrives.
+        u_n = wset_row(_rolly(u, -1), -1, 0.0)
+        u_sel = jnp.where(va >= 0.0, u, u_n)
+        v_e = jnp.roll(v, -1, axis=-1)
+        v_sel = jnp.where(ua >= 0.0, v, v_e)
+        ke = wset_interior(0.5 * (ua ** 2 + va ** 2),
+                           0.5 * (u_sel ** 2 + v_sel ** 2))
+    elif ke_method == "avg_sq":
         # average-of-squares KE at centers: 0.25(u_j^2+u_{j+1}^2) +
         # 0.25(v_i^2+v_{i+1}^2). The square-of-averages form feeds the
         # Hollingsworth–Kållberg instability of vector-invariant schemes

@@ -206,13 +206,20 @@ def benergy(state: DynState, grid: FVGrid, ptop: float):
 
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             cfg: FVConfig, ndt: float, filter_impl: str = "fft",
-            c_sw_pgf: bool = False, return_diags: bool = False):
+            c_sw_pgf: bool | None = None, return_diags: bool = False):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
 
     Subcycle factorization per dyn_comp.F90:1497-1524:
         n2 = (nspltrac + nv - 1)//nv ; nsplit = (ns + n2*nv - 1)//(n2*nv)
         dt = ndt/(nsplit*n2*nv)
+
+    `c_sw_pgf=None` takes the config's setting; the flag and the auto
+    split count move together (cfg.resolved_splits halves ns0 when the
+    full C half step is on), so overriding one without the other is only
+    for experiments.
     """
+    if c_sw_pgf is None:
+        c_sw_pgf = cfg.c_sw_pgf
     ns, nspltrac, nv = cfg.resolved_splits(ndt, grid.im, grid.jm)
     n2 = (nspltrac + nv - 1) // nv
     nsplit = (ns + n2 * nv - 1) // (n2 * nv)

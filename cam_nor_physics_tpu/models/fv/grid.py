@@ -73,7 +73,8 @@ class FVGrid:
 
 
 def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
-              ae: float = c.REARTH, om: float = c.OMEGA) -> FVGrid:
+              ae: float = c.REARTH, om: float = c.OMEGA,
+              ycrit_deg: float | None = None) -> FVGrid:
     """Build the FV grid tables (grid_vars_init, dynamics_vars.F90:729-983)."""
     if im % 2 != 0:
         raise ValueError("im must be even (dynamics_vars.F90:858)")
@@ -134,6 +135,11 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
     # polar filter: ycrit from grid aspect ratio (dynamics_vars.F90:924-927)
     rat = im / (2.0 * (jm - 1.0))
     ycrit = math.acos(min(0.81, rat)) * 180.0 / math.pi
+    if ycrit_deg is not None:
+        # explicit override (fft_flt/ycrit tuning role): smaller ycrit ⇒
+        # stronger, wider filtering; used to trade polar-filter strength
+        # against the small-step count (see FVConfig.nsplit notes)
+        ycrit = ycrit_deg
     pftc = _pft_coefficients(im, cosp, ycrit, pole_rows_exempt=True)
     pfte = _pft_coefficients(im, cose, ycrit, pole_rows_exempt=False)
 

@@ -146,7 +146,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
 
     _, qs_launch = qsat_hpa(t_launch, p_launch)
 
-    # ---- entrainment ascent scan (bottom-up over levels pver-1 .. msg) ----
+    # ---- entrainment ascent (bottom-up over levels pver-1 .. msg) ----
     # per-level inputs, reversed so the scan walks upward
     def rev(a):
         return a[:, ::-1].T  # (pver, ncol) bottom-first
@@ -154,6 +154,55 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     # level-below values x(k+1): shift
     def below(a):
         return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+    karr_ = jnp.arange(pver)[None, :]
+    above_all = karr_ < klaunch[:, None]
+    at_launch_all = karr_ == klaunch[:, None]
+
+    if cfg.parcel_impl == "batched":
+        # The entrainment budget (sp, qtp, mp) is independent of the
+        # inversion results: each is a masked suffix-sum of per-level
+        # environment increments. Computing them whole-array reduces the
+        # ascent to ONE batched (ncol, pver) enthalpy inversion instead of
+        # pver sequential (ncol,) ones; the secant guess becomes the
+        # environment temperature (converged answers are guess-independent
+        # to the solver's 1e-3 K tolerance).
+        dp_l = p - below(p)
+        qtenv = 0.5 * (q + below(q))
+        tenv = 0.5 * (t + below(t))
+        penv = 0.5 * (p + below(p))
+        zenv = 0.5 * (z + below(z))
+        senv = enthalpy(tenv, penv, qtenv, zenv)
+        dzdp_l = -(RGAS * tenv) / (penv * GRAV)      # m/mb
+        dmpdp = dmpdz * dzdp_l
+
+        def ssum(x):
+            # suffix sum along levels: s(k) = sum_{k' >= k} x(k') — the
+            # bottom-up accumulation order of the reference scan
+            return jnp.cumsum(x[:, ::-1], axis=1)[:, ::-1]
+
+        inc = jnp.where(above_all, dmpdp * dp_l, 0.0)
+        sp_s = -ssum(inc * senv)
+        qtp_s = -ssum(inc * qtenv)
+        mp_s = -ssum(inc)
+        denom = mp0[:, None] + mp_s
+        smix_a = (sp0[:, None] + sp_s) / denom
+        qtmix_a = (qtp0[:, None] + qtp_s) / denom
+        t_inv, qs_inv, _ = ienthalpy(smix_a, p, qtmix_a, z, t,
+                                     solver=cfg.inversion_solver)
+        t_inv = jnp.where(jnp.isnan(t_inv), t, t_inv)
+
+        smix = jnp.where(at_launch_all, sp0[:, None],
+                         jnp.where(above_all, smix_a, senv))
+        qtmix = jnp.where(at_launch_all, qtp0[:, None],
+                          jnp.where(above_all, qtmix_a, q))
+        tmix = jnp.where(at_launch_all, t_launch[:, None],
+                         jnp.where(above_all, t_inv, t))
+        qsmix = jnp.where(at_launch_all, qs_launch[:, None],
+                          jnp.where(above_all, qs_inv, q))
+        return _parcel_finish(cfg, msg, klaunch, p, z, t, q, tpert, tl0, pl0,
+                              t_launch, qs_launch, qtp0, smix, qtmix, tmix,
+                              qsmix, dzdp_l)
 
     xs = dict(
         k=jnp.arange(pver - 1, -1, -1),
@@ -212,7 +261,29 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     qsmix = unrev(qsmix_r)
     dzdp_l = unrev(dzdp_r)
 
+    return _parcel_finish(cfg, msg, klaunch, p, z, t, q, tpert, tl0, pl0,
+                          t_launch, qs_launch, qtp0, smix, qtmix, tmix,
+                          qsmix, dzdp_l)
+
+
+def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
+                   tl0, pl0, t_launch, qs_launch, qtp0, smix, qtmix, tmix,
+                   qsmix, dzdp_l):
+    """LCL detection + precipitation/freezing adjustment on the ascent
+    profiles (zm_conv.F90:5100-5270); shared tail of both parcel ascents."""
+    ncol, pver = t.shape
+    dtype = t.dtype
+    lwmax = 1.0e-3
+    tscool = 0.0
+    nit_lheat = 2
+
+    def rev(a):
+        return a[:, ::-1].T  # (pver, ncol) bottom-first
+
+    unrev = lambda a: a.T[:, ::-1]
+
     # ---- LCL detection + interpolation (zm_conv.F90:5100-5135) ----
+    p_launch = _take_col(p, klaunch)
     karr = jnp.arange(pver)[None, :]
     above_m = karr < klaunch[:, None]
     qsmix_b = jnp.concatenate([qsmix[:, 1:], qs_launch[:, None]], axis=1)
@@ -246,9 +317,74 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     tl = jnp.where(found & ~jnp.isnan(tl_inv), tl_inv,
                    tl0 if cfg.parcel_pbl else t_launch)
 
-    # ---- precipitation / freezing adjustment scan (zm_conv.F90:5160-5270) --
+    # ---- precipitation / freezing adjustment (zm_conv.F90:5160-5270) ----
     # bottom-up; tht path recomputes entropy of the mixture first.
     smix_ent = entropy(tmix, p, qtmix)
+
+    if cfg.parcel_impl == "batched":
+        # Fixed-point sweeps instead of the level-recursive scan: given the
+        # current (tmix, qsmix) profiles, the carry terms (ds_xsh2o,
+        # ds_freeze, level-below xsh2o/qsmix) follow EXACTLY from a
+        # lightweight arithmetic-only scan; the expensive entropy inversion
+        # then runs once, batched over (ncol, pver). The level-to-level
+        # coupling is a weak latent-heat correction, so a few sweeps reach
+        # the same fixed point as the reference's sequential recursion
+        # (validated against the scan implementation in test_zm_conv).
+        at_launch_m = karr == klaunch[:, None]
+        tmix_c, qsmix_c = tmix, qsmix
+        xsh2o = jnp.zeros_like(tmix)
+        for _ in range(cfg.precip_sweeps):
+            xsh2o = jnp.maximum(0.0, qtmix - qsmix_c - lwmax)
+            xsC = dict(above=rev(above_m), at_launch=rev(at_launch_m),
+                       xsh2o=rev(xsh2o), tmix=rev(tmix_c),
+                       qsmix=rev(qsmix_c), qtmix=rev(qtmix))
+
+            def carry_step(cy, x):
+                ds_xsh2o = cy["ds_xsh2o_b"] - c.CPLIQ * \
+                    jnp.log(x["tmix"] / TFREEZ) * \
+                    jnp.maximum(0.0, x["xsh2o"] - cy["xsh2o_b"])
+                cold = x["tmix"] <= TFREEZ + tscool
+                first_frz = cold & (cy["ds_freeze_b"] == 0.0)
+                cont_frz = cold & (cy["ds_freeze_b"] != 0.0)
+                ds_freeze = jnp.where(
+                    first_frz,
+                    (c.LATICE / x["tmix"]) *
+                    jnp.maximum(0.0, x["qtmix"] - x["qsmix"] - x["xsh2o"]),
+                    jnp.where(cont_frz,
+                              cy["ds_freeze_b"] + (c.LATICE / x["tmix"]) *
+                              jnp.maximum(0.0, cy["qsmix_b"] - x["qsmix"]),
+                              0.0))
+                new_cy = dict(
+                    xsh2o_b=jnp.where(x["above"], x["xsh2o"], 0.0),
+                    ds_xsh2o_b=jnp.where(x["above"], ds_xsh2o, 0.0),
+                    ds_freeze_b=jnp.where(x["above"], ds_freeze, 0.0),
+                    qsmix_b=jnp.where(x["above"] | x["at_launch"],
+                                      x["qsmix"], cy["qsmix_b"]))
+                return new_cy, (ds_xsh2o, ds_freeze)
+
+            carry0 = dict(xsh2o_b=jnp.zeros((ncol,), dtype),
+                          ds_xsh2o_b=jnp.zeros((ncol,), dtype),
+                          ds_freeze_b=jnp.zeros((ncol,), dtype),
+                          qsmix_b=qs_launch)
+            _, (dsx_r, dsf_r) = jax.lax.scan(carry_step, carry0, xsC)
+            new_s = smix_ent + unrev(dsx_r) + unrev(dsf_r)
+            new_q = qtmix - xsh2o
+            t_i, qs_i, _ = ientropy(new_s, p, new_q, tmix_c,
+                                    solver=cfg.inversion_solver)
+            tmix_c = jnp.where(above_m & ~jnp.isnan(t_i), t_i, tmix_c)
+            qsmix_c = jnp.where(above_m, qs_i, qsmix_c)
+
+        tp = jnp.where(above_m, tmix_c, tmix)
+        new_q = qtmix - jnp.maximum(0.0, qtmix - qsmix_c - lwmax)
+        qstp = jnp.where(above_m,
+                         jnp.where(new_q > qsmix_c, qsmix_c, new_q), q)
+        denom_q = jnp.where(above_m, new_q, qstp)
+        tpv = (tp + tpert[:, None]) * (1.0 + qstp / EPS1) / (1.0 + denom_q)
+
+        below_m = karr > klaunch[:, None]
+        tp = jnp.where(below_m, t, tp)
+        qstp = jnp.where(below_m, q, qstp)
+        return tp, qstp, tpv, tl, pl, lcl
 
     xsP = dict(
         k=jnp.arange(pver - 1, -1, -1),

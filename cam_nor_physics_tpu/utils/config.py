@@ -39,10 +39,21 @@ class FVConfig:
     # 2 = 2nd-order div damping, 4 = 4th, 42 = div damping + del2 velocity
     # damping. Default 42 here (the reference defaults to 2): this dycore's
     # explicit forward-backward coupling needs the background del2 velocity
-    # diffusion — validated at 1.9°x2.5° Held-Suarez: (c+u)Δt/Δy ≲ 0.5 with
-    # del2 holds 20+ days; without it the spun-up jet destabilizes.
+    # diffusion — validated at 1.9°x2.5° Held-Suarez: without it the
+    # spun-up jet destabilizes. 6e5 (vs the reference's 3e5) is what holds
+    # 20-day HS at the reference's own nsplit=4 operating point; measured
+    # ladder: ns=4/del2=3e5 dies day ~11 (subtropical jet mode),
+    # ns=4/del2=6e5 + c_sw_pgf stable through day 20+.
     div24del2flag: int = 42
-    del2coef: float = 3.0e5   # strength of 2nd-order velocity damping
+    del2coef: float = 6.0e5   # strength of 2nd-order velocity damping
+    # Full C-grid half step (c_sw role): advance delp/pt a half step on the
+    # C grid and kick the advective winds with Coriolis + the PGF of the
+    # half-advanced state, with the increments polar-filtered (filtcw
+    # role). This is what buys the reference's cΔt/Δ ≈ 1 small-step
+    # envelope; without it the polar cap blows up at nsplit=4 (measured:
+    # first NaN at rows |lat| > 86°, all levels at once). False falls back
+    # to the Coriolis-only half rotation (needs the doubled split count).
+    c_sw_pgf: bool = True
     high_order_top: bool = False
     high_altitude: bool = False
     am_correction: bool = False
@@ -64,14 +75,12 @@ class FVConfig:
         """
         ns = self.nsplit
         if ns <= 0:
-            # ns0 = 8 here vs the reference's 4: this dycore's explicit
-            # C-half-step + forward-backward D-step gravity-wave coupling
-            # is stable to c·dt/Δ ≈ 0.5 (validated: 1.9°x2.5° Held-Suarez
-            # runs indefinitely at ns=8, blows up near day 5 at ns=4
-            # regardless of divergence damping), whereas the reference's
-            # cd_core is stable near 1. Doubling the auto split restores
-            # the same stability margin.
-            dim0, dt0, ns0 = 191.0, 1800.0, 8.0
+            # ns0 matches the reference's 4 when the c_sw half step is on
+            # (the validated default: 20-day HS stable at 1.9°x2.5° with
+            # del2coef=6e5). The Coriolis-only fallback half step is only
+            # stable to c·dt/Δ ≈ 0.5, so it needs the split count doubled.
+            dim0, dt0 = 191.0, 1800.0
+            ns0 = 4.0 if self.c_sw_pgf else 8.0
             dim = max(im, 2 * (jm - 1))
             ns = max(1, int(ns0 * dt * dim / (dt0 * dim0) + 0.75))
         nspltrac = self.nspltrac if self.nspltrac > 0 else max(1, ns // 4)
@@ -127,6 +136,16 @@ class ZMConfig:
     # "brent" reproduces the reference's iterate-to-convergence loop
     # (zm_conv.F90:5304-5414).
     inversion_solver: str = "newton"
+    # Parcel-ascent implementation. "batched" hoists every thermodynamic
+    # inversion out of the level scans: the entrainment budget is a masked
+    # suffix-sum, so the whole ascent inverts in ONE batched (ncol, pver)
+    # call; the precip/freeze adjustment becomes a short fixed-point of
+    # {lightweight carry scan -> batched inversion} sweeps. Same converged
+    # answers (the inversions are guess-independent to their 1e-3 K
+    # tolerance), ~20x shallower sequential depth on TPU. "scan" is the
+    # reference-shaped level-recursive form kept for validation.
+    parcel_impl: str = "batched"
+    precip_sweeps: int = 3     # fixed-point sweeps in the batched adjustment
 
     def __post_init__(self) -> None:
         if self.num_cin > 5:

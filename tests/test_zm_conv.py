@@ -225,3 +225,37 @@ class TestTransport:
                          self.out.eu, self.out.ed, self.out.dp, self.out.jt,
                          self.out.maxg, 1800.0, 0.4, 0.4)
         assert np.all(np.isfinite(np.asarray(res["seten"])))
+
+
+class TestParcelImplEquivalence:
+    """The batched parcel ascent (one whole-profile inversion + fixed-point
+    precip/freeze sweeps) must reproduce the reference-shaped level-recursive
+    scan to within the thermodynamic solvers' own convergence tolerance."""
+
+    def _pair(self, **kw):
+        s = make_sounding(ncol=8, seed=3, **kw)
+        a = run_zm(s, ZMConfig(parcel_impl="batched"))
+        b = run_zm(s, ZMConfig(parcel_impl="scan"))
+        return a, b
+
+    def test_cape_and_trigger_match(self):
+        a, b = self._pair(unstable=True)
+        np.testing.assert_allclose(np.asarray(a.cape), np.asarray(b.cape),
+                                   rtol=2e-3, atol=2.0)
+        assert np.array_equal(np.asarray(a.ideep), np.asarray(b.ideep))
+
+    def test_tendencies_match(self):
+        a, b = self._pair(unstable=True)
+        hscale = np.max(np.abs(np.asarray(b.heat))) + 1e-30
+        qscale = np.max(np.abs(np.asarray(b.qtnd))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a.heat) / hscale,
+                                   np.asarray(b.heat) / hscale, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(a.qtnd) / qscale,
+                                   np.asarray(b.qtnd) / qscale, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(a.prec), np.asarray(b.prec),
+                                   rtol=2e-2, atol=1e-12)
+
+    def test_stable_sounding_both_quiet(self):
+        a, b = self._pair(unstable=False)
+        assert not np.any(np.asarray(a.ideep))
+        assert not np.any(np.asarray(b.ideep))
