@@ -161,9 +161,15 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             iord: int = 4, jord: int = 4, div2_coef_nd: float = 0.08,
             dyn_filter: bool = True, filter_impl: str = "fft",
             ke_method: str = "centered", del2_velocity: float = 0.0,
-            c_sw_pgf: bool = False, filter_dm: bool = False):
+            c_sw_pgf: bool = False, filter_dm: bool = False,
+            filter_csw_dm: bool = False, return_debug: bool = False):
     """One small Lagrangian step (cd_core equivalent). Returns
-    (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy)."""
+    (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy).
+
+    `return_debug` adds the wind-update term decomposition (half-step
+    kicks, vorticity fluxes, PGF pieces, damping) to the diagnostics for
+    stability forensics."""
+    dbg = {}
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
     km, jm, im = delp.shape
     dl, dp_ = grid.dl, grid.dp
@@ -183,15 +189,12 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
 
     if c_sw_pgf:
-        # EXPERIMENTAL (default off): full c_sw half step — advance delp/pt
-        # dt/2 on the C grid, then kick uc/vc with Coriolis + the PGF of the
-        # half-advanced state (the reference c_sw's role, which buys its
-        # cΔt/Δ ≈ 1 stability). In THIS formulation — where the D step
-        # evaluates its PGF from the post-transport state — the combination
-        # is empirically unstable (blows up within 40 low-res HS steps);
-        # enabling it requires moving the D-step PGF to a time-centered
-        # evaluation jointly. Kept for that follow-up; the validated default
-        # is the Coriolis-only half step + del2 damping + halved Δt_small.
+        # Full c_sw half step (the default): advance delp/pt dt/2 on the C
+        # grid, then kick uc/vc with Coriolis + the PGF of the half-advanced
+        # state (the reference c_sw's role, which buys its cΔt/Δ ≈ 1
+        # stability and lets nsplit match the reference's auto value). The
+        # polar filtering of the increments below is load-bearing: without
+        # it the pole rows blow up within ~15 small steps.
         crx_c = uc0 * dt5 / (c.REARTH * safe_cosp * dl)
         crx_c = wset_row(wset_row(crx_c, 0, 0.0), -1, 0.0)
         cry_c = wset_row(vc0 * dt5 / (c.REARTH * dp_), 0, 0.0)
@@ -214,8 +217,26 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
         ddp_c, dpt_c = jax.vmap(ctrans_level)(
             (delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c))
-        delp_h = delp + ddp_c
+        if dyn_filter and filter_csw_dm:
+            # polar-filter the half-step mass/pt increments (the reference
+            # cd_core filters the c_sw products delpf/ptc with pft2d before
+            # they feed the D-step PGF). Mode 0 untouched -> the half-step
+            # zonal-mean mass budget is unchanged.
+            if filter_impl == "matmul":
+                circ_c = jnp.asarray(
+                    circulant_filter_matrices(grid.pft_center), ddp_c.dtype)
+                ddp_c = polar_filter_matmul(ddp_c, circ_c)
+                dpt_c = polar_filter_matmul(dpt_c, circ_c)
+            else:
+                pftc = jnp.asarray(grid.pft_center)
+                ddp_c = polar_filter(ddp_c, pftc)
+                dpt_c = polar_filter(dpt_c, pftc)
+        # same thickness floor as the D step: an extreme near-pole Courant
+        # event must not hand a negative thickness to the PGF (measured:
+        # day-47 HS polar blow-up began with pt_h < 0 from exactly this)
+        delp_h = jnp.maximum(delp + ddp_c, 0.05 * delp)
         pt_h = (pt * delp + dpt_c) / delp_h
+        pt_h = jnp.maximum(pt_h, 0.1 * pt)
 
         pe_h, pk_h, pkz_h, _ = pressure_vars(delp_h, ptop)
         wz_h = geopotential_k(pt_h, pk_h, phis)
@@ -259,6 +280,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
                 dvc = polar_filter(dvc, jnp.asarray(grid.pft_edge))
         uc = uc0 + duc
         vc = vc0 + dvc
+        if return_debug:
+            dbg.update(uc0=uc0, vc0=vc0, duc=duc, dvc=dvc, pgf_u_c=pgf_u,
+                       pgf_v_c=pgf_v, delp_h=delp_h, pt_h=pt_h)
     else:
         # Coriolis-only half rotation (the pre-c_sw formulation; needs
         # (c+u)Δt/Δ < ~0.5 — see FVConfig.div24del2flag notes)
@@ -394,6 +418,8 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     du = fy_z - dt * (dx_en - c.CPAIR * pi_u * dx_th)
     du = wset_row(du, 0, 0.0)
+    if return_debug:
+        dbg.update(fy_z=fy_z, du_pgf=-dt * (dx_en - c.CPAIR * pi_u * dx_th))
 
     # δy at v point (i-1/2, j): corners (j+1/2)-(j-1/2) = rows j+1 and j
     def dy_of(ac):
@@ -407,6 +433,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
     dv = -fx_z - dt * (dy_en - c.CPAIR * pi_v * dy_th)
     dv = wset_row(wset_row(dv, 0, 0.0), -1, 0.0)
+    if return_debug:
+        dbg.update(fx_z=fx_z, dv_pgf=-dt * (dy_en - c.CPAIR * pi_v * dy_th),
+                   crx=crx, cry=cry, ke=ke, zeta_a=zeta_a)
 
     # ---- del2 divergence damping ----
     div = divergence_corner(u, v, grid)
@@ -456,6 +485,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     new_state = state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new)
     diags = dict(cx=crx, cy=cry, mfx=mfx, mfy=mfy, pe=pe, pk=pk, pkz=pkz,
                  peln=peln, wz=wz)
+    if return_debug:
+        dbg.update(du=du, dv=dv)
+        diags["debug"] = dbg
     return new_state, diags
 
 

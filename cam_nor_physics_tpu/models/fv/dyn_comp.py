@@ -239,6 +239,9 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               dyn_filter=cfg.fft_flt >= 0,
                               filter_impl=filter_impl,
                               c_sw_pgf=c_sw_pgf,
+                              filter_dm=cfg.filter_dm,
+                              filter_csw_dm=cfg.filter_csw_dm,
+                              ke_method=cfg.ke_method,
                               del2_velocity=(cfg.del2coef
                                              if cfg.div24del2flag == 42
                                              else 0.0))

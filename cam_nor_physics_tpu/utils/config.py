@@ -54,6 +54,18 @@ class FVConfig:
     # first NaN at rows |lat| > 86°, all levels at once). False falls back
     # to the Coriolis-only half rotation (needs the doubled split count).
     c_sw_pgf: bool = True
+    # Polar-filter the D-step mass/pt transport increments as well as the
+    # wind tendencies (experimental; zonal mean untouched so global mass is
+    # exactly conserved). Stability experiments only.
+    filter_dm: bool = False
+    # Polar-filter the C half-step mass/pt increments (the reference
+    # filters the c_sw products delpf/ptc with pft2d). Stability knob.
+    filter_csw_dm: bool = False
+    # KE form in the vector-invariant update: "centered" (square of the
+    # D2A-averaged winds), "avg_sq" (average of squares), "upwind"
+    # (upstream-biased edge selection, the FV-family Hollingsworth-
+    # Kallberg treatment).
+    ke_method: str = "centered"
     high_order_top: bool = False
     high_altitude: bool = False
     am_correction: bool = False
