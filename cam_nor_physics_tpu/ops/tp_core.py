@@ -355,7 +355,16 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
 
     fx_ffsl = f_frac + f_int
     if id_ != 0:
-        fx_ffsl = fx_ffsl * mfx
+        # The FFSL sum is in Courant units (cells swept); the reference
+        # multiplies it by a mass flux that the CALLER has pre-divided by
+        # the Courant number for ffsl rows (upstream trac2d/cd_core:
+        # xfx = mfx/sign(max(|cx|,tiny),cx)). Do that division here so
+        # every caller gets the correct |c|>1 flux: without it the flux is
+        # overestimated by a factor |c| — measured to drive a runaway at
+        # the near-pole rows (|c| 3-8 in transient polar vortex events)
+        # that destroyed every >10-day HS run regardless of filtering.
+        c_safe = jnp.sign(c) * jnp.maximum(jnp.abs(c), 1e-30)
+        fx_ffsl = fx_ffsl * (mfx / c_safe)
 
     return jnp.where(ffsl, fx_ffsl, fx_reg)
 

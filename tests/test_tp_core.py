@@ -81,6 +81,39 @@ class TestXTP1D:
         np.testing.assert_allclose(np.asarray(jnp.sum(dq, axis=-1)), 0.0,
                                    atol=1e-12)
 
+    def test_ffsl_mixing_ratio_free_stream(self):
+        """id_=1 (mixing ratio) on an FFSL row: uniform q must give
+        fx == mfx exactly — i.e. the Courant-unit FFSL sum must be scaled
+        by mass-flux-per-unit-Courant, not the raw mass flux (the factor-|c|
+        overestimate drove the polar blow-ups; reference trac2d pre-divides
+        xfx by cx for ffsl rows)."""
+        jm, im = 4, 48
+        rng = np.random.default_rng(5)
+        q = jnp.ones((jm, im))
+        cvals = jnp.asarray(rng.uniform(-6.0, 6.0, (jm, im)))
+        mfx = cvals * jnp.asarray(rng.uniform(0.5, 2.0, (jm, im)))
+        cosa = jnp.ones(jm)
+        ffsl = jnp.ones(jm, bool)
+        for iord in (1, 2, 4):
+            fx = tp.xtp(q, cvals, mfx, cosa, ffsl, iord, 1)
+            np.testing.assert_allclose(np.asarray(fx), np.asarray(mfx),
+                                       rtol=1e-6, atol=1e-9)
+
+    def test_ffsl_mixing_ratio_matches_regular_small_courant(self):
+        """For |c|<1 the FFSL branch (id_=1) must agree with the regular
+        branch: the branch is chosen per ROW, so sub-CFL cells inside an
+        ffsl row go through the FFSL path too."""
+        jm, im = 4, 48
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(rng.random((jm, im)))
+        cvals = jnp.asarray(rng.uniform(-0.9, 0.9, (jm, im)))
+        mfx = cvals * 1.7
+        cosa = jnp.ones(jm)
+        fx_ffsl = tp.xtp(q, cvals, mfx, cosa, jnp.ones(jm, bool), 1, 1)
+        fx_reg = tp.xtp(q, cvals, mfx, cosa, jnp.zeros(jm, bool), 1, 1)
+        np.testing.assert_allclose(np.asarray(fx_ffsl), np.asarray(fx_reg),
+                                   rtol=1e-6, atol=1e-9)
+
     def test_1d_advection_square_wave_monotone(self):
         """Advect a square wave one full period; PPM(lmt=1) must not create
         new extrema and must transport it back."""
