@@ -223,8 +223,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             # they feed the D-step PGF). Mode 0 untouched -> the half-step
             # zonal-mean mass budget is unchanged.
             if filter_impl == "matmul":
-                circ_c = jnp.asarray(
-                    circulant_filter_matrices(grid.pft_center), ddp_c.dtype)
+                circ_c = jnp.asarray(grid.circ_center(ddp_c.dtype))
                 ddp_c = polar_filter_matmul(ddp_c, circ_c)
                 dpt_c = polar_filter_matmul(dpt_c, circ_c)
             else:
@@ -270,11 +269,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             # center rows (like v), vc on edge rows (like u).
             if filter_impl == "matmul":
                 duc = polar_filter_matmul(
-                    duc, jnp.asarray(circulant_filter_matrices(
-                        grid.pft_center), duc.dtype))
+                    duc, jnp.asarray(grid.circ_center(duc.dtype)))
                 dvc = polar_filter_matmul(
-                    dvc, jnp.asarray(circulant_filter_matrices(
-                        grid.pft_edge), dvc.dtype))
+                    dvc, jnp.asarray(grid.circ_edge(dvc.dtype)))
             else:
                 duc = polar_filter(duc, jnp.asarray(grid.pft_center))
                 dvc = polar_filter(dvc, jnp.asarray(grid.pft_edge))
@@ -326,8 +323,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         # candidate driver of the polar-cap blow-up. Mode 0 (zonal mean) is
         # untouched, so global mass is exactly conserved.
         if filter_impl == "matmul":
-            circ_c = jnp.asarray(circulant_filter_matrices(grid.pft_center),
-                                 ddp.dtype)
+            circ_c = jnp.asarray(grid.circ_center(ddp.dtype))
             ddp = polar_filter_matmul(ddp, circ_c)
             dpt = polar_filter_matmul(dpt, circ_c)
         else:
@@ -470,11 +466,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             # circulant-matmul form: exact same spectral damping, runs on the
             # MXU and avoids sharded-FFT layout restrictions (grid.py)
             du = polar_filter_matmul(
-                du, jnp.asarray(circulant_filter_matrices(grid.pft_edge),
-                                du.dtype))
+                du, jnp.asarray(grid.circ_edge(du.dtype)))
             dv = polar_filter_matmul(
-                dv, jnp.asarray(circulant_filter_matrices(grid.pft_center),
-                                dv.dtype))
+                dv, jnp.asarray(grid.circ_center(dv.dtype)))
         else:
             du = polar_filter(du, jnp.asarray(grid.pft_edge))
             dv = polar_filter(dv, jnp.asarray(grid.pft_center))

@@ -66,6 +66,25 @@ class FVGrid:
         """Cell-center latitudes (rad), poles included."""
         return np.linspace(-0.5 * math.pi, 0.5 * math.pi, self.jm)
 
+    # Circulant-matmul forms of the polar filter, memoized per grid so every
+    # trace of cd_step shares one host constant per (response, dtype) rather
+    # than materializing a fresh (jm, im, im) array at each of the several
+    # filter sites (an 8 MB f32 constant at 144x96 — rebuilding it per site
+    # measurably slows tracing/compilation).
+    def circ_center(self, dtype=np.float32) -> np.ndarray:
+        return self._circ_memo("center", np.dtype(dtype))
+
+    def circ_edge(self, dtype=np.float32) -> np.ndarray:
+        return self._circ_memo("edge", np.dtype(dtype))
+
+    def _circ_memo(self, which: str, dtype: np.dtype) -> np.ndarray:
+        cache = self.__dict__.setdefault("_circ_cache", {})
+        key = (which, dtype)
+        if key not in cache:
+            resp = self.pft_center if which == "center" else self.pft_edge
+            cache[key] = circulant_filter_matrices(resp).astype(dtype)
+        return cache[key]
+
     @property
     def lons(self) -> np.ndarray:
         """Cell-center longitudes (rad), starting at -pi."""
