@@ -25,7 +25,6 @@ from .models.physics.cam_diagnostics import (diag_export, diag_phys_writeout,
                                              diag_register, diag_surf)
 from .utils.checkpoint import save_checkpoint
 from .utils.history import default_registry_atm, outfld_many
-from .utils.histio_native import AsyncHistoryWriter
 from .utils.timing import PhaseTimer
 
 UMAX_GUARD = 300.0        # m/s wind sanity bound (dyn_comp.F90:996-997)
@@ -34,6 +33,57 @@ UMAX_GUARD = 300.0        # m/s wind sanity bound (dyn_comp.F90:996-997)
 class BlowupError(RuntimeError):
     """Model state failed the finite/range sentinels (the structured
     replacement for the reference's collective endrun abort)."""
+
+
+class _HistoryTapes:
+    """Per-tape accumulation buffers + writer (cam_history tape set).
+
+    `every` is the reference's per-tape write frequency: an int applies to
+    tape 0 (h0); a dict {tape: every} drives several tapes with independent
+    cadences (e.g. {0: 4, 1: 240} for 2-hourly h0 + monthly-mean h1), each
+    over the fields add_default-ed to that tape."""
+
+    def __init__(self, reg, model, dtype, every, out_dir):
+        from .utils.histio_native import AsyncHistoryWriter
+        self.reg = reg
+        self.out_dir = out_dir
+        self.every = ({0: every} if isinstance(every, int) else dict(every))
+        self.every = {t: e for t, e in self.every.items() if e}
+        self.grid = model.grid
+        self.dtype = dtype
+        self.writer = AsyncHistoryWriter(
+            reg, model.grid.lats, model.grid.lons, model.grid.km)
+        self.bufs = {t: self._fresh(t) for t in self.every}
+        self.counts = {t: 0 for t in self.every}
+
+    def _fresh(self, tape):
+        g = self.grid
+        return self.reg.buffer(g.jm * g.im, g.km, self.dtype, tape=tape,
+                               jm=g.jm, im=g.im)
+
+    def accumulate(self, payload):
+        for t in self.bufs:
+            self.bufs[t] = outfld_many(self.bufs[t], payload, self.reg)
+
+    def maybe_write(self, istep, time_days):
+        for t, every in self.every.items():
+            if istep % every == 0:
+                path = os.path.join(
+                    self.out_dir, f"h{t}.{self.counts[t]:04d}.nc")
+                self.writer.write(path, self.bufs[t], time_days)
+                self.counts[t] += 1
+                self.bufs[t] = self._fresh(t)
+
+    def close(self):
+        self.writer.flush()
+        self.writer.close()
+
+
+def _dyn_payload(state: AtmState) -> dict:
+    """Staggered-grid prognostic winds (the reference's US/VS addflds on
+    the FV u/v staggers, dyn_comp.F90:676-684). u rows 1..jm-1 are the
+    physical interior interfaces (row 0 is the unused south-pole edge)."""
+    return {"US": state.dyn.u[:, 1:, :], "VS": state.dyn.v}
 
 
 def _check_state(state: AtmState, nstep: int) -> None:
@@ -55,36 +105,32 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
     reg = default_registry_atm()
     diag_register(reg)
-    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS"]:
+    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "US", "VS",
+                 "PRECCMX"]:
         reg.add_default(name)
-    writer = AsyncHistoryWriter(
-        reg, model.grid.lats, model.grid.lons, model.grid.km)
-    ncol = model.grid.jm * model.grid.im
-    hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+    hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
+                         out_dir) if hist_every else None
 
     step_first = jax.jit(lambda s, ci: atm_step(model, s, ci,
                                                 first_step=True))
     step_rest = jax.jit(lambda s, ci: atm_step(model, s, ci))
 
-    tapes = 0
     for i in range(nsteps):
         fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
         state, cam_out, diags = timer.timed("atm_step", fn, state, cam_in)
 
-        if hist_every:
+        if hist:
             payload = dict(diags)
             payload.update(diag_phys_writeout(state.phys))
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
-            hbuf = timer.timed("outfld", lambda b: outfld_many(b, payload),
-                               hbuf)
-            if (i + 1) % hist_every == 0:
-                days = float(state.nstep) * model.dt / 86400.0
-                with timer.region("history_write"):
-                    writer.write(os.path.join(out_dir, f"h0.{tapes:04d}.nc"),
-                                 hbuf, days)
-                tapes += 1
-                hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+            payload.update(_dyn_payload(state))
+            if "PRECC" in payload:
+                payload["PRECCMX"] = payload["PRECC"]
+            timer.timed("outfld", hist.accumulate, payload)
+            with timer.region("history_write"):
+                hist.maybe_write(i + 1,
+                                 float(state.nstep) * model.dt / 86400.0)
 
         if ckpt_every and (i + 1) % ckpt_every == 0:
             with timer.region("checkpoint"):
@@ -95,8 +141,8 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
             with timer.region("sentinels"):
                 _check_state(state, i + 1)
 
-    writer.flush()
-    writer.close()
+    if hist:
+        hist.close()
     return state, timer
 
 
@@ -120,12 +166,11 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
 
     reg = default_registry_atm()
     diag_register(reg)
-    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "SST"]:
+    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "SST", "US", "VS",
+                 "PRECCMX"]:
         reg.add_default(name)
-    writer = AsyncHistoryWriter(
-        reg, model.grid.lats, model.grid.lons, model.grid.km)
-    ncol = model.grid.jm * model.grid.im
-    hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+    hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
+                         out_dir) if hist_every else None
 
     def _step(s, sst, first):
         cam_in = bulk_surface_fluxes(s.phys, sst, model.registry.pcnst)
@@ -138,27 +183,24 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
     step_first = jax.jit(lambda s, t: _step(s, t, True))
     step_rest = jax.jit(lambda s, t: _step(s, t, False))
 
-    tapes = 0
     for i in range(nsteps):
         fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
         state, sst, cam_in, cam_out, diags = timer.timed(
             "atm_step", fn, state, sst)
 
-        if hist_every:
+        if hist:
             payload = dict(diags)
             payload.update(diag_phys_writeout(state.phys))
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
+            payload.update(_dyn_payload(state))
             payload["SST"] = sst
-            hbuf = timer.timed("outfld", lambda b: outfld_many(b, payload),
-                               hbuf)
-            if (i + 1) % hist_every == 0:
-                days = float(state.nstep) * model.dt / 86400.0
-                with timer.region("history_write"):
-                    writer.write(os.path.join(out_dir, f"h0.{tapes:04d}.nc"),
-                                 hbuf, days)
-                tapes += 1
-                hbuf = reg.buffer(ncol, model.grid.km, state.phys.t.dtype)
+            if "PRECC" in payload:
+                payload["PRECCMX"] = payload["PRECC"]
+            timer.timed("outfld", hist.accumulate, payload)
+            with timer.region("history_write"):
+                hist.maybe_write(i + 1,
+                                 float(state.nstep) * model.dt / 86400.0)
 
         if ckpt_every and (i + 1) % ckpt_every == 0:
             with timer.region("checkpoint"):
@@ -169,8 +211,8 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
             with timer.region("sentinels"):
                 _check_state(state, i + 1)
 
-    writer.flush()
-    writer.close()
+    if hist:
+        hist.close()
     return state, sst, timer
 
 

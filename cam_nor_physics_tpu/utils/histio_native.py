@@ -49,6 +49,7 @@ def _load():
 
 
 _VDIM_CODE = {"srf": 0, "mid": 1, "int": 2}
+_STAGGER_CODE = {"fv_u_stagger": 3, "fv_v_stagger": 4}
 
 
 class AsyncHistoryWriter:
@@ -81,14 +82,21 @@ class AsyncHistoryWriter:
         names, units, vdims, datas = [], [], [], []
         for name, val in vals.items():
             fd = self.registry.fields[name]
-            if fd.vdim == "srf":
+            if fd.gridname in _STAGGER_CODE:
+                rows = jm - 1 if fd.gridname == "fv_u_stagger" else jm
+                arr = np.asarray(val, np.float32).reshape(
+                    self.pver, rows, im)
+                code = _STAGGER_CODE[fd.gridname]
+            elif fd.vdim == "srf":
                 arr = np.asarray(val, np.float32).reshape(jm, im)
+                code = _VDIM_CODE[fd.vdim]
             else:
                 nk = self.pver if fd.vdim == "mid" else self.pver + 1
                 arr = np.asarray(val, np.float32).T.reshape(nk, jm, im)
+                code = _VDIM_CODE[fd.vdim]
             names.append(name.encode())
             units.append(fd.units.encode())
-            vdims.append(_VDIM_CODE[fd.vdim])
+            vdims.append(code)
             datas.append(np.ascontiguousarray(arr))
         n = len(names)
         c_names = (ctypes.c_char_p * n)(*names)

@@ -7,8 +7,10 @@
 // the (device-side) simulation instead of stalling the step loop.
 //
 // Output format: NetCDF-3 classic (CDF-1), written directly — dimensions
-// lat/lon/lev/ilev/time(=1), float32 fields (time, [lev|ilev,] lat, lon),
-// double coordinates. Readable by scipy.io.netcdf_file and CAM tooling.
+// lat/lon/slat/slon/lev/ilev/time(=1), float32 fields (time, [lev|ilev,]
+// lat, lon) plus FV staggered-grid fields ((time, lev, slat, lon) /
+// (time, lev, lat, slon)), double coordinates. Readable by
+// scipy.io.netcdf_file and CAM tooling.
 //
 // C API (ctypes-friendly):
 //   histio_create()                      -> opaque handle (starts worker)
@@ -81,16 +83,25 @@ struct Job {
   std::vector<double> lats, lons;
   double time_days;
   std::vector<std::string> names, units;
-  std::vector<int> vdims;           // 0=srf, 1=mid, 2=int
+  std::vector<int> vdims;           // 0=srf, 1=mid, 2=int, 3=us, 4=vs
   std::vector<std::vector<float>> data;
 };
 
 void write_tape(const Job& j) {
-  // dims: 0=time(1) 1=lat 2=lon 3=lev 4=ilev
-  const int32_t dimsizes[5] = {1, j.jm, j.im, j.nlev, j.nlev + 1};
-  const char* dimnames[5] = {"time", "lat", "lon", "lev", "ilev"};
+  // dims: 0=time(1) 1=lat 2=lon 3=lev 4=ilev 5=slat(jm-1) 6=slon(im)
+  const int32_t dimsizes[7] = {1, j.jm, j.im, j.nlev, j.nlev + 1,
+                               j.jm - 1, j.im};
+  const char* dimnames[7] = {"time", "lat", "lon", "lev", "ilev",
+                             "slat", "slon"};
 
   std::vector<double> timev{j.time_days};
+  // FV staggered coordinates: slat = interface latitudes (midpoints of the
+  // uniform center latitudes), slon = west-edge longitudes (lon - dl/2)
+  std::vector<double> slats(j.jm - 1), slons(j.im);
+  for (int r = 0; r < j.jm - 1; ++r)
+    slats[r] = 0.5 * (j.lats[r] + j.lats[r + 1]);
+  const double dl = j.im > 1 ? j.lons[1] - j.lons[0] : 0.0;
+  for (int i = 0; i < j.im; ++i) slons[i] = j.lons[i] - 0.5 * dl;
   std::vector<VarDef> vars;
   {
     VarDef v;
@@ -114,6 +125,20 @@ void write_tape(const Job& j) {
     v.atts = {{"units", "degrees_east"}};
     v.ddata = &j.lons;
     vars.push_back(v);
+    v = VarDef();
+    v.name = "slat";
+    v.dimids = {5};
+    v.nc_type = NC_DOUBLE;
+    v.atts = {{"units", "degrees_north"}};
+    v.ddata = &slats;
+    vars.push_back(v);
+    v = VarDef();
+    v.name = "slon";
+    v.dimids = {6};
+    v.nc_type = NC_DOUBLE;
+    v.atts = {{"units", "degrees_east"}};
+    v.ddata = &slons;
+    vars.push_back(v);
   }
   for (size_t f = 0; f < j.names.size(); ++f) {
     VarDef v;
@@ -124,8 +149,12 @@ void write_tape(const Job& j) {
       v.dimids = {0, 1, 2};
     else if (j.vdims[f] == 1)
       v.dimids = {0, 3, 1, 2};
-    else
+    else if (j.vdims[f] == 2)
       v.dimids = {0, 4, 1, 2};
+    else if (j.vdims[f] == 3)
+      v.dimids = {0, 3, 5, 2};
+    else
+      v.dimids = {0, 3, 1, 6};
     v.fdata = &j.data[f];
     vars.push_back(v);
   }
@@ -138,8 +167,8 @@ void write_tape(const Job& j) {
   h.u8(1);
   h.i32(0);  // numrecs (no record vars: time is a size-1 fixed dim)
   h.i32(NC_DIMENSION);
-  h.i32(5);
-  for (int d = 0; d < 5; ++d) {
+  h.i32(7);
+  for (int d = 0; d < 7; ++d) {
     h.name(dimnames[d]);
     h.i32(dimsizes[d]);
   }
@@ -278,6 +307,8 @@ int histio_write_tape(void* handle, const char* path, int jm, int im,
     int64_t n = (int64_t)jm * im;
     if (vdims[f] == 1) n *= nlev;
     if (vdims[f] == 2) n *= (nlev + 1);
+    if (vdims[f] == 3) n = (int64_t)nlev * (jm - 1) * im;
+    if (vdims[f] == 4) n = (int64_t)nlev * jm * im;
     j.data.emplace_back(data[f], data[f] + n);
   }
   {
