@@ -96,12 +96,28 @@ def _check_state(state: AtmState, nstep: int) -> None:
                           f"at step {nstep}")
 
 
+def latest_checkpoint(out_dir: str) -> str | None:
+    """Most recent `ckpt_*` directory under out_dir (restart discovery)."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(out_dir, "ckpt_*")))
+    return paths[-1] if paths else None
+
+
 def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
         out_dir: str = "output", hist_every: int = 0, ckpt_every: int = 0,
-        check_every: int = 10):
-    """Integrate nsteps; returns (state, timer)."""
+        check_every: int = 10, resume_from: str | None = None):
+    """Integrate nsteps; returns (state, timer).
+
+    `resume_from`: a checkpoint directory written by a previous run(); the
+    passed `state` serves as the shape/dtype template (the reference's
+    restart-compatibility contract: same grid, same constituent set) and the
+    run continues from the stored step counter — bitwise identically to the
+    uninterrupted run (tests/test_restart.py)."""
     os.makedirs(out_dir, exist_ok=True)
     timer = PhaseTimer()
+    if resume_from is not None:
+        from .utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(resume_from, state)
 
     reg = default_registry_atm()
     diag_register(reg)
