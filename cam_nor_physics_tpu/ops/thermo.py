@@ -192,6 +192,78 @@ def _newton_invert(f, target, t_guess, iters=7, dt_fd=0.5, clamp=10.0,
     return tc, conv
 
 
+def _enthalpy_and_deriv(tk, p_hpa, qtot, z):
+    """(h, dh/dT) with the exact saturated-branch derivative.
+
+    h = (cp + qt·cl) T + L(T) qv(T) + (1+qt) g z with qv = min(qt, qst(T)),
+    L = Lv − (cl − cpv)(T − Tf). dh/dT = (cp + qt·cl) + L'·qv + L·qv',
+    qv' = dqst/dT on the saturated branch (Clausius-Clapeyron), else 0.
+    h is strictly increasing in T, so Newton from an environment-T guess
+    converges quadratically (~3 iterations to 1e-3 K vs ~8 secant evals)."""
+    from .saturation import dqsdt_water
+    L = RL - (c.CPLIQ - c.CPWV) * (tk - TFREEZ)
+    _, qst = qsat_hpa(tk, p_hpa)
+    sat = qtot >= qst
+    qv = jnp.where(sat, qst, qtot)
+    h = (CPRES + qtot * c.CPLIQ) * tk + L * qv + (1.0 + qtot) * c.GRAVIT * z
+    dqvdt = jnp.where(sat, dqsdt_water(tk, p_hpa * 100.0), 0.0)
+    dh = (CPRES + qtot * c.CPLIQ) - (c.CPLIQ - c.CPWV) * qv + L * dqvdt
+    return h, dh
+
+
+def _entropy_and_deriv(tk, p_hpa, qtot):
+    """(s, ds/dT) with the exact saturated-branch derivative.
+
+    On the unsaturated branch qv = qt and e are T-independent:
+      ds/dT = (cp + qt·cl)/T + L' qv/T − L qv/T².
+    Saturated (qv = qst(T), e = e(qst)): the extra terms from qst(T) in
+    L qv/T and −qv Rv ln(qv/qst) cancel at qv = qst except through the
+    vapor-pressure term, giving
+      ds/dT = (cp + qt·cl)/T + L' qst/T − L qst/T² + qst'·(L/T − Rv ln(qv/qst))
+              + Rd/(p−e) · de/dT,  de/dT = e' from qst'.
+    (At qv == qst the log term is 0.)"""
+    from .saturation import dqsdt_water
+    L = RL - (c.CPLIQ - c.CPWV) * (tk - TFREEZ)
+    Lp = -(c.CPLIQ - c.CPWV)
+    _, qst = qsat_hpa(tk, p_hpa)
+    sat = qtot >= qst
+    qv = jnp.where(sat, qst, qtot)
+    e = qv * p_hpa / (EPS1 + qv)
+    pref = 1000.0
+    s = ((CPRES + qtot * c.CPLIQ) * jnp.log(tk / TFREEZ)
+         - RGAS * jnp.log((p_hpa - e) / pref)
+         + L * qv / tk
+         - qv * c.RH2O * jnp.log(qv / qst))
+    qstp = dqsdt_water(tk, p_hpa * 100.0)
+    dqvdt = jnp.where(sat, qstp, 0.0)
+    dedqv = p_hpa * EPS1 / (EPS1 + qv) ** 2
+    # d/dT of -qv Rv ln(qv/qst): on the saturated branch qv=qst -> ln=1·0,
+    # derivative -Rv qst' ln(1) - qv Rv (qv'/qv - qst'/qst) = 0; unsaturated:
+    # qv const -> +qv Rv qst'/qst.
+    dlog = jnp.where(sat, 0.0, qv * c.RH2O * qstp / qst)
+    ds = ((CPRES + qtot * c.CPLIQ) / tk
+          + RGAS * dedqv * dqvdt / (p_hpa - e)
+          + (Lp * qv + L * dqvdt) / tk - L * qv / (tk * tk)
+          + dlog)
+    return s, ds
+
+
+def _newton_exact_invert(fdf, target, t_guess, iters=4, clamp=10.0,
+                         tol=0.001):
+    """Newton with the analytic derivative (quadratic convergence; iteration
+    count static and unrolled like `_newton_invert`). The derivative of both
+    moist potentials is bounded below by cp/T-scale positives, so the step
+    is well-defined; ±clamp K damping guards the saturation kink."""
+    tc = t_guess
+    for _ in range(iters):
+        fc, dfc = fdf(tc)
+        step = (fc - target) / jnp.maximum(dfc, 1e-6)
+        tc = tc - jnp.clip(step, -clamp, clamp)
+    fc, dfc = fdf(tc)
+    conv = jnp.abs(fc - target) <= dfc * tol + 1e-6 * jnp.abs(target)
+    return tc, conv
+
+
 def ientropy(s_target, p_hpa, qt, t_guess, max_iter=100, solver="brent"):
     """Invert entropy(T, p, qt) = s for T; returns (T, qst, converged).
 
@@ -202,6 +274,10 @@ def ientropy(s_target, p_hpa, qt, t_guess, max_iter=100, solver="brent"):
     fn = partial(entropy, p_hpa=p_hpa, qtot=qt)
     if solver == "newton":
         t, conv = _newton_invert(fn, s_target, t_guess)
+    elif solver == "newton_exact":
+        t, conv = _newton_exact_invert(
+            partial(_entropy_and_deriv, p_hpa=p_hpa, qtot=qt),
+            s_target, t_guess)
     else:
         t, conv = _brent_invert(fn, s_target, t_guess, max_iter=max_iter)
     _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)
@@ -217,6 +293,10 @@ def ienthalpy(h_target, p_hpa, qt, z, t_guess, max_iter=100, solver="brent"):
     fn = partial(enthalpy, p_hpa=p_hpa, qtot=qt, z=z)
     if solver == "newton":
         t, conv = _newton_invert(fn, h_target, t_guess)
+    elif solver == "newton_exact":
+        t, conv = _newton_exact_invert(
+            partial(_enthalpy_and_deriv, p_hpa=p_hpa, qtot=qt, z=z),
+            h_target, t_guess)
     else:
         t, conv = _brent_invert(fn, h_target, t_guess, max_iter=max_iter)
     _, qst = qsat_hpa(jnp.where(conv, t, t_guess), p_hpa)

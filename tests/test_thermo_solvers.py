@@ -47,3 +47,32 @@ class TestInversionSolvers:
         tn, _, cn = ientropy(s, p, qt, t_true - 6.0, solver="newton")
         assert bool(cn.all())
         assert float(jnp.abs(tn - t_true).max()) < 1e-3
+
+    def test_newton_exact_matches_truth(self, samples):
+        """Analytic-derivative Newton (4 iterations) hits the reference
+        tolerance on both potentials, including across the saturation
+        kink."""
+        t_true, p, qt, z, dt0 = samples
+        s = entropy(t_true, p, qt)
+        h = enthalpy(t_true, p, qt, z)
+        ts, _, cs = ientropy(s, p, qt, t_true + dt0, solver="newton_exact")
+        th, _, ch = ienthalpy(h, p, qt, z, t_true + dt0,
+                              solver="newton_exact")
+        assert bool(cs.all()), f"unconverged: {int((~cs).sum())}"
+        assert bool(ch.all()), f"unconverged: {int((~ch).sum())}"
+        assert float(jnp.abs(ts - t_true).max()) < 1e-3
+        assert float(jnp.abs(th - t_true).max()) < 1e-3
+
+    def test_newton_exact_saturation_kink(self):
+        t_true = jnp.asarray(np.linspace(270.0, 290.0, 50))
+        p = jnp.full((50,), 850.0)
+        qt = jnp.full((50,), 0.012)
+        for pot, inv, args in (
+                (entropy, ientropy, (p, qt)),
+                (lambda t, p, q: enthalpy(t, p, q, jnp.full((50,), 1500.0)),
+                 ienthalpy, (p, qt, jnp.full((50,), 1500.0)))):
+            tgt = pot(t_true, p, qt)
+            tn, _, cn = inv(tgt, *args, t_guess=t_true - 6.0,
+                            solver="newton_exact")
+            assert bool(cn.all())
+            assert float(jnp.abs(tn - t_true).max()) < 1e-3
