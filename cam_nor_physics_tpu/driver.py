@@ -21,7 +21,8 @@ import numpy as np
 
 from .models.atm_comp import AtmModel, AtmState, atm_init, atm_step
 from .models.coupling.camsrfexch import CamIn
-from .models.physics.cam_diagnostics import (diag_export, diag_phys_writeout,
+from .models.physics.cam_diagnostics import (diag_cloud, diag_export,
+                                             diag_phys_writeout,
                                              diag_register, diag_surf)
 from .utils.checkpoint import save_checkpoint
 from .utils.history import default_registry_atm, outfld_many
@@ -122,7 +123,8 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     reg = default_registry_atm()
     diag_register(reg)
     for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "US", "VS",
-                 "PRECCMX"]:
+                 "PRECCMX", "T850", "U250", "Z500", "VT", "VU",
+                 "CLDTOT", "CLDLOW", "CLDHGH"]:
         reg.add_default(name)
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
@@ -141,6 +143,8 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
             payload.update(_dyn_payload(state))
+            payload.update(diag_cloud(state.pbuf.get("CLD"),
+                                      state.phys.pmid))
             if "PRECC" in payload:
                 payload["PRECCMX"] = payload["PRECC"]
             timer.timed("outfld", hist.accumulate, payload)
@@ -183,7 +187,8 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
     reg = default_registry_atm()
     diag_register(reg)
     for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "SST", "US", "VS",
-                 "PRECCMX"]:
+                 "PRECCMX", "T850", "U250", "Z500", "VT", "VU",
+                 "CLDTOT", "CLDLOW", "CLDHGH"]:
         reg.add_default(name)
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
@@ -210,6 +215,8 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
             payload.update(_dyn_payload(state))
+            payload.update(diag_cloud(state.pbuf.get("CLD"),
+                                      state.phys.pmid))
             payload["SST"] = sst
             if "PRECC" in payload:
                 payload["PRECCMX"] = payload["PRECC"]

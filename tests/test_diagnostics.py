@@ -100,3 +100,46 @@ class TestCamDiagnostics:
         s = diag_surf(cam_in, cam_out)
         e = diag_export(cam_out)
         assert "SHFLX" in s and "PRECT" in e
+
+
+class TestPlevelAndCloud:
+    def test_plevel_slice_exact_linear_in_logp(self):
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            plevel_slice
+        ncol, pver = 8, 20
+        pmid = jnp.asarray(np.broadcast_to(
+            np.geomspace(100e2, 1000e2, pver)[None], (ncol, pver)))
+        # field linear in ln p interpolates exactly
+        f = 3.0 * jnp.log(pmid) - 7.0
+        got = plevel_slice(f, pmid, 512e2)
+        np.testing.assert_allclose(np.asarray(got),
+                                   3.0 * np.log(512e2) - 7.0, rtol=1e-6)
+        # clamped outside range
+        top = plevel_slice(f, pmid, 10e2)
+        np.testing.assert_allclose(np.asarray(top), np.asarray(f[:, 0]),
+                                   rtol=1e-6)
+
+    def test_cloud_overlap_limits(self):
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            diag_cloud
+        ncol, pver = 4, 10
+        pmid = jnp.asarray(np.broadcast_to(
+            np.geomspace(100e2, 1000e2, pver)[None], (ncol, pver)))
+        clear = diag_cloud(jnp.zeros((ncol, pver)), pmid)
+        assert float(jnp.abs(clear["CLDTOT"]).max()) < 1e-6
+        # one fully overcast low layer -> CLDTOT = CLDLOW = 1, CLDHGH = 0
+        cld = jnp.zeros((ncol, pver)).at[:, -1].set(1.0)
+        out = diag_cloud(cld, pmid)
+        np.testing.assert_allclose(np.asarray(out["CLDTOT"]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["CLDLOW"]), 1.0, atol=1e-6)
+        assert float(out["CLDHGH"].max()) < 1e-6
+        # maximum-random: two adjacent 0.5 layers overlap maximally -> 0.5
+        cld2 = jnp.zeros((ncol, pver)).at[:, -2:].set(0.5)
+        out2 = diag_cloud(cld2, pmid)
+        np.testing.assert_allclose(np.asarray(out2["CLDTOT"]), 0.5,
+                                   atol=1e-6)
+        # separated layers combine randomly: 1-(1-.5)(1-.5) = 0.75
+        cld3 = jnp.zeros((ncol, pver)).at[:, -1].set(0.5).at[:, 2].set(0.5)
+        out3 = diag_cloud(cld3, pmid)
+        np.testing.assert_allclose(np.asarray(out3["CLDTOT"]), 0.75,
+                                   atol=1e-6)
