@@ -67,6 +67,31 @@ def main():
     jax.block_until_ready(state)
     t_dyn = time_fn(dyn_step, (state,), iters)
 
+    if os.environ.get("BENCH_PHASES") == "1":
+        # per-phase timings mirroring the reference's t_startf regions
+        # (cd_core / trac2d / te_map, dyn_comp.F90 timer names). Costs three
+        # extra jit compiles, so opt-in.
+        from cam_nor_physics_tpu.models.fv.cd_core import cd_step
+        from cam_nor_physics_tpu.models.fv.dyn_comp import te_map, trac2d
+        ns, nstrac, nv = cfg.resolved_splits(dt, im, jm)
+        dts = dt / max(ns, 1)
+        f_cd = jax.jit(lambda st: cd_step(
+            st, grid, coord.ptop, phis, dts, iord=cfg.iord, jord=cfg.jord,
+            dyn_filter=True, c_sw_pgf=cfg.c_sw_pgf, ke_method=cfg.ke_method,
+            del2_velocity=cfg.del2coef if cfg.div24del2flag == 42 else 0.0))
+        st1, d = f_cd(state)
+        f_tr = jax.jit(lambda q, dp0, d: trac2d(
+            q, dp0, d["cx"], d["cy"], d["mfx"], d["mfy"], grid,
+            cfg.iord, cfg.jord))
+        f_te = jax.jit(lambda st: te_map(st, coord, grid, coord.ptop,
+                                         kord=cfg.kord, consv=cfg.conserve))
+        t_cd = time_fn(f_cd, (state,), iters)
+        t_tr = time_fn(f_tr, (state.q, state.delp, d), iters)
+        t_te = time_fn(f_te, (st1,), iters)
+        print(f"phases: cd_core={t_cd*1e3:.1f}ms x{ns} "
+              f"trac2d={t_tr*1e3:.1f}ms te_map={t_te*1e3:.1f}ms",
+              file=sys.stderr)
+
     # ---- ZM physics on the same number of columns ----
     from cam_nor_physics_tpu.models.physics.constituents import \
         default_registry
