@@ -24,7 +24,7 @@ from .models.coupling.camsrfexch import CamIn
 from .models.physics.cam_diagnostics import (diag_cloud, diag_export,
                                              diag_phys_writeout,
                                              diag_register, diag_surf)
-from .utils.checkpoint import save_checkpoint
+from .utils.ckptio_native import AsyncCheckpointWriter
 from .utils.history import default_registry_atm, outfld_many
 from .utils.timing import PhaseTimer
 
@@ -128,6 +128,7 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
         reg.add_default(name)
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
+    ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
 
     step_first = jax.jit(lambda s, ci: atm_step(model, s, ci,
                                                 first_step=True))
@@ -154,8 +155,9 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
         if ckpt_every and (i + 1) % ckpt_every == 0:
             with timer.region("checkpoint"):
-                save_checkpoint(os.path.join(out_dir, f"ckpt_{i + 1:06d}"),
-                                state, {"nstep": int(state.nstep)})
+                ckpt_writer.write(
+                    os.path.join(out_dir, f"ckpt_{i + 1:06d}"),
+                    state, {"nstep": int(state.nstep)})
 
         if check_every and (i + 1) % check_every == 0:
             with timer.region("sentinels"):
@@ -163,6 +165,9 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
     if hist:
         hist.close()
+    if ckpt_writer:
+        ckpt_writer.flush()
+        ckpt_writer.close()
     return state, timer
 
 
@@ -201,6 +206,7 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
                                   h_mix=h_mix, q_flux=q_flux)
         return s2, sst, cam_in, cam_out, diags
 
+    ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
     step_first = jax.jit(lambda s, t: _step(s, t, True))
     step_rest = jax.jit(lambda s, t: _step(s, t, False))
 
@@ -227,8 +233,9 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
 
         if ckpt_every and (i + 1) % ckpt_every == 0:
             with timer.region("checkpoint"):
-                save_checkpoint(os.path.join(out_dir, f"ckpt_{i + 1:06d}"),
-                                (state, sst), {"nstep": int(state.nstep)})
+                ckpt_writer.write(
+                    os.path.join(out_dir, f"ckpt_{i + 1:06d}"),
+                    (state, sst), {"nstep": int(state.nstep)})
 
         if check_every and (i + 1) % check_every == 0:
             with timer.region("sentinels"):
@@ -236,6 +243,9 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
 
     if hist:
         hist.close()
+    if ckpt_writer:
+        ckpt_writer.flush()
+        ckpt_writer.close()
     return state, sst, timer
 
 
