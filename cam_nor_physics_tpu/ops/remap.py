@@ -87,6 +87,34 @@ def _ppm_edges_nonuniform(q, dp, kord: int):
     return al, ar, a6
 
 
+def _mass_at_dense(pe_src, dp, al, delta, a6, pe_tgt):
+    """Cumulative PPM mass M(x) at target interfaces, densely over cells.
+
+    Every source cell contributes dp_k * P(s_k) with
+    s_k = clip((x - pe_k)/dp_k, 0, 1) and P the parabola's partial integral:
+    P(0)=0 (cell entirely below x contributes nothing), P(1)=q̄_k (cell
+    entirely above contributes its full mass) — so summing over ALL cells
+    needs no containing-cell search. On TPU this is one fused elementwise +
+    reduce over the small (n_tgt, km) plane per column: no hardware gathers
+    and no (n×km)@(km) one-hot GEMVs (tiny-matmul MXU shapes measured ~10×
+    slower than this form at te_map's geometry).
+
+    al/delta/a6 may carry a leading field axis (..., ncol, km); pe_tgt is
+    (ncol, n). Returns (..., ncol, n).
+    """
+    s = (pe_tgt[:, :, None] - pe_src[:, None, :-1]) / \
+        jnp.where(dp == 0, 1e-300, dp)[:, None, :]
+    s = jnp.clip(s, 0.0, 1.0)                       # (ncol, n, km)
+    if al.ndim == 3:                                # (nf, ncol, km)
+        al, delta, a6 = al[:, :, None], delta[:, :, None], a6[:, :, None]
+        s = s[None]
+    else:
+        al, delta, a6 = al[:, None], delta[:, None], a6[:, None]
+    # q(s') = al + s'(delta + a6(1-s'));  P(s) = ∫_0^s q ds'
+    part = s * (al + s * (0.5 * (delta + a6) - a6 * s * (1.0 / 3.0)))
+    return jnp.sum(dp[:, None, :] * part, axis=-1)
+
+
 def ppm_remap(pe_src, q, pe_tgt, kord: int = 4):
     """Remap cell means q from source interfaces pe_src to target pe_tgt.
 
@@ -96,41 +124,12 @@ def ppm_remap(pe_src, q, pe_tgt, kord: int = 4):
     ncol, km = q.shape
     dp = pe_src[:, 1:] - pe_src[:, :-1]
     al, ar, a6 = _ppm_edges_nonuniform(q, dp, kord)
-    delta = ar - al
 
-    # cumulative mass at source interfaces: M[k] = sum_{k'<k} q dp
-    csum = jnp.cumsum(q * dp, axis=1)
-    M_src = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
-
-    def mass_at(x):
-        """M(x) for target interface positions x (ncol, n).
-
-        The containing-cell search is a comparison-count (monotone
-        interfaces), and the per-cell coefficient lookups are one one-hot
-        contraction over the small level axis — no hardware gathers, which
-        dominate HBM traffic on TPU and miscompile under SPMD sharding.
-        """
-        # k = #{j : pe_src[j] <= x} - 1, clipped to valid cells
-        cnt = jnp.sum(pe_src[:, None, :] <= x[:, :, None], axis=-1)
-        k = jnp.clip(cnt - 1, 0, km - 1)
-        onehot = (k[:, :, None] == jnp.arange(km)).astype(q.dtype)
-
-        def at_k(a):                       # a: (ncol, km) -> (ncol, n)
-            return jnp.einsum('cnk,ck->cn', onehot, a)
-
-        pe_k = at_k(pe_src[:, :km])
-        dp_k = at_k(dp)
-        s = jnp.clip((x - pe_k) / jnp.where(dp_k == 0, 1e-300, dp_k), 0.0, 1.0)
-        al_k, d_k, a6_k = at_k(al), at_k(delta), at_k(a6)
-        # q(s') = al + s' (delta + a6 (1 - s'));  ∫_0^s q ds'
-        part = al_k * s + 0.5 * (d_k + a6_k) * s ** 2 - a6_k * s ** 3 / 3.0
-        return at_k(M_src[:, :km]) + dp_k * part
-
-    M_tgt = mass_at(pe_tgt)
+    M_tgt = _mass_at_dense(pe_src, dp, al, ar - al, a6, pe_tgt)
     # pin the endpoints exactly: shared top/bottom interfaces carry the full
-    # column mass, eliminating roundoff drift from the searchsorted path
+    # column mass, eliminating roundoff drift in the dense partial sums
     M_tgt = M_tgt.at[:, 0].set(0.0)
-    M_tgt = M_tgt.at[:, -1].set(M_src[:, -1])
+    M_tgt = M_tgt.at[:, -1].set(jnp.sum(q * dp, axis=1))
     dpe_t = pe_tgt[:, 1:] - pe_tgt[:, :-1]
     return (M_tgt[:, 1:] - M_tgt[:, :-1]) / dpe_t
 
@@ -138,39 +137,19 @@ def ppm_remap(pe_src, q, pe_tgt, kord: int = 4):
 def ppm_remap_multi(pe_src, qs, pe_tgt, kord: int = 4):
     """Remap several fields sharing the same interface sets in one pass.
 
-    qs: (nf, ncol, km) -> (nf, ncol, km_t). The containing-cell search and
-    one-hot masks are computed once and reused across fields — the per-field
-    cost is just the PPM reconstruction and a few contractions (this is what
-    makes te_map's pt+tracers remap one fused program instead of nf
-    sequential ones).
+    qs: (nf, ncol, km) -> (nf, ncol, km_t). The fractional-overlap tensor s
+    is computed once and shared across fields — the per-field cost is just
+    the PPM reconstruction and the fused parabola-integral reduction (this
+    is what makes te_map's pt+tracers remap one fused program instead of nf
+    sequential ones — SURVEY §2.3 P6's tracer batching).
     """
     nf, ncol, km = qs.shape
     dp = pe_src[:, 1:] - pe_src[:, :-1]
     al, ar, a6 = jax.vmap(lambda q: _ppm_edges_nonuniform(q, dp, kord))(qs)
-    delta = ar - al
-    csum = jnp.cumsum(qs * dp[None], axis=-1)
-    M_src = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
 
-    cnt = jnp.sum(pe_src[:, None, :] <= pe_tgt[:, :, None], axis=-1)
-    k = jnp.clip(cnt - 1, 0, km - 1)
-    onehot = (k[:, :, None] == jnp.arange(km)).astype(qs.dtype)
-
-    def at_k(a):                           # (ncol, km) -> (ncol, n)
-        return jnp.einsum('cnk,ck->cn', onehot, a)
-
-    def at_k_f(a):                         # (nf, ncol, km) -> (nf, ncol, n)
-        return jnp.einsum('cnk,fck->fcn', onehot, a)
-
-    pe_k = at_k(pe_src[:, :km])
-    dp_k = at_k(dp)
-    s = jnp.clip((pe_tgt - pe_k) / jnp.where(dp_k == 0, 1e-300, dp_k),
-                 0.0, 1.0)
-    al_k, d_k, a6_k = at_k_f(al), at_k_f(delta), at_k_f(a6)
-    part = al_k * s[None] + 0.5 * (d_k + a6_k) * s[None] ** 2 - \
-        a6_k * s[None] ** 3 / 3.0
-    M_tgt = at_k_f(M_src[..., :km]) + dp_k[None] * part
+    M_tgt = _mass_at_dense(pe_src, dp, al, ar - al, a6, pe_tgt)
     M_tgt = M_tgt.at[..., 0].set(0.0)
-    M_tgt = M_tgt.at[..., -1].set(M_src[..., -1])
+    M_tgt = M_tgt.at[..., -1].set(jnp.sum(qs * dp[None], axis=-1))
     dpe_t = (pe_tgt[:, 1:] - pe_tgt[:, :-1])[None]
     return (M_tgt[..., 1:] - M_tgt[..., :-1]) / dpe_t
 
