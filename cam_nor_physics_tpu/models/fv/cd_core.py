@@ -38,6 +38,7 @@ import numpy as np
 from flax import struct
 
 from ...ops import tp_core as tp
+from ...ops.pallas_kernels import transport3d, vort_flux3d
 from ...ops.tp_core import _rollx, _rolly, edge_north, wset_interior, wset_row
 from ...utils import constants as c
 from .grid import (FVGrid, circulant_filter_matrices, polar_filter,
@@ -162,7 +163,8 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             dyn_filter: bool = True, filter_impl: str = "fft",
             ke_method: str = "centered", del2_velocity: float = 0.0,
             c_sw_pgf: bool = False, filter_dm: bool = False,
-            filter_csw_dm: bool = False, return_debug: bool = False):
+            filter_csw_dm: bool = False, use_pallas: bool = True,
+            return_debug: bool = False):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy).
 
@@ -202,21 +204,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         va_c2 = 0.5 * (cry_c + edge_north(cry_c))
         ffsl_c = jnp.max(jnp.abs(crx_c), axis=-1) > 1.0
 
-        def ctrans_level(args):
-            delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
-            ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, 1, 1,
-                                        crx_k, yfx_k, cosp, acosp,
-                                        grid.rcap, ffsl_k)
-            fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, 1, 1,
-                                   mfx_k, mfy_k, cosp, ffsl_k, 1)
-            dpt = fx_pt - jnp.roll(fx_pt, -1, axis=-1) + \
-                (fy_pt - edge_north(fy_pt)) * acosp[:, None]
-            dpt = wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * grid.rcap)
-            dpt = wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * grid.rcap)
-            return ddp, dpt
-
-        ddp_c, dpt_c = jax.vmap(ctrans_level)(
-            (delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c))
+        ddp_c, dpt_c, _, _ = transport3d(
+            delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c, cosp, acosp,
+            grid.rcap, 1, 1, prefer_pallas=use_pallas)
         if dyn_filter and filter_csw_dm:
             # polar-filter the half-step mass/pt increments (the reference
             # cd_core filters the c_sw products delpf/ptc with pft2d before
@@ -299,22 +289,11 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
 
     # ---- transport delp (mass) and pt with tp2c/tp2d ----
-    def transport_level(args):
-        delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
-        ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, iord, jord,
-                                    crx_k, yfx_k, cosp, acosp, grid.rcap,
-                                    ffsl_k)
-        # pt advected as mixing-ratio-like with the same mass fluxes (id=1)
-        fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, iord, jord,
-                               mfx_k, mfy_k, cosp, ffsl_k, 1)
-        dpt = fx_pt - jnp.roll(fx_pt, -1, axis=-1) + \
-            (fy_pt - edge_north(fy_pt)) * acosp[:, None]
-        dpt = wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * grid.rcap)
-        dpt = wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * grid.rcap)
-        return ddp, dpt, mfx_k, mfy_k
-
-    ddp, dpt, mfx, mfy = jax.vmap(transport_level)(
-        (delp, pt, crx, cry, yfx, va_c, ffsl))
+    # (pt advected as mixing-ratio-like with the same mass fluxes, id=1;
+    # fused per-level Pallas kernel on single-chip TPU, vmapped jnp else)
+    ddp, dpt, mfx, mfy = transport3d(
+        delp, pt, crx, cry, yfx, va_c, ffsl, cosp, acosp, grid.rcap,
+        iord, jord, prefer_pallas=use_pallas)
     if dyn_filter and filter_dm:
         # EXPERIMENTAL: polar-filter the mass/pt transport increments too.
         # The wind-tendency filter alone leaves near-pole zonal delp/pt
@@ -383,23 +362,13 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     pi_ = pkz
     theta = pt_new
 
-    # u update at south edges (rows 1..jm-1)
-    def yflux_vort(args):
-        zeta_k, cry_k, vdt_k, ffsl_k = args
-        # flux of ζ northward across y-edges with upwind PPM (ytp)
-        return tp.ytp(zeta_k, cry_k, vdt_k, jord, 0)
-
-    # edge mass flux for vorticity: v̄·dt at u points (south-edge rows)
+    # u update at south edges (rows 1..jm-1): flux of ζ northward across
+    # y-edges (ytp) with edge mass flux v̄·dt at u points, and x-flux of ζ
+    # at west edges (xtp) with uc·dt — fused per level
     v_c4 = _corner_from_center(0.5 * (v + jnp.roll(v, -1, axis=-1)))
     v_edge = 0.5 * (v_c4 + jnp.roll(v_c4, -1, axis=-1))
-    fy_z = jax.vmap(yflux_vort)((zeta_a, cry, v_edge * dt, ffsl))
-
-    # x-flux of vorticity at west edges with uc·dt
-    def xflux_vort(args):
-        zeta_k, crx_k, udt_k, ffsl_k = args
-        return tp.xtp(zeta_k, crx_k, udt_k, cosp, ffsl_k, iord, 1)
-
-    fx_z = jax.vmap(xflux_vort)((zeta_a, crx, uc * dt, ffsl))
+    fx_z, fy_z = vort_flux3d(zeta_a, crx, cry, uc * dt, v_edge * dt, ffsl,
+                             cosp, iord, jord, prefer_pallas=use_pallas)
 
     # gradients via corner-averaged fields (half-cell differences; a centered
     # 2Δx stencil would admit a checkerboard null space)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ...ops import tp_core as tp
 from ...ops.fill import fillz
+from ...ops.pallas_kernels import tracer_div3d
 from ...ops.tp_core import _rolly, edge_north, wset_row
 from ...ops.remap import ppm_remap, ppm_remap_multi
 from ...utils import constants as c
@@ -34,7 +35,7 @@ from .vertical import HybridCoord
 
 
 def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
-           fill: bool = True):
+           fill: bool = True, use_pallas: bool = True):
     """Large-timestep tracer transport with accumulated Courant numbers and
     mass fluxes (upstream trac2d contract, dyn_comp.F90:2385-2388).
 
@@ -67,21 +68,9 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
     # a blow-up). Floor it; the subsequent te_map restores the coordinate.
     dp_new = jnp.maximum(dp0 + ddp, 0.05 * dp0)
 
-    def transport_one(qm):
-        def level(args):
-            q_k, dp0_k, cx_k, cy_k, mfx_k, mfy_k, va_k, ffsl_k = args
-            fx, fy = tp.tp2d(va_k, q_k, cx_k, cy_k, iord, jord, mfx_k, mfy_k,
-                             cosp, ffsl_k, 1)
-            dqm = fx - jnp.roll(fx, -1, axis=-1) + \
-                (fy - edge_north(fy)) * acosp[:, None]
-            dqm = wset_row(dqm, 0, -jnp.sum(fy[1, :]) * grid.rcap)
-            dqm = wset_row(dqm, -1, jnp.sum(fy[jm - 1, :]) * grid.rcap)
-            return dqm
-
-        dqm = jax.vmap(level)((qm, dp0, cx, cy, mfx, mfy, va, ffsl))
-        return (qm * dp0 + dqm) / dp_new
-
-    q_new = jax.vmap(transport_one)(q)
+    dqm = tracer_div3d(q, cx, cy, mfx, mfy, va, ffsl, cosp, acosp,
+                       grid.rcap, iord, jord, prefer_pallas=use_pallas)
+    q_new = (q * dp0[None] + dqm) / dp_new[None]
     if fill:
         # vertical borrowing repair of splitting undershoots (fill_module
         # role, dyn_comp.F90 `fill` flag)
@@ -220,6 +209,11 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     """
     if c_sw_pgf is None:
         c_sw_pgf = cfg.c_sw_pgf
+    if cfg.use_pallas == "auto":
+        from ...ops.pallas_kernels import use_pallas as _up
+        use_pallas = _up()
+    else:
+        use_pallas = bool(cfg.use_pallas)
     ns, nspltrac, nv = cfg.resolved_splits(ndt, grid.im, grid.jm)
     n2 = (nspltrac + nv - 1) // nv
     nsplit = (ns + n2 * nv - 1) // (n2 * nv)
@@ -244,7 +238,8 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               ke_method=cfg.ke_method,
                               del2_velocity=(cfg.del2coef
                                              if cfg.div24del2flag == 42
-                                             else 0.0))
+                                             else 0.0),
+                              use_pallas=use_pallas)
             if cfg.am_fixer:
                 # global AM restoration per small step (dyn_comp.F90:1952-2069)
                 st_i = am_fixer(st_i, grid, am0)
@@ -255,7 +250,8 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         (st, acc), _ = jax.lax.scan(small_step, (st, acc0), None,
                                     length=nsplit)
         q_new, _dp_chk = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
-                                acc["mfy"], grid, cfg.iord, cfg.jord)
+                                acc["mfy"], grid, cfg.iord, cfg.jord,
+                                use_pallas=use_pallas)
         return st.replace(q=q_new), None
 
     def remap_cycle(st, _):

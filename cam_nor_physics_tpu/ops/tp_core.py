@@ -69,7 +69,9 @@ def wset_row(a, row: int, value, axis: int = -2):
     n = a.shape[axis]
     shape = [1] * a.ndim
     shape[axis] = n
-    mask = (jnp.arange(n) == (row % n)).reshape(shape)
+    # reshape the int32 arange BEFORE comparing: reshaping the bool result
+    # would be an i1 minor-dim insertion, which Mosaic (Pallas TPU) rejects
+    mask = jnp.arange(n).reshape(shape) == (row % n)
     return jnp.where(mask, value, a)
 
 
@@ -95,18 +97,44 @@ def _rollv(v, shift):
     return _roll_static(v[None, :], shift, -1)[0]
 
 
-def _gatherx(a, idx):
-    """a[..., idx[...]] with periodic wrap; idx same shape as a.
+def _gatherx_rel(arrs, d, lo: int, hi: int):
+    """out[t][..., i] = arrs[t][..., (i + d[..., i]) mod im] for integer
+    offsets d in [lo, hi]: a select over static periodic rolls.
 
-    Formulated as a one-hot contraction over x rather than a hardware
-    gather: dynamic gathers along the minor axis are the dominant HBM cost
-    on TPU (measured 3x slower than the masked reduction at (26,96,144)),
-    and this form also partitions cleanly under SPMD.
+    The offsets in the FFSL path are donor distances bounded by the integer
+    Courant number, so the gather is a short chain of roll+where that XLA
+    fuses into one pass. The earlier one-hot-einsum form materialized a
+    (km, jm, im, im) one-hot per index set — ~200 MB of HBM traffic per
+    gather at FV resolution and the dominant cost of cd_core (measured
+    3.5 GB/cd_step); this form is also Mosaic-clean (static slices only).
+    All arrays share the index d (computed once per xtp call).
     """
-    im = a.shape[-1]
-    onehot = (jnp.mod(idx, im)[..., :, None] ==
-              jnp.arange(im)).astype(a.dtype)
-    return jnp.einsum('...im,...m->...i', onehot, a)
+    outs = [jnp.zeros_like(a) for a in arrs]
+    for s in range(lo, hi + 1):
+        m = d == s
+        outs = [jnp.where(m, _rollx(a, -s), o) for a, o in zip(arrs, outs)]
+    return outs
+
+
+def _int_courant_sums(q, iu, K: int):
+    """Whole-cell FFSL sums (tp_core.F90:430-440) as running-sum chains:
+
+      pos[i] = sum_{n=1}^{iu}   q[i-n]   (donor cells for c >= 1)
+      neg[i] = sum_{n=0}^{-iu-1} q[i+n]  (donor cells for c <= -1)
+
+    selected at the per-element integer Courant iu in [-K, K]. Periodic by
+    construction (static rolls); no prefix-sum matmul, no wrap bookkeeping.
+    """
+    run_p = jnp.zeros_like(q)
+    acc_p = jnp.zeros_like(q)
+    run_n = jnp.zeros_like(q)
+    acc_n = jnp.zeros_like(q)
+    for s in range(1, K + 1):
+        run_p = run_p + _rollx(q, s)           # + q[i-s]
+        acc_p = jnp.where(iu == s, run_p, acc_p)
+        run_n = run_n + _rollx(q, -(s - 1))    # + q[i+s-1]
+        acc_n = jnp.where(iu == -s, run_n, acc_n)
+    return acc_p, acc_n
 
 
 def xmist(q, id_: int):
@@ -232,29 +260,6 @@ def _ppm_edges(p, dm, iord: int):
     return al, ar, a6
 
 
-def _wrap_segment_sum(q, start, length, max_len: int):
-    """sum_{n=0}^{length-1} q[(start+n) mod im] via prefix sums, O(1) gathers.
-
-    Replaces the FFSL integer-Courant loops (tp_core.F90:430-440). length
-    must satisfy 0 <= length <= im (guaranteed: |c| <= im/3).
-    """
-    im = q.shape[-1]
-    # prefix sum as a lower-triangular contraction: exact same sums, runs on
-    # the MXU, and lowers inside Pallas kernels (Mosaic has no cumsum)
-    tri = jnp.tril(jnp.ones((im, im), q.dtype))
-    cs = jnp.einsum('im,...m->...i', tri, q)         # cs[i] = sum q[0..i]
-    total = cs[..., -1:]
-
-    a = jnp.mod(start, im)
-    end = a + length - 1                             # may exceed im-1
-    csm1 = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs[..., :-1]], axis=-1)
-    s_a = _gatherx(csm1, a)                          # sum q[0..a-1]
-    nowrap = _gatherx(cs, jnp.minimum(end, im - 1)) - s_a
-    wrap = (total - s_a) + _gatherx(cs, end - im)
-    out = jnp.where(end <= im - 1, nowrap, wrap)
-    return jnp.where(length > 0, out, 0.0)
-
-
 def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     """E-W flux (xtpv, tp_core.F90:285-497), whole-slab.
 
@@ -262,6 +267,13 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     and flux-form-semi-Lagrangian flag). Returns fx (jm, im) = flux across the
     west edge of cell i. id_=0: density (mfx = Courant); id_=1: mixing ratio
     (fx multiplied by mass flux mfx).
+
+    max_cfl_int bounds the integer Courant handled exactly by the FFSL
+    branch (default min(im//3, 15); the reference's ghost zones cap at im/3,
+    tp_core.F90:215-219, and physical |c| at the last unfiltered row stays
+    well under 10 even in polar-vortex transients). Donor distances are
+    clamped into the bound, so an out-of-range event degrades to a
+    nearer-donor flux instead of garbage.
     """
     jm, im = q.shape
     cosa = cosa[:, None]
@@ -269,9 +281,7 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
     # insert a minor dim on i1 (bool) vectors
     ffsl = jnp.asarray(ffsl, q.dtype)[:, None] > 0.5
     if max_cfl_int is None:
-        max_cfl_int = im // 3
-
-    i_idx = jnp.arange(im)[None, :]
+        max_cfl_int = min(im // 3, 15)
 
     # ---------- regular (Eulerian) branch, |c| < 1 ----------
     # Fortran's 1-based iu = int(i_F - c) maps to the 0-based donor
@@ -307,16 +317,15 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
                            jnp.where(vanleer_row, fx_van, fx_ppm))
 
     # ---------- FFSL branch (|c| may exceed 1; periodic wrap) ----------
-    iu = jnp.trunc(c).astype(jnp.int32)
+    K = max_cfl_int
+    iu = jnp.clip(jnp.trunc(c).astype(jnp.int32), -K, K)
     rut = c - iu
-    itmp_pos = i_idx - iu - 1       # fractional donor for c > 0
-    itmp_neg = i_idx - iu           # fractional donor for c <= 0
-    itmp = jnp.where(c > 0.0, itmp_pos, itmp_neg)
-
-    f_upw = rut * _gatherx(q, itmp)
+    # fractional-donor offset relative to i: cell i-iu-1 (c>0) or i-iu (c<=0)
+    d = jnp.where(c > 0.0, -iu - 1, -iu)
 
     if iord == 1:
-        f_frac = f_upw              # static upwind fast path
+        (qg,) = _gatherx_rel([q], d, -K - 1, K)
+        f_frac = rut * qg              # static upwind fast path
     else:
         # 2nd-order slope for the FFSL branch (tp_core.F90:392-398)
         qp1, qm1 = _rollx(q, -1), _rollx(q, 1)
@@ -326,31 +335,26 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
         dm2 = jnp.sign(tmp) * jnp.minimum(
             jnp.minimum(jnp.abs(tmp), qmax), qmin)
 
-        f_van = jnp.where(
-            c > 0.0,
-            rut * (_gatherx(q, itmp) + _gatherx(dm2, itmp) * (1.0 - rut)),
-            rut * (_gatherx(q, itmp) - _gatherx(dm2, itmp) * (1.0 + rut)))
-
         alf, arf, a6f = _ppm_edges(q, dm2, iord)
+        # one fused shift-select serves all five donor lookups (shared d)
+        qg, dmg, alg, arg, a6g = _gatherx_rel([q, dm2, alf, arf, a6f],
+                                              d, -K - 1, K)
+        f_upw = rut * qg
+        f_van = jnp.where(c > 0.0,
+                          rut * (qg + dmg * (1.0 - rut)),
+                          rut * (qg - dmg * (1.0 + rut)))
         f_ppm = jnp.where(
             c > 0.0,
-            rut * (_gatherx(arf, itmp) + 0.5 * rut *
-                   (_gatherx(alf, itmp) - _gatherx(arf, itmp) +
-                    _gatherx(a6f, itmp) * (1.0 - R23 * rut))),
-            rut * (_gatherx(alf, itmp) - 0.5 * rut *
-                   (_gatherx(arf, itmp) - _gatherx(alf, itmp) +
-                    _gatherx(a6f, itmp) * (1.0 + R23 * rut))))
+            rut * (arg + 0.5 * rut * (alg - arg + a6g * (1.0 - R23 * rut))),
+            rut * (alg - 0.5 * rut * (arg - alg + a6g * (1.0 + R23 * rut))))
 
         ffsl_upw = cosa < COS_UPW
         ffsl_ppm = (iord >= 3) & (cosa > COS_PPM)
         f_frac = jnp.where(ffsl_upw, f_upw,
                            jnp.where(ffsl_ppm, f_ppm, f_van))
 
-    # integer-Courant whole-cell sum (tp_core.F90:430-440)
-    npos = jnp.where(c >= 1.0, iu, 0)                 # cells [i-iu, i-1]
-    sum_pos = _wrap_segment_sum(q, i_idx - iu, npos, max_cfl_int)
-    nneg = jnp.where(c <= -1.0, -iu, 0)               # cells [i, i-iu-1]
-    sum_neg = _wrap_segment_sum(q, i_idx, nneg, max_cfl_int)
+    # integer-Courant whole-cell sums (tp_core.F90:430-440)
+    sum_pos, sum_neg = _int_courant_sums(q, iu, K)
     f_int = jnp.where(c >= 1.0, sum_pos, jnp.where(c <= -1.0, -sum_neg, 0.0))
 
     fx_ffsl = f_frac + f_int

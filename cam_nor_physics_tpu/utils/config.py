@@ -76,6 +76,11 @@ class FVConfig:
     am_fix_tpr_h: float = 95e2
     am_fix_tpr_w: float = 10e2
     am_diag: bool = False
+    # Fused per-level Pallas TPU kernels for the transport/vorticity hot
+    # path (ops/pallas_kernels.py). "auto": on for single-chip TPU, off on
+    # CPU and under multi-chip sharding (where the XLA path partitions);
+    # True/False force. Numerics identical to f32 roundoff (measured).
+    use_pallas: bool | str = "auto"
 
     def resolved_splits(self, dt: float, im: int, jm: int) -> tuple[int, int, int]:
         """Resolve (nsplit, nspltrac, nspltvrm), applying the reference's auto rules.
