@@ -54,24 +54,87 @@ def _safe_div(a, b, eps=1.0e-300):
     return a / jnp.where(jnp.abs(b) < eps, jnp.where(b >= 0, eps, -eps), b)
 
 
+# Trace-time layout-canonicalization hook. Mosaic's TPU layout inference
+# CRASHES (layout.h:320 join check) whenever a rank-1 value produced by a
+# minor-axis REDUCTION meets a rank-1 value of ordinary layout inside a
+# loop region (fori carry or body elementwise). The Pallas mega-kernel
+# (zm_pallas.py) installs a hook that round-trips such values through a
+# VMEM scratch row, forcing the canonical layout; the XLA path leaves it
+# None (identity). Applied at every reduction that yields a per-column
+# scalar on the zm_convr path.
+_CANON_HOOK = None
+
+
+def _canon(v):
+    return _CANON_HOOK(v) if _CANON_HOOK is not None else v
+
+
 def _take_col(arr, idx):
-    """arr[(i, idx[i])] for arr (ncol, pver), idx (ncol,) int."""
-    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    """arr[(i, idx[i])] for arr (ncol, nk), idx (ncol,) int.
+
+    One-hot masked sum over the (small) level axis: equal cost to a gather
+    in XLA at nk ~ 26 and lowers inside Pallas/Mosaic kernels (which have no
+    take_along_axis)."""
+    nk = arr.shape[1]
+    karr = jnp.arange(nk)[None, :]
+    return _canon(
+        jnp.sum(jnp.where(karr == idx[:, None], arr, jnp.zeros_like(arr)),
+                axis=1))
 
 
 def _first_true_from_bottom(mask, default):
-    """Largest k with mask true per column, else `default` (int array/scalar)."""
-    pver = mask.shape[1]
-    rev = mask[:, ::-1]
-    idx = jnp.argmax(rev, axis=1)
-    found = jnp.any(rev, axis=1)
-    return jnp.where(found, pver - 1 - idx, default), found
+    """Largest k with mask true per column, else `default` (int array/scalar).
+
+    iota-reduction form (no argmax/flip — Mosaic-safe, same cost in XLA)."""
+    nk = mask.shape[1]
+    karr = jnp.arange(nk)[None, :]
+    idx = _canon(jnp.max(jnp.where(mask, karr, -1), axis=1))
+    found = idx >= 0
+    return jnp.where(found, idx, default), found
 
 
 def _first_true_from_top(mask, default):
-    idx = jnp.argmax(mask, axis=1)
-    found = jnp.any(mask, axis=1)
+    nk = mask.shape[1]
+    karr = jnp.arange(nk)[None, :]
+    idx = _canon(jnp.min(jnp.where(mask, karr, nk), axis=1))
+    found = idx < nk
     return jnp.where(found, idx, default), found
+
+
+def _cumsum_lvl(x, reverse: bool = False):
+    """Prefix (suffix if `reverse`) sum along the level axis as a triangular
+    matmul: out[k] = sum_{k'<=k} x[k'] (resp. k'>=k). Mosaic has no cumsum;
+    at nk ~ 26 the (nk, nk) contraction is negligible, and keeping ONE
+    implementation for both the XLA and Pallas paths keeps them bitwise
+    comparable."""
+    nk = x.shape[-1]
+    i = jnp.arange(nk)
+    tri = (i[:, None] >= i[None, :]) if reverse else (i[:, None] <= i[None, :])
+    # HIGHEST precision: the default MXU f32 matmul runs bf16 passes, which
+    # corrupts the ascent suffix-sums enough to flip trigger/level decisions
+    return jnp.dot(x, tri.astype(x.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+class _XlaScan:
+    """Default level-axis scan executor: jax.lax.scan over transposed xs.
+
+    Steps have signature step(carry, x_row: dict, k) -> (carry, ys_tuple)
+    with x_row entries (ncol,) slices at level k; `reverse=True` walks
+    bottom-up (k = nk-1 .. 0) with ys stacked at their original level. The
+    Pallas executor (models/physics/zm_pallas.py) runs the identical steps
+    as an in-kernel fori_loop over VMEM scratch."""
+
+    def scan(self, step, carry, xs: dict, reverse: bool = False):
+        nk = next(iter(xs.values())).shape[1]
+        ks = jnp.arange(nk)
+        xs_T = {k: v.T for k, v in xs.items()}
+        carry, ys = jax.lax.scan(lambda cy, xk: step(cy, xk[0], xk[1]),
+                                 carry, (xs_T, ks), reverse=reverse)
+        return carry, tuple(y.T for y in ys)
+
+
+LAX_SCAN = _XlaScan()
 
 
 def _log_mean_interface(x, thresh=1.0e-6):
@@ -89,6 +152,12 @@ def _log_mean_interface(x, thresh=1.0e-6):
                         x0 - x1) * x0 * x1
     xhat = jnp.where(use_log, logmean, 0.5 * (x0 + x1))
     return jnp.concatenate([x[:, :1], xhat], axis=1)
+
+
+def _col(b):
+    """1-D bool -> (ncol, 1) broadcastable bool. Mosaic cannot reshape i1
+    vectors (minor-dim insertion is 32-bit only), so ride through f32."""
+    return b.astype(jnp.float32)[:, None] > 0.5
 
 
 def cldfrc_fice(t):
@@ -119,7 +188,7 @@ class BuoyanOut:
 
 
 def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
-                   tpert, tl0, ql0, pl0, dmpdz):
+                   tpert, tl0, ql0, pl0, dmpdz, scan_impl=LAX_SCAN):
     """Entraining-plume parcel ascent (parcel_dilute, zm_conv.F90:4824-5277),
     tht_tweaks path (enthalpy mixing; entropy-based precip/freeze adjustment).
 
@@ -147,10 +216,6 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     _, qs_launch = qsat_hpa(t_launch, p_launch)
 
     # ---- entrainment ascent (bottom-up over levels pver-1 .. msg) ----
-    # per-level inputs, reversed so the scan walks upward
-    def rev(a):
-        return a[:, ::-1].T  # (pver, ncol) bottom-first
-
     # level-below values x(k+1): shift
     def below(a):
         return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
@@ -179,7 +244,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
         def ssum(x):
             # suffix sum along levels: s(k) = sum_{k' >= k} x(k') — the
             # bottom-up accumulation order of the reference scan
-            return jnp.cumsum(x[:, ::-1], axis=1)[:, ::-1]
+            return _cumsum_lvl(x, reverse=True)
 
         inc = jnp.where(above_all, dmpdp * dp_l, 0.0)
         sp_s = -ssum(inc * senv)
@@ -202,19 +267,14 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
                           jnp.where(above_all, qs_inv, q))
         return _parcel_finish(cfg, msg, klaunch, p, z, t, q, tpert, tl0, pl0,
                               t_launch, qs_launch, qtp0, smix, qtmix, tmix,
-                              qsmix, dzdp_l)
+                              qsmix, dzdp_l, scan_impl=scan_impl)
 
-    xs = dict(
-        k=jnp.arange(pver - 1, -1, -1),
-        p=rev(p), z=rev(z), t=rev(t), q=rev(q),
-        p_b=rev(below(p)), z_b=rev(below(z)), t_b=rev(below(t)), q_b=rev(below(q)),
-        dmpdz=rev(dmpdz),
-    )
+    xs = dict(p=p, z=z, t=t, q=q, p_b=below(p), z_b=below(z), t_b=below(t),
+              q_b=below(q), dmpdz=dmpdz)
 
     # Ascent scan computes the mixture profile only; LCL detection and
     # interpolation run as a separate vectorized pass afterwards.
-    def ascent_step2(cy, x):
-        k = x["k"]
+    def ascent_step2(cy, x, k):
         at_launch = k == klaunch
         above = k < klaunch
 
@@ -251,24 +311,17 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     carryA = dict(sp=jnp.zeros((ncol,), dtype), qtp=jnp.zeros((ncol,), dtype),
                   mp=jnp.zeros((ncol,), dtype),
                   tmix_b=t_launch, qsmix_b=qs_launch, qtmix_b=qtp0)
-    _, (smix_r, qtmix_r, tmix_r, qsmix_r, dzdp_r) = jax.lax.scan(
-        ascent_step2, carryA, xs)
-    # un-reverse to (ncol, pver) top-down
-    unrev = lambda a: a.T[:, ::-1]
-    smix = unrev(smix_r)
-    qtmix = unrev(qtmix_r)
-    tmix = unrev(tmix_r)
-    qsmix = unrev(qsmix_r)
-    dzdp_l = unrev(dzdp_r)
+    _, (smix, qtmix, tmix, qsmix, dzdp_l) = scan_impl.scan(
+        ascent_step2, carryA, xs, reverse=True)
 
     return _parcel_finish(cfg, msg, klaunch, p, z, t, q, tpert, tl0, pl0,
                           t_launch, qs_launch, qtp0, smix, qtmix, tmix,
-                          qsmix, dzdp_l)
+                          qsmix, dzdp_l, scan_impl=scan_impl)
 
 
 def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
                    tl0, pl0, t_launch, qs_launch, qtp0, smix, qtmix, tmix,
-                   qsmix, dzdp_l):
+                   qsmix, dzdp_l, scan_impl=LAX_SCAN):
     """LCL detection + precipitation/freezing adjustment on the ascent
     profiles (zm_conv.F90:5100-5270); shared tail of both parcel ascents."""
     ncol, pver = t.shape
@@ -276,11 +329,6 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
     lwmax = 1.0e-3
     tscool = 0.0
     nit_lheat = 2
-
-    def rev(a):
-        return a[:, ::-1].T  # (pver, ncol) bottom-first
-
-    unrev = lambda a: a.T[:, ::-1]
 
     # ---- LCL detection + interpolation (zm_conv.F90:5100-5135) ----
     p_launch = _take_col(p, klaunch)
@@ -335,11 +383,13 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
         xsh2o = jnp.zeros_like(tmix)
         for _ in range(cfg.precip_sweeps):
             xsh2o = jnp.maximum(0.0, qtmix - qsmix_c - lwmax)
-            xsC = dict(above=rev(above_m), at_launch=rev(at_launch_m),
-                       xsh2o=rev(xsh2o), tmix=rev(tmix_c),
-                       qsmix=rev(qsmix_c), qtmix=rev(qtmix))
+            xsC = dict(above=above_m.astype(dtype),
+                       at_launch=at_launch_m.astype(dtype),
+                       xsh2o=xsh2o, tmix=tmix_c, qsmix=qsmix_c, qtmix=qtmix)
 
-            def carry_step(cy, x):
+            def carry_step(cy, x, k):
+                above = x["above"] > 0.5
+                at_launch = x["at_launch"] > 0.5
                 ds_xsh2o = cy["ds_xsh2o_b"] - c.CPLIQ * \
                     jnp.log(x["tmix"] / TFREEZ) * \
                     jnp.maximum(0.0, x["xsh2o"] - cy["xsh2o_b"])
@@ -355,10 +405,10 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
                               jnp.maximum(0.0, cy["qsmix_b"] - x["qsmix"]),
                               0.0))
                 new_cy = dict(
-                    xsh2o_b=jnp.where(x["above"], x["xsh2o"], 0.0),
-                    ds_xsh2o_b=jnp.where(x["above"], ds_xsh2o, 0.0),
-                    ds_freeze_b=jnp.where(x["above"], ds_freeze, 0.0),
-                    qsmix_b=jnp.where(x["above"] | x["at_launch"],
+                    xsh2o_b=jnp.where(above, x["xsh2o"], 0.0),
+                    ds_xsh2o_b=jnp.where(above, ds_xsh2o, 0.0),
+                    ds_freeze_b=jnp.where(above, ds_freeze, 0.0),
+                    qsmix_b=jnp.where(above | at_launch,
                                       x["qsmix"], cy["qsmix_b"]))
                 return new_cy, (ds_xsh2o, ds_freeze)
 
@@ -366,8 +416,9 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
                           ds_xsh2o_b=jnp.zeros((ncol,), dtype),
                           ds_freeze_b=jnp.zeros((ncol,), dtype),
                           qsmix_b=qs_launch)
-            _, (dsx_r, dsf_r) = jax.lax.scan(carry_step, carry0, xsC)
-            new_s = smix_ent + unrev(dsx_r) + unrev(dsf_r)
+            _, (dsx, dsf) = scan_impl.scan(carry_step, carry0, xsC,
+                                           reverse=True)
+            new_s = smix_ent + dsx + dsf
             new_q = qtmix - xsh2o
             t_i, qs_i, _ = ientropy(new_s, p, new_q, tmix_c,
                                     solver=cfg.inversion_solver)
@@ -386,11 +437,8 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
         qstp = jnp.where(below_m, q, qstp)
         return tp, qstp, tpv, tl, pl, lcl
 
-    xsP = dict(
-        k=jnp.arange(pver - 1, -1, -1),
-        p=rev(p), q=rev(q), smix=rev(smix_ent),
-        qtmix=rev(qtmix), tmix0=rev(tmix), qsmix0=rev(qsmix),
-    )
+    xsP = dict(p=p, q=q, smix=smix_ent, qtmix=qtmix, tmix0=tmix,
+               qsmix0=qsmix)
     carryP = dict(
         xsh2o_b=jnp.zeros((ncol,), dtype),
         ds_xsh2o_b=jnp.zeros((ncol,), dtype),
@@ -400,8 +448,7 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
 
     tpert_eff = tpert
 
-    def precip_step(cy, x):
-        k = x["k"]
+    def precip_step(cy, x, k):
         at_launch = k == klaunch
         above = k < klaunch
 
@@ -447,10 +494,8 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
         )
         return new_cy, (tp_k, qstp_k, tpv_k)
 
-    _, (tp_r, qstp_r, tpv_r) = jax.lax.scan(precip_step, carryP, xsP)
-    tp = unrev(tp_r)
-    qstp = unrev(qstp_r)
-    tpv = unrev(tpv_r)
+    _, (tp, qstp, tpv) = scan_impl.scan(precip_step, carryP, xsP,
+                                        reverse=True)
 
     # outside the plume (k > klaunch) keep environment values
     below_m = karr > klaunch[:, None]
@@ -461,7 +506,8 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
 
 
 def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
-                  pblt, tpert, landfrac, dmpdz) -> BuoyanOut:
+                  pblt, tpert, landfrac, dmpdz,
+                  scan_impl=LAX_SCAN) -> BuoyanOut:
     """Dilute CAPE/CIN (buoyan_dilute, zm_conv.F90:4425-4819).
 
     Inputs: p/pf in hPa, z/zi_ heights incl. surface elevation zs (m),
@@ -492,8 +538,9 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
                          jnp.clip(_safe_div(parcel_dz[:, None] - zi_bot,
                                             zi_top - zi_bot), None, 1.0))
         w = jnp.where(in_mix, dp_lev * frac, 0.0)
-        hpar = jnp.sum(hmn * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
-        qpar = jnp.sum(q * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+        wsum = _canon(jnp.sum(w, axis=1))
+        hpar = _canon(jnp.sum(hmn * w, axis=1)) / jnp.maximum(wsum, 1e-30)
+        qpar = _canon(jnp.sum(q * w, axis=1)) / jnp.maximum(wsum, 1e-30)
         mx, _ = _first_true_from_top(in_mix, jnp.full((ncol,), pver - 1, jnp.int32))
         parcel_ztop = parcel_dz + zs
         tl0 = (hpar - RL * qpar - GRAV * parcel_ztop) / CP
@@ -501,34 +548,39 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
         pl0 = _take_col(p, mx)
     else:
         # launch at max MSE between PBL top and lon (zm_conv.F90:4705-4718).
-        # Fortran scans bottom-up with strict >, so ties pick the lowest level:
-        # emulate with argmax over the reversed (bottom-first) masked profile.
+        # Fortran scans bottom-up with strict >, so ties pick the lowest
+        # level: emulate with a value-max reduction followed by the largest
+        # k attaining it (argmax/flip-free — Mosaic-safe).
         mask = (karr >= pblt_i[:, None]) & (karr <= lon[:, None])
         hmn_m = jnp.where(mask, hmn, -jnp.inf)
-        idx_rev = jnp.argmax(hmn_m[:, ::-1], axis=1)
-        mx = (pver - 1 - idx_rev).astype(jnp.int32)
-        mx = jnp.where(jnp.any(mask, axis=1), mx, lon)
+        vmax = _canon(jnp.max(hmn_m, axis=1))
+        mx = _canon(jnp.max(jnp.where(hmn_m == vmax[:, None], karr, -1),
+                            axis=1)).astype(jnp.int32)
+        mx = jnp.where(_canon(jnp.any(mask, axis=1)), mx, lon)
         tl0 = _take_col(t, mx)
         ql0 = _take_col(q, mx)
         pl0 = _take_col(p, mx)
 
     tp, qstp, tpv, tl, pl, lcl = _parcel_dilute(
-        cfg, msg, mx, p, z, t, q, tpert, tl0, ql0, pl0, dmpdz)
+        cfg, msg, mx, p, z, t, q, tpert, tl0, ql0, pl0, dmpdz,
+        scan_impl=scan_impl)
 
     plge600 = pl >= cfg.plclmin   # zm_conv.F90:4755
 
     # env virtual temperature (tht form) and buoyancy (zm_conv.F90:4763-4780)
     tv = t * (1.0 + q / EPS1) / (1.0 + q)
-    in_plume = (karr <= mx[:, None]) & plge600[:, None]
+    in_plume = (karr <= mx[:, None]) & _col(plge600)
     buoy = jnp.where(in_plume, tpv - tv + cfg.tiedke_add, 0.0)
     tp = jnp.where(in_plume, tp, t)
     qstp = jnp.where(in_plume, qstp, q)
 
     # neutral-buoyancy crossings, top-down, up to num_cin (zm_conv.F90:4786-4797)
     buoy_b = jnp.concatenate([buoy[:, 1:], buoy[:, -1:]], axis=1)
-    kmask = (karr >= msg + 1) & (karr < lcl[:, None]) & plge600[:, None]
+    kmask = (karr >= msg + 1) & (karr < lcl[:, None]) & _col(plge600)
     crossing = kmask & (buoy_b > 0.0) & (buoy <= 0.0)
-    order = jnp.cumsum(crossing, axis=1)
+    # crossing ordinal via the triangular-matmul cumsum (counts <= pver are
+    # exact in f32); compared with half-open windows below
+    order = _cumsum_lvl(crossing.astype(dtype))
 
     dlnp = jnp.log(pf[:, 1:] / pf[:, :-1])   # ln(pf(k+1)/pf(k)) > 0
     cape = jnp.zeros((ncol,), dtype)
@@ -536,13 +588,13 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
     lel = jnp.full((ncol,), pver - 1, jnp.int32)
     best = jnp.full((ncol,), -jnp.inf, dtype)
     for n in range(1, cfg.num_cin + 1):
-        sel = crossing & (order == n)
+        sel = crossing & (jnp.abs(order - n) < 0.5)
         lel_n, found_n = _first_true_from_top(sel, jnp.full((ncol,), pver - 1,
                                                             jnp.int32))
-        seg = (karr <= mx[:, None]) & (karr > lel_n[:, None]) & plge600[:, None]
-        cape_n = jnp.sum(jnp.where(seg, RGAS * buoy * dlnp, 0.0), axis=1)
-        cin_n = jnp.sum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) * dlnp,
-                                  0.0), axis=1)
+        seg = (karr <= mx[:, None]) & (karr > lel_n[:, None]) & _col(plge600)
+        cape_n = _canon(jnp.sum(jnp.where(seg, RGAS * buoy * dlnp, 0.0), axis=1))
+        cin_n = _canon(jnp.sum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) *
+                                         dlnp, 0.0), axis=1))
         better = found_n & (cape_n > jnp.maximum(best, 0.0))
         cape = jnp.where(better, cape_n, cape)
         cin = jnp.where(better, cin_n, cin)
@@ -586,8 +638,8 @@ class CldprpOut:
     jd: jnp.ndarray
 
 
-def cldprp(cfg: ZMConfig, msg: int,
-           q, t, p, z, s, zf, shat, qhat, jb, lel, landfrac) -> CldprpOut:
+def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
+           landfrac, scan_impl=LAX_SCAN) -> CldprpOut:
     """Updraft/downdraft plume properties (cldprp, zm_conv.F90:3024-4026),
     zmconv_microp=off path. All mass fluxes normalized by cloud-base flux;
     eu/du/ed returned in 1/m (converted to 1/mb by the caller, matching
@@ -619,10 +671,10 @@ def cldprp(cfg: ZMConfig, msg: int,
     gamhat = _log_mean_interface(gamma)
     hsthat = mcp * shat + mrl * qsthat
     if msg + 1 > 0:
-        top = slice(0, msg + 1)
-        qsthat = qsthat.at[:, top].set(qst[:, top])
-        gamhat = gamhat.at[:, top].set(gamma[:, top])
-        hsthat = hsthat.at[:, top].set(hsat[:, top])
+        topm = karr <= msg
+        qsthat = jnp.where(topm, qst, qsthat)
+        gamhat = jnp.where(topm, gamma, gamhat)
+        hsthat = jnp.where(topm, hsat, hsthat)
 
     # initial jt and j0 (zm_conv.F90:3385-3416); F's max(lel, limcnv+1) with
     # limcnv_f = msg+1 maps to max(lel0, msg+1) in 0-based indices
@@ -631,27 +683,23 @@ def cldprp(cfg: ZMConfig, msg: int,
 
     in_jtjb = (karr >= jt0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
     hsat_m = jnp.where(in_jtjb, hsat, jnp.inf)
-    # Fortran keeps the LAST k attaining the min (<=); emulate via reversed argmin
-    idxr = jnp.argmin(hsat_m[:, ::-1], axis=1)
-    j0 = (pver - 1 - idxr).astype(jnp.int32)
+    # Fortran keeps the LAST k attaining the min (<=): value-min reduction,
+    # then largest k attaining it (argmin/flip-free — Mosaic-safe)
+    vmin = _canon(jnp.min(hsat_m, axis=1))
+    j0 = _canon(jnp.max(jnp.where(hsat_m == vmin[:, None], karr, -1),
+                        axis=1)).astype(jnp.int32)
     j0 = jnp.clip(j0, jt0 + 2, jb - 2)
     j0 = jnp.minimum(j0, pver - 1)
 
     hmn_mx = _take_col(hmn, jb)
 
     # Taylor-series integrals (zm_conv.F90:3430-3442), bottom-up scan
-    def rev(a):
-        return a[:, ::-1].T
-
-    def unrev(a):
-        return a.T[:, ::-1]
-
-    xsT = dict(k=jnp.arange(pver - 1, -1, -1), hmn=rev(hmn), dz=rev(dz))
+    xsT = dict(hmn=hmn, dz=dz)
     z4 = jnp.zeros((ncol,), dtype)
     carryT = dict(k1=z4, i2=z4, i3=z4, i4=z4)
 
-    def taylor_step(cy, x):
-        inw = (x["k"] < jb) & (x["k"] >= jt0)
+    def taylor_step(cy, x, k):
+        inw = (k < jb) & (k >= jt0)
         k1 = jnp.where(inw, cy["k1"] + (hmn_mx - x["hmn"]) * x["dz"], 0.0)
         ihat = 0.5 * (cy["k1"] + k1)
         i2 = jnp.where(inw, cy["i2"] + ihat * x["dz"], 0.0)
@@ -661,12 +709,12 @@ def cldprp(cfg: ZMConfig, msg: int,
         i4 = jnp.where(inw, cy["i4"] + iprm * x["dz"], 0.0)
         return dict(k1=k1, i2=i2, i3=i3, i4=i4), (k1, i2, i3, i4)
 
-    _, (k1_r, i2_r, i3_r, i4_r) = jax.lax.scan(taylor_step, carryT, xsT)
-    k1a, i2a, i3a, i4a = unrev(k1_r), unrev(i2_r), unrev(i3_r), unrev(i4_r)
+    _, (k1a, i2a, i3a, i4a) = scan_impl.scan(taylor_step, carryT, xsT,
+                                             reverse=True)
 
     # hmin over [j0, jb] and expdif (zm_conv.F90:3448-3456)
     in_j0jb = (karr >= j0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
-    hmin2 = jnp.min(jnp.where(in_j0jb, hmn, jnp.inf), axis=1)
+    hmin2 = _canon(jnp.min(jnp.where(in_j0jb, hmn, jnp.inf), axis=1))
     expdif = hmn_mx - hmin2
 
     # eps(z) Taylor series (zm_conv.F90:3463-3487)
@@ -693,15 +741,13 @@ def cldprp(cfg: ZMConfig, msg: int,
     j0 = jnp.where(bump, j0 + 1, j0)
 
     # running max of f for jt <= k <= j0 (zm_conv.F90:3493-3498), top-down scan
-    def cummax_step(prev, x):
-        fk, k = x
+    def cummax_step(prev, x, k):
         inw = (k >= jt0) & (k <= j0)
-        newf = jnp.where(inw, jnp.maximum(fk, prev), fk)
-        return newf, newf
+        newf = jnp.where(inw, jnp.maximum(x["f"], prev), x["f"])
+        return newf, (newf,)
 
-    _, f_cm = jax.lax.scan(cummax_step, jnp.zeros((ncol,), dtype),
-                           (f.T, jnp.arange(pver)))
-    f = f_cm.T
+    _, (f,) = scan_impl.scan(cummax_step, jnp.zeros((ncol,), dtype),
+                             dict(f=f), reverse=False)
 
     eps0 = _take_col(f, j0)
     in_j0jb2 = (karr >= j0[:, None]) & (karr <= jb[:, None])
@@ -711,7 +757,7 @@ def cldprp(cfg: ZMConfig, msg: int,
     active = eps0 > 0.0
 
     # updraft mass flux profile (zm_conv.F90:3547-3569)
-    zf_jb = jnp.take_along_axis(zf, jb[:, None], axis=1)[:, 0]
+    zf_jb = _take_col(zf, jb)
     zuef = zf[:, :-1] - zf_jb[:, None]
     eps_b = jnp.concatenate([eps[:, 1:], eps[:, -1:]], axis=1)
     safe_zuef = jnp.where(zuef == 0.0, 1e-30, zuef)
@@ -719,27 +765,24 @@ def cldprp(cfg: ZMConfig, msg: int,
     rmue = inv_eps0 * (jnp.exp(eps_b * zuef) - 1.0) / safe_zuef
     mu_f = inv_eps0 * (jnp.exp(eps * zuef) - 1.0) / safe_zuef
 
-    in_upd = (karr >= jt0[:, None]) & (karr < jb[:, None]) & active[:, None]
+    in_upd = (karr >= jt0[:, None]) & (karr < jb[:, None]) & _col(active)
     mu = jnp.where(in_upd, mu_f, 0.0)
     at_jb = karr == jb[:, None]
-    mu = jnp.where(at_jb & active[:, None], 1.0, mu)
+    mu = jnp.where(at_jb & _col(active), 1.0, mu)
     mu_below = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
     eu = jnp.where(in_upd, (rmue - mu_below) / dz, 0.0)
-    eu = jnp.where(at_jb & active[:, None], _safe_div(jnp.ones_like(dz), dz), eu)
+    eu = jnp.where(at_jb & _col(active), _safe_div(jnp.ones_like(dz), dz), eu)
     du = jnp.where(in_upd, (rmue - mu) / dz, 0.0)
 
     # hu ascent with mu<0.02 cutoff (zm_conv.F90:3571-3599), bottom-up scan
     hu0 = jnp.where((karr >= jt0[:, None]) & (karr <= jb[:, None]),
                     hmn_mx[:, None] + CP * tiedke_msk[:, None], hmn)
 
-    xsH = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), eu=rev(eu),
-               du=rev(du), dz=rev(dz), hmn=rev(hmn), hsat=rev(hsat),
-               hu0=rev(hu0))
+    xsH = dict(mu=mu, eu=eu, du=du, dz=dz, hmn=hmn, hsat=hsat, hu0=hu0)
     hu_jb = hmn_mx + CP * tiedke_msk
     carryH = dict(mu_b=jnp.zeros((ncol,), dtype), hu_b=hu_jb)
 
-    def hu_step(cy, x):
-        k = x["k"]
+    def hu_step(cy, x, k):
         inw = (k <= jb - 1) & (k >= lel) & active
         weak = x["mu"] < 0.02
         mu_k = jnp.where(inw & weak, 0.0, x["mu"])
@@ -759,8 +802,7 @@ def cldprp(cfg: ZMConfig, msg: int,
         return new_cy, (mu_out, jnp.where(at_base, x["eu"], eu_k),
                         jnp.where(at_base, x["du"], du_k), hu_out)
 
-    _, (mu_r, eu_r, du_r, hu_r) = jax.lax.scan(hu_step, carryH, xsH)
-    mu, eu, du, hu = unrev(mu_r), unrev(eu_r), unrev(du_r), unrev(hu_r)
+    _, (mu, eu, du, hu) = scan_impl.scan(hu_step, carryH, xsH, reverse=True)
 
     # jt detection (zm_conv.F90:3606-3629): first k from bottom in
     # [lel-1, jb-2] matching either condition
@@ -778,9 +820,9 @@ def cldprp(cfg: ZMConfig, msg: int,
                    _take_col(jt_cand, det_k.astype(jnp.int32)), jt0).astype(jnp.int32)
 
     # zero the region above jt (zm_conv.F90:3633-3648)
-    above_jt = (karr >= lel[:, None]) & (karr <= jt[:, None]) & active[:, None]
+    above_jt = (karr >= lel[:, None]) & (karr <= jt[:, None]) & _col(active)
     mu_below2 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
-    at_jt = (karr == jt[:, None]) & active[:, None]
+    at_jt = (karr == jt[:, None]) & _col(active)
     mu = jnp.where(above_jt, 0.0, mu)
     eu = jnp.where(above_jt | at_jt, 0.0, eu)
     hu = jnp.where(above_jt, hmn, hu)
@@ -796,24 +838,22 @@ def cldprp(cfg: ZMConfig, msg: int,
     q_mx = _take_col(q, jb)
     p_b3 = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)   # p(k-1)
 
-    xsS = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), eu=rev(eu),
-               du=rev(du), dz=rev(dz), s=rev(s), q=rev(q), qst=rev(qst),
-               hu=rev(hu), zf=rev(zf[:, :-1]), p=rev(p), pm1=rev(p_b3),
-               tu0=rev(tu))
+    xsS = dict(mu=mu, eu=eu, du=du, dz=dz, s=s, q=q, qst=qst, hu=hu,
+               zf=zf[:, :-1], p=p, pm1=p_b3, tu0=tu)
     carryS = dict(su_b=jnp.zeros((ncol,), dtype), qu_b=jnp.zeros((ncol,), dtype),
                   mu_b=jnp.zeros((ncol,), dtype),
-                  done=jnp.zeros((ncol,), bool),
-                  jlcl=lel.astype(jnp.int32))
+                  done=jnp.zeros((ncol,), dtype),   # 0/1 (bool carries are
+                  jlcl=lel.astype(jnp.int32))       # not Mosaic-friendly)
 
-    def suqu_step(cy, x):
-        k = x["k"]
+    def suqu_step(cy, x, k):
         at_base = (k == jb) & active
         tu_base = (x["hu"] - GRAV * x["zf"] - (1.0 + DCOL * TFREEZ) * RL * q_mx) / \
             (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * q_mx))
         su_base = (x["hu"] - (1.0 - DCOL * (tu_base - TFREEZ)) * RL * q_mx) / \
             ((1.0 + CPVIR * q_mx) * CP)
 
-        inw = (~cy["done"]) & (k > jt) & (k < jb) & active
+        not_done = cy["done"] < 0.5
+        inw = not_done & (k > jt) & (k < jb) & active
         su_k = _safe_div(cy["mu_b"], x["mu"]) * cy["su_b"] + \
             _safe_div(x["dz"], x["mu"]) * (x["eu"] - x["du"]) * x["s"]
         qu_k = _safe_div(cy["mu_b"], x["mu"]) * cy["qu_b"] + \
@@ -825,20 +865,19 @@ def cldprp(cfg: ZMConfig, msg: int,
         su_out = jnp.where(at_base, su_base, jnp.where(inw, su_k, x["s"]))
         qu_out = jnp.where(at_base, q_mx, jnp.where(inw, qu_k, x["q"]))
         tu_out = jnp.where(at_base, tu_base, jnp.where(inw, tu_k, x["tu0"]))
-        done = cy["done"] | sat
-        jlcl = jnp.where(sat & ~cy["done"], k, cy["jlcl"]).astype(jnp.int32)
+        done = jnp.where(sat, 1.0, cy["done"])
+        jlcl = jnp.where(sat & not_done, k, cy["jlcl"]).astype(jnp.int32)
         new_cy = dict(
             su_b=jnp.where(at_base | inw, su_out, cy["su_b"]),
             qu_b=jnp.where(at_base | inw, qu_out, cy["qu_b"]),
             mu_b=x["mu"], done=done, jlcl=jlcl)
         return new_cy, (su_out, qu_out, tu_out)
 
-    cyS, (su_r, qu_r, tu_r) = jax.lax.scan(suqu_step, carryS, xsS)
-    su, qu, tu = unrev(su_r), unrev(qu_r), unrev(tu_r)
+    cyS, (su, qu, tu) = scan_impl.scan(suqu_step, carryS, xsS, reverse=True)
     jlcl = cyS["jlcl"]
 
     # saturated portion jt < k <= jlcl (zm_conv.F90:3708-3722)
-    in_sat = (karr > jt[:, None]) & (karr <= jlcl[:, None]) & active[:, None]
+    in_sat = (karr > jt[:, None]) & (karr <= jlcl[:, None]) & _col(active)
     qu_sat = qsthat + gamhat * (hu - hsthat) / \
         ((1.0 - DCOL * (tu - TFREEZ)) * RL * (1.0 + gamhat))
     su_sat = shat + (hu - hsthat) / ((1.0 + CPVIR * qu_sat) * CP *
@@ -851,20 +890,18 @@ def cldprp(cfg: ZMConfig, msg: int,
     # condensation in updraft (zm_conv.F90:3730-3759)
     mu_b3 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
     su_b3 = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
-    in_cu = (karr >= jt[:, None]) & (karr < jb[:, None]) & active[:, None]
+    in_cu = (karr >= jt[:, None]) & (karr < jb[:, None]) & _col(active)
     cu = ((mu * su - mu_b3 * su_b3) / dz - (eu - du) * s) / (RL / CP) * \
         ((1.0 + CPVIR * qu) / (1.0 - DCOL * (tu - TFREEZ)))
     cu = jnp.where(in_cu & (karr != jt[:, None]), jnp.maximum(cu, 0.0), 0.0)
 
     # liquid water + rain production (zm_conv.F90:3953-3975), bottom-up scan
-    xsQ = dict(k=jnp.arange(pver - 1, -1, -1), mu=rev(mu), du=rev(du),
-               cu=rev(cu), dz=rev(dz))
+    xsQ = dict(mu=mu, du=du, cu=cu, dz=dz)
     carryQ = dict(ql_b=jnp.zeros((ncol,), dtype),
                   mu_b=jnp.zeros((ncol,), dtype),
                   totpcp=jnp.zeros((ncol,), dtype))
 
-    def ql_step2(cy, x):
-        k = x["k"]
+    def ql_step2(cy, x, k):
         inw = (k >= jt) & (k < jb) & active & (x["mu"] >= 0.0)
         pos = x["mu"] > 0.0
         ql1 = _safe_div(cy["mu_b"] * cy["ql_b"] - x["dz"] * x["du"] * cy["ql_b"]
@@ -877,8 +914,7 @@ def cldprp(cfg: ZMConfig, msg: int,
                       mu_b=x["mu"], totpcp=totpcp)
         return new_cy, (ql_k, rprd_k)
 
-    cyQ, (ql_r, rprd_r) = jax.lax.scan(ql_step2, carryQ, xsQ)
-    ql, rprd = unrev(ql_r), unrev(rprd_r)
+    cyQ, (ql, rprd) = scan_impl.scan(ql_step2, carryQ, xsQ, reverse=True)
     totpcp = jnp.maximum(cyQ["totpcp"], 0.0)
     qcde = ql
 
@@ -886,38 +922,36 @@ def cldprp(cfg: ZMConfig, msg: int,
     alfa = cfg.alfadet
     jt = jnp.minimum(jt, jb - 1)
     jd = jnp.clip(jnp.maximum(j0, jt + 1), None, jb)
-    zf_jd = jnp.take_along_axis(zf, jd[:, None], axis=1)[:, 0]
+    zf_jd = _take_col(zf, jd)
     zdef = zf_jd[:, None] - zf[:, :-1]
-    in_dd = (karr > jd[:, None]) & (karr <= jb[:, None]) & active[:, None]
+    in_dd = (karr > jd[:, None]) & (karr <= jb[:, None]) & _col(active)
     safe_zdef = jnp.where(zdef == 0.0, 1e-30, zdef)
     md = jnp.where(in_dd,
                    -alfa / (2.0 * jnp.where(eps0 == 0, 1e-30, eps0))[:, None] *
                    (jnp.exp(2.0 * eps0[:, None] * zdef) - 1.0) / safe_zdef, 0.0)
-    at_jd = (karr == jd[:, None]) & (jd < jb)[:, None] & active[:, None]
+    at_jd = (karr == jd[:, None]) & _col(jd < jb) & _col(active)
     md = jnp.where(at_jd, -alfa, md)
 
     mu_jb = _take_col(mu, jb)
     md_jb = _take_col(md, jb)
     ratmjb = jnp.minimum(jnp.abs(_safe_div(mu_jb, md_jb)), 1.0)
     in_scale = (karr >= jt[:, None]) & (karr <= jb[:, None]) & \
-        active[:, None] & (jd < jb)[:, None]
+        _col(active) & _col(jd < jb)
     md = jnp.where(in_scale, md * ratmjb[:, None], md)
 
     # ed and hd (zm_conv.F90:4108-4118): F writes ed(k-1) = (md(k-1)-md(k))/dz
     # for F k >= jt_f, i.e. 0-based ed(j) = (md(j)-md(j+1))/dz(j) for j >= jt-1
     md_b4 = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)   # md(k+1)
-    in_ed = (karr >= jt[:, None] - 1) & active[:, None]
+    in_ed = (karr >= jt[:, None] - 1) & _col(active)
     ed = jnp.where(in_ed, (md - md_b4) / dz, 0.0)
 
     hd0 = hmn
-    xsD = dict(k=jnp.arange(pver), md=md.T, md_b=md_b4.T, ed=ed.T,
-               dz=dz.T, hmn=hmn.T, hd0=hd0.T)
+    xsD = dict(md=md, ed=ed, dz=dz, hmn=hmn, hd0=hd0)
     carryD = dict(hd_p=hmn[:, 0], md_p=jnp.zeros((ncol,), dtype),
                   ed_p=jnp.zeros((ncol,), dtype),
                   hmn_p=hmn[:, 0], dz_p=dz[:, 0])
 
-    def hd_step(cy, x):
-        k = x["k"]
+    def hd_step(cy, x, k):
         # F writes hd(i,k) for F k >= jt_f, i.e. 0-based hd(j) for j >= jt:
         # hd(j) = (md(j-1) hd(j-1) - dz(j-1) ed(j-1) hmn(j-1)) / min(md(j), -small)
         inw = (k >= jt) & active
@@ -928,14 +962,13 @@ def cldprp(cfg: ZMConfig, msg: int,
                          x["hd0"])
         new_cy = dict(hd_p=hd_k, md_p=x["md"], ed_p=x["ed"],
                       hmn_p=x["hmn"], dz_p=x["dz"])
-        return new_cy, hd_k
+        return new_cy, (hd_k,)
 
-    _, hd_T = jax.lax.scan(hd_step, carryD, xsD)
-    hd = hd_T.T
+    _, (hd,) = scan_impl.scan(hd_step, carryD, xsD, reverse=False)
 
     # qds + td (zm_conv.F90:4122-4137)
     in_qds = (karr >= jd[:, None]) & (karr <= jb[:, None]) & \
-        active[:, None] & (jd < jb)[:, None]
+        _col(active) & _col(jd < jb)
     qds0 = qsthat + gamhat * (hd - hsthat) / (RL * (1.0 + gamhat))
     td = (hd - GRAV * zf[:, :-1] - (1.0 + DCOL * TFREEZ) * RL * qds0) / \
         (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qds0))
@@ -954,12 +987,11 @@ def cldprp(cfg: ZMConfig, msg: int,
         ((1.0 + CPVIR * qd_jd) * CP)
 
     qds_b = jnp.concatenate([qds[:, 1:], qds[:, -1:]], axis=1)
-    xsE = dict(k=jnp.arange(pver), md=md.T, md_b=md_b4.T, ed=ed.T, dz=dz.T,
-               q=q.T, s=s.T, td=td.T, qds=qds.T, qds_b=qds_b.T)
+    xsE = dict(md=md, md_b=md_b4, ed=ed, dz=dz, q=q, s=s, td=td, qds=qds,
+               qds_b=qds_b)
     carryE = dict(sd_c=sd_jd, totevp=jnp.zeros((ncol,), dtype))
 
-    def evp_step(cy, x):
-        k = x["k"]
+    def evp_step(cy, x, k):
         at_jd_k = k == jd
         sd_k = jnp.where(at_jd_k, sd_jd, cy["sd_c"])
         inw = (k >= jd) & (k < jb) & active
@@ -975,8 +1007,7 @@ def cldprp(cfg: ZMConfig, msg: int,
         new_cy = dict(sd_c=jnp.where(inw, sd_next, sd_k), totevp=totevp)
         return new_cy, (sd_k, qd_k, evp_k)
 
-    cyE, (sd_T, qd_T, evp_T) = jax.lax.scan(evp_step, carryE, xsE)
-    sd, qd, evp = sd_T.T, qd_T.T, evp_T.T
+    cyE, (sd, qd, evp) = scan_impl.scan(evp_step, carryE, xsE, reverse=False)
     # levels outside [jd, jb): environment values (initialized s, q)
     out_dd = ~((karr >= jd[:, None]) & (karr <= jb[:, None]))
     sd = jnp.where(out_dd, sd0, sd)
@@ -1002,7 +1033,7 @@ def cldprp(cfg: ZMConfig, msg: int,
 
     # precipitation flux through interfaces (zm_conv.F90:4203-4208)
     pflx = jnp.concatenate(
-        [jnp.zeros((ncol, 1), dtype), jnp.cumsum(rprd * dz, axis=1)], axis=1)
+        [jnp.zeros((ncol, 1), dtype), _cumsum_lvl(rprd * dz)], axis=1)
 
     mc = mu + md
 
@@ -1111,7 +1142,7 @@ def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
     # integrate dA/dt and close (zm_conv.F90:4243-4257)
     dzf = zf[:, :-1] - zf[:, 1:]
     seg = (karr >= lel[:, None]) & (karr <= mx[:, None] - 1)
-    dadt = jnp.sum(jnp.where(seg, dboydt * dzf, 0.0), axis=1)
+    dadt = _canon(jnp.sum(jnp.where(seg, dboydt * dzf, 0.0), axis=1))
     dltaa = -(cape - cfg.capelmt)
     mb = jnp.where(dadt != 0.0, jnp.maximum(dltaa / (cfg.tau * dadt), 0.0), 0.0)
     return mb
@@ -1211,7 +1242,7 @@ class ZMConvOut:
 
 
 def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
-             pblh, tpert, landfrac, delt) -> ZMConvOut:
+             pblh, tpert, landfrac, delt, scan_impl=LAX_SCAN) -> ZMConvOut:
     """Main ZM driver (zm_convr, zm_conv.F90:231-1709), tht path
     (second_call / retrigger / use_cin per config), zmconv_microp off.
 
@@ -1246,7 +1277,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     dmpdz0 = jnp.full((ncol, pver), -cfg.tentrm, dtype)
 
     b1 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
-                       landfrac, dmpdz0)
+                       landfrac, dmpdz0, scan_impl=scan_impl)
 
     def trigger(cape, cin):
         trig = cape > cfg.capelmt
@@ -1261,7 +1292,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     qhat = _log_mean_interface(q)
 
     c1 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b1.mx, b1.lel,
-                landfrac)
+                landfrac, scan_impl=scan_impl)
 
     buoy_used = b1
     cld = c1
@@ -1270,20 +1301,20 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
 
     if cfg.second_call:
         # diagnose entrainment from eu (zm_conv.F90:1046-1078): mean of eu>0
-        has_eu = (c1.eu > 0.0) & ideep1[:, None]
-        cnt = jnp.sum(has_eu, axis=1)
-        dmsm = -jnp.sum(jnp.where(has_eu, c1.eu, 0.0), axis=1) / \
+        has_eu = (c1.eu > 0.0) & _col(ideep1)
+        cnt = _canon(jnp.sum(has_eu, axis=1))
+        dmsm = -_canon(jnp.sum(jnp.where(has_eu, c1.eu, 0.0), axis=1)) / \
             jnp.where(cnt == 0, 1, cnt)
         dmpdz2_col = jnp.where(ideep1, jnp.where(cnt > 0, dmsm, -1.0),
                                -cfg.tentrm)
         dmpdz2 = jnp.broadcast_to(dmpdz2_col[:, None], (ncol, pver))
 
         b2 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
-                           landfrac, dmpdz2)
+                           landfrac, dmpdz2, scan_impl=scan_impl)
         if cfg.retrigger:
             ideep = trigger(b2.cape, b2.cin)
         c2 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b2.mx, b2.lel,
-                    landfrac)
+                    landfrac, scan_impl=scan_impl)
         buoy_used = b2
         cld = c2
         eurt = -dmpdz2
@@ -1296,8 +1327,8 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     dz = zf[:, :-1] - zf[:, 1:]
 
     # subcloud thickness (zm_conv.F90:990-997)
-    dsubcld = jnp.sum(jnp.where((karr >= mx[:, None]) & (karr >= msg), dp, 0.0),
-                      axis=1)
+    dsubcld = _canon(jnp.sum(jnp.where((karr >= mx[:, None]) & (karr >= msg),
+                                       dp, 0.0), axis=1))
 
     # convert 1/m -> 1/mb (zm_conv.F90:1252-1262)
     fac_mb = dz / dp
@@ -1316,7 +1347,8 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
                  jt, mx)
 
     # CFL cap (zm_conv.F90:1285-1300)
-    mumax = jnp.max(jnp.where(karr >= msg + 1, cld.mu / dp, 0.0), axis=1)
+    mumax = _canon(jnp.max(jnp.where(karr >= msg + 1, cld.mu / dp, 0.0),
+                           axis=1))
     mb = jnp.where(mumax > 0.0,
                    jnp.minimum(mb, 0.5 / (delt * jnp.where(mumax <= 0, 1e30,
                                                            mumax))), 0.0)
@@ -1362,11 +1394,12 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
 
     # precipitation from column moisture change (zm_conv.F90:1495-1640)
     q_new = qh + 2.0 * delt * dqdt
-    prec = jnp.sum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt, axis=1)
+    prec = _canon(jnp.sum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt,
+                          axis=1))
     prec = RGRAV * jnp.maximum(prec, 0.0) / (2.0 * delt) / 1000.0
 
     # reserved liquid (zm_conv.F90:1645-1652)
-    rliq = jnp.sum(dlg * dpp / GRAV, axis=1) / 1000.0
+    rliq = _canon(jnp.sum(dlg * dpp / GRAV, axis=1)) / 1000.0
     rice = jnp.zeros_like(rliq)
 
     mcon = jnp.concatenate([mc * maskf, jnp.zeros((ncol, 1), dtype)], axis=1)

@@ -67,7 +67,10 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         diags["ZM_ORG2D"] = org_low
 
     # ---- zm_convr on the current state (intr:662-673; delt = ztodt/2) ----
-    out: ZMConvOut = zm_convr(
+    # (dispatch: fused Pallas mega-kernel on single-chip TPU f32, else the
+    # identical XLA path — see zm_pallas.py)
+    from .zm_pallas import zm_convr_dispatch
+    out: ZMConvOut = zm_convr_dispatch(
         cfg, msg, state.t, state.q[:, :, 0], state.pmid, state.pint,
         state.pdel, state.zm, state.phis, state.zi, pblh, tpert, landfrac,
         0.5 * ztodt)

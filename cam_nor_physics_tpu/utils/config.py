@@ -163,6 +163,14 @@ class ZMConfig:
     # reference-shaped level-recursive form kept for validation.
     parcel_impl: str = "batched"
     precip_sweeps: int = 3     # fixed-point sweeps in the batched adjustment
+    # Fused Pallas mega-kernel for zm_convr (models/physics/zm_pallas.py):
+    # the whole core (both buoyan/cldprp passes, closure, q1q2) runs as one
+    # program per column block. EXPERIMENTAL, default OFF: in the verbatim
+    # (cols, pver) layout the kernel pads 26 levels to 128 lanes (~20% vreg
+    # utilization) and Mosaic serializes grid blocks, so it measures ~12 ms
+    # vs ~7 ms XLA at 13824x26 — a (pver, cols)-major kernel layout is the
+    # known fix (future work). True enables; "auto" currently = False.
+    use_pallas: bool | str = False
 
     def __post_init__(self) -> None:
         if self.num_cin > 5:
