@@ -37,6 +37,10 @@ def main():
     dtype = jnp.float32
     if small:
         im, jm, km, iters = 72, 46, 10, 3
+    elif os.environ.get("BENCH_GRID") == "f09":
+        # config-4 resolution (0.9°x1.25°x26, BASELINE.md ladder #4):
+        # opt-in — amortizes fixed per-step overheads over 4x the columns
+        im, jm, km, iters = 288, 192, 26, 5
     else:
         im, jm, km, iters = 144, 96, 26, 10
 

@@ -34,8 +34,17 @@ import jax.numpy as jnp
 from . import tp_core as tp
 
 
-def use_pallas() -> bool:
+# Largest (jm, im) slab the fused per-level kernels accept: the tp2d body
+# keeps ~100 slabs live in VMEM (measured 54 MB at 192x288 vs the 16 MB
+# budget), so above this the callers fall back to the XLA path. Lifting the
+# cap needs j-band blocking with halo rows (future work).
+_MAX_SLAB_CELLS = 20000
+
+
+def use_pallas(slab_cells: int | None = None) -> bool:
     try:
+        if slab_cells is not None and slab_cells > _MAX_SLAB_CELLS:
+            return False
         return (jax.default_backend() == "tpu"
                 and jax.device_count() == 1)
     except Exception:
@@ -88,7 +97,7 @@ def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
     pt-mass increments (polar caps closed) and the mass fluxes."""
     km, jm, im = delp.shape
 
-    if not (prefer_pallas and use_pallas()):
+    if not (prefer_pallas and use_pallas(jm * im)):
         def level(args):
             delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
             ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, iord,
@@ -137,7 +146,7 @@ def vort_flux3d(zeta, crx, cry, udt, vedt, ffsl, cosp, iord: int, jord: int,
     update (cd_core role): fy = ytp(ζ)·v̄dt at u points, fx = xtp(ζ)·ūdt at
     v points. Shapes (km, jm, im). Returns (fx_z, fy_z)."""
     km, jm, im = zeta.shape
-    if not (prefer_pallas and use_pallas()):
+    if not (prefer_pallas and use_pallas(jm * im)):
         fy = jax.vmap(lambda z, c, m: tp.ytp(z, c, m, jord, 0))(
             zeta, cry, vedt)
         fx = jax.vmap(lambda z, c, m, f: tp.xtp(z, c, m, cosp, f, iord, 1))(
@@ -184,7 +193,7 @@ def tracer_div3d(q, crx, cry, mfx, mfy, va, ffsl, cosp, acosp, rcap: float,
     (nq, km, jm, im) with polar caps closed."""
     nq, km, jm, im = q.shape
 
-    if not (prefer_pallas and use_pallas()):
+    if not (prefer_pallas and use_pallas(jm * im)):
         def one(qm):
             def level(args):
                 q_k, cx_k, cy_k, mfx_k, mfy_k, va_k, ffsl_k = args
