@@ -17,8 +17,13 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (may already be imported by sitecustomize — that's fine)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("CAM_TPU_TESTS") == "1":
+    # opt-in hardware run (tests/test_pallas_kernels.py): keep the real TPU
+    # backend and f32 (no x64 on TPU)
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,137 @@
+"""Pallas TPU kernel equivalence vs the XLA (jnp) path.
+
+The fused per-level transport/vorticity kernels (ops/pallas_kernels.py)
+execute the same tp_core math on VMEM-resident slabs as the vmapped jnp
+formulation; on stress fields (random near-CFL Courants activating every
+FFSL branch) they agree to f32 roundoff (fma/contraction-order ULPs), and
+on real dyn_run fields they measured bitwise-identical over 3 large steps. The ZM mega-kernel
+(models/physics/zm_pallas.py) is equivalent modulo Mosaic-vs-XLA
+transcendental ULPs (validated separately on hardware; see VALIDATION.md).
+
+These tests need a real TPU backend (Mosaic does not target CPU) and skip
+elsewhere — the CPU suite covers the identical jnp fallback everywhere.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.fv.grid import make_grid
+from cam_nor_physics_tpu.ops import tp_core as tp
+from cam_nor_physics_tpu.ops.pallas_kernels import (transport3d,
+                                                    tracer_div3d, use_pallas,
+                                                    vort_flux3d)
+
+tpu = pytest.mark.skipif(jax.default_backend() != "tpu",
+                         reason="Pallas TPU kernels need a TPU backend")
+
+
+def _fields(im=144, jm=96, km=26, dtype=jnp.float32):
+    grid = make_grid(im, jm, km)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    delp = jax.random.uniform(ks[0], (km, jm, im), dtype, 0.5, 1.5)
+    pt = jax.random.uniform(ks[1], (km, jm, im), dtype, 250.0, 350.0)
+    crx = jax.random.uniform(ks[2], (km, jm, im), dtype, -0.9, 0.9)
+    cry = jax.random.uniform(ks[3], (km, jm, im), dtype, -0.5, 0.5)
+    yfx = cry * jnp.asarray(grid.cose)[:, None]
+    va = 0.5 * (cry + tp.edge_north(cry))
+    ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
+    return grid, delp, pt, crx, cry, yfx, va, ffsl
+
+
+@tpu
+class TestPallasTransport:
+    def test_transport3d_roundoff(self):
+        grid, delp, pt, crx, cry, yfx, va, ffsl = _fields()
+        cosp = jnp.asarray(grid.cosp)
+        acosp = jnp.asarray(grid.acosp)
+        args = (delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp,
+                grid.rcap, 4, 4)
+        a = jax.jit(lambda: transport3d(*args, prefer_pallas=True))()
+        b = jax.jit(lambda: transport3d(*args, prefer_pallas=False))()
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_vort_flux3d_roundoff(self):
+        grid, delp, pt, crx, cry, yfx, va, ffsl = _fields()
+        cosp = jnp.asarray(grid.cosp)
+        zeta = jax.random.normal(jax.random.PRNGKey(7), delp.shape,
+                                 delp.dtype)
+        args = (zeta, crx, cry, crx * 450.0, cry * 450.0, ffsl, cosp, 4, 4)
+        a = jax.jit(lambda: vort_flux3d(*args, prefer_pallas=True))()
+        b = jax.jit(lambda: vort_flux3d(*args, prefer_pallas=False))()
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_tracer_div3d_roundoff(self):
+        grid, delp, pt, crx, cry, yfx, va, ffsl = _fields()
+        cosp = jnp.asarray(grid.cosp)
+        acosp = jnp.asarray(grid.acosp)
+        q = jax.random.uniform(jax.random.PRNGKey(9),
+                               (3,) + delp.shape, delp.dtype, 0.0, 1e-2)
+        args = (q, crx, cry, crx, yfx, va, ffsl, cosp, acosp,
+                grid.rcap, 4, 4)
+        a = jax.jit(lambda: tracer_div3d(*args, prefer_pallas=True))()
+        b = jax.jit(lambda: tracer_div3d(*args, prefer_pallas=False))()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-8)
+
+    def test_slab_cap_falls_back(self):
+        # grids beyond the VMEM cap must dispatch the jnp path, not crash
+        assert use_pallas(288 * 192) is False
+
+
+@tpu
+class TestZMPallas:
+    def test_zm_mega_kernel_statistical(self):
+        """zm_convr Pallas vs XLA: agree to the inversion tolerance on
+        columns whose discrete trigger/top decisions agree. This synthetic
+        sounding is uniformly near-critical, so transcendental ULP
+        differences flip an outsized fraction of columns (~10%); real
+        atmospheres measured ~2.7% (VALIDATION.md)."""
+        from cam_nor_physics_tpu.models.physics.zm_conv import zm_convr
+        from cam_nor_physics_tpu.models.physics.zm_pallas import \
+            zm_convr_pallas
+        from cam_nor_physics_tpu.utils.config import ZMConfig
+
+        dtype = jnp.float32
+        ncol, pver = 2048, 26
+        cfg = ZMConfig()
+        eta = np.linspace(0.003, 1.0, pver + 1) ** 1.2
+        pint = jnp.asarray(np.broadcast_to(eta[None, :] * 1.0e5,
+                                           (ncol, pver + 1)), dtype)
+        pmid = 0.5 * (pint[:, 1:] + pint[:, :-1])
+        rng = np.random.default_rng(0)
+        t = jnp.maximum(300.0 * (pmid / 1.0e5) ** 0.19, 195.0) \
+            .at[:, -1].add(2.0) + jnp.asarray(
+                rng.uniform(-2, 2, (ncol, pver)), dtype)
+        q = (0.017 * (pmid / pmid[:, -1:]) ** 2.5 + 1e-6) \
+            .at[:, -3:].multiply(1.15)
+        dpp = pint[:, 1:] - pint[:, :-1]
+        tv = t * (1 + 0.608 * q)
+        dz = 287.0 * tv * dpp / (pmid * 9.80616)
+        zmid = jnp.cumsum(dz[:, ::-1], axis=1)[:, ::-1] - 0.5 * dz
+        zint = jnp.concatenate([(zmid + 0.5 * dz),
+                                jnp.zeros((ncol, 1), dtype)], axis=1)
+        args = (t, q, pmid, pint, dpp, zmid, jnp.zeros((ncol,), dtype),
+                zint, jnp.full((ncol,), 800.0, dtype),
+                jnp.full((ncol,), 0.3, dtype), jnp.ones((ncol,), dtype),
+                900.0)
+        o1 = jax.jit(lambda: zm_convr(cfg, 2, *args))()
+        o2 = jax.jit(lambda: zm_convr_pallas(cfg, 2, *args))()
+        jt1, jt2 = np.asarray(o1.jt), np.asarray(o2.jt)
+        cape1, cape2 = np.asarray(o1.cape), np.asarray(o2.cape)
+        flip = (jt1 != jt2) | (np.abs(cape1 - cape2) >
+                               0.02 * np.maximum(cape1, 1.0))
+        assert flip.mean() < 0.25, f"{flip.mean():.1%} columns flipped"
+        # climate-relevant statistics must agree tightly: per-column maxima
+        # on a uniformly near-critical synthetic sounding are dominated by
+        # discrete flips the (jt, cape) filter cannot fully isolate
+        for name in ("qtnd", "heat", "prec", "cape"):
+            a = np.asarray(getattr(o1, name))
+            b = np.asarray(getattr(o2, name))
+            scale = max(np.abs(a).mean(), 1e-30)
+            assert abs(a.mean() - b.mean()) / scale < 0.05, name
