@@ -20,15 +20,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fetch(out):
+    """Hard sync: materialize one leaf on the host. Under the axon tunnel
+    jax.block_until_ready returns before the queued work completes, so a
+    value fetch is the only trustworthy fence (measured: a 'timed' dyn step
+    reads 0.1 ms with block_until_ready vs ~10 ms real)."""
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
 def time_fn(fn, args, iters):
+    """Steady-state per-iteration time of the CHAINED loop x(n+1) = f(x(n))
+    — the real driver pattern (same-input repeats let the runtime dedupe).
+    fn must return a tuple matching its positional args."""
     out = fn(*args)
-    jax.block_until_ready(out)          # compile + warm
+    _fetch(out)                          # compile + warm
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
+    cur = args
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        cur = fn(*cur)
+    _fetch(cur)
     return (time.perf_counter() - t0) / iters
 
 
@@ -42,7 +54,8 @@ def main():
         # opt-in — amortizes fixed per-step overheads over 4x the columns
         im, jm, km, iters = 288, 192, 26, 5
     else:
-        im, jm, km, iters = 144, 96, 26, 10
+        # enough chained iterations to amortize async-pipeline ramp-up
+        im, jm, km, iters = 144, 96, 26, 40
 
     from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run
     from cam_nor_physics_tpu.models.fv.grid import make_grid
@@ -59,16 +72,22 @@ def main():
     cfg = FVConfig()
     dt = 1800.0
 
+    # grid/coord/phis ride as pytree ARGUMENTS: closure-captured arrays
+    # become executable constants, which disable the axon runtime's fast
+    # repeat-execution path (tools/find_constants.py)
     @jax.jit
-    def dyn_step(state):
+    def dyn_step_g(state, grid, coord, phis):
         state = dyn_run(state, grid, coord, phis, cfg, dt)
         return hs_forcing(state, grid, coord.ptop, dt)
+
+    def dyn_step(state):
+        return (dyn_step_g(state, grid, coord, phis),)
 
     state = hs_initial_state(grid, coord, pert=1.0, dtype=dtype)
     # spin a few steps so the benchmarked state has realistic winds
     for _ in range(3):
-        state = dyn_step(state)
-    jax.block_until_ready(state)
+        (state,) = dyn_step(state)
+    _fetch(state)
     t_dyn = time_fn(dyn_step, (state,), iters)
 
     if os.environ.get("BENCH_PHASES") == "1":
@@ -79,19 +98,20 @@ def main():
         from cam_nor_physics_tpu.models.fv.dyn_comp import te_map, trac2d
         ns, nstrac, nv = cfg.resolved_splits(dt, im, jm)
         dts = dt / max(ns, 1)
-        f_cd = jax.jit(lambda st: cd_step(
+        f_cd = jax.jit(lambda st, grid, phis: cd_step(
             st, grid, coord.ptop, phis, dts, iord=cfg.iord, jord=cfg.jord,
             dyn_filter=True, c_sw_pgf=cfg.c_sw_pgf, ke_method=cfg.ke_method,
             del2_velocity=cfg.del2coef if cfg.div24del2flag == 42 else 0.0))
-        st1, d = f_cd(state)
-        f_tr = jax.jit(lambda q, dp0, d: trac2d(
+        st1, d = f_cd(state, grid, phis)
+        f_tr = jax.jit(lambda q, dp0, d, grid: trac2d(
             q, dp0, d["cx"], d["cy"], d["mfx"], d["mfy"], grid,
             cfg.iord, cfg.jord))
-        f_te = jax.jit(lambda st: te_map(st, coord, grid, coord.ptop,
-                                         kord=cfg.kord, consv=cfg.conserve))
-        t_cd = time_fn(f_cd, (state,), iters)
-        t_tr = time_fn(f_tr, (state.q, state.delp, d), iters)
-        t_te = time_fn(f_te, (st1,), iters)
+        f_te = jax.jit(lambda st, coord, grid: te_map(
+            st, coord, grid, coord.ptop, kord=cfg.kord, consv=cfg.conserve))
+        t_cd = time_fn(lambda st: (f_cd(st, grid, phis)[0],), (state,), iters)
+        t_tr = time_fn(lambda q: (f_tr(q, state.delp, d, grid),),
+                       (state.q,), iters)
+        t_te = time_fn(lambda st: (f_te(st, coord, grid),), (st1,), iters)
         print(f"phases: cd_core={t_cd*1e3:.1f}ms x{ns} "
               f"trac2d={t_tr*1e3:.1f}ms te_map={t_te*1e3:.1f}ms",
               file=sys.stderr)
@@ -125,9 +145,12 @@ def main():
     landfrac = jnp.ones((ncol,), dtype)
 
     @jax.jit
-    def zm_step(s, pb):
+    def zm_step_g(s, pb, pblh, tpert, landfrac):
         o = zm_conv_tend(zcfg, reg, s, pb, pblh, tpert, landfrac, dt)
         return o.state1, o.pbuf
+
+    def zm_step(s, pb):
+        return zm_step_g(s, pb, pblh, tpert, landfrac)
 
     t_zm = time_fn(zm_step, (pstate, pbuf), iters)
 

@@ -121,8 +121,8 @@ def absolute_vorticity(u, v, grid: FVGrid):
 
     u_s = u                                  # south edge of row j
     u_n = wset_row(_rolly(u, -1), -1, 0.0)   # north edge (edge j+1)
-    cose_n = np.concatenate([np.asarray(grid.cose)[1:],
-                             np.asarray(grid.cose)[-1:]])
+    cose_n = jnp.concatenate([jnp.asarray(grid.cose)[1:],
+                              jnp.asarray(grid.cose)[-1:]])
     cose_n = jnp.asarray(cose_n)
     v_e = jnp.roll(v, -1, axis=-1)
 

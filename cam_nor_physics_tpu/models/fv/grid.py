@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,17 @@ from ...utils import constants as c
 
 @dataclass(frozen=True)
 class FVGrid:
+    """FV grid tables.
+
+    Registered as a JAX PYTREE (see register below): the table fields are
+    leaves, the shape/spacing scalars are static aux data. Hot-path jits
+    must take the grid as an ARGUMENT, not close over it — under the axon
+    TPU runtime, ANY array constant embedded in an executable disables its
+    fast repeat-execution path (~1 ms/call on a medium graph, ~5 ms on
+    dyn/zm-sized ones; measured, see tools/find_constants.py). make_grid
+    returns device (jnp) leaves so repeated calls transfer nothing.
+    """
+
     im: int
     jm: int
     km: int
@@ -58,13 +70,11 @@ class FVGrid:
     ycrit_deg: float
     pft_center: np.ndarray   # (jm, im//2+1) rfft damping factors, centers
     pft_edge: np.ndarray     # (jm, im//2+1) damping factors, edges
+    # coordinate tables
+    lats: np.ndarray = None  # (jm,) cell-center latitudes (rad)
+    lons: np.ndarray = None  # (im,) cell-center longitudes (rad)
     # scalars
     rdy: float = 0.0
-
-    @property
-    def lats(self) -> np.ndarray:
-        """Cell-center latitudes (rad), poles included."""
-        return np.linspace(-0.5 * math.pi, 0.5 * math.pi, self.jm)
 
     # Circulant-matmul forms of the polar filter, memoized per grid so every
     # trace of cd_step shares one host constant per (response, dtype) rather
@@ -82,13 +92,34 @@ class FVGrid:
         key = (which, dtype)
         if key not in cache:
             resp = self.pft_center if which == "center" else self.pft_edge
-            cache[key] = circulant_filter_matrices(resp).astype(dtype)
+            if isinstance(resp, jax.core.Tracer):
+                raise TypeError(
+                    "circ_center/circ_edge need a concrete grid (host "
+                    "computation); the matmul polar-filter path cannot run "
+                    "with a traced FVGrid — use filter_impl='fft'")
+            cache[key] = circulant_filter_matrices(
+                np.asarray(resp)).astype(dtype)
         return cache[key]
 
-    @property
-    def lons(self) -> np.ndarray:
-        """Cell-center longitudes (rad), starting at -pi."""
-        return -math.pi + self.dl * np.arange(self.im)
+
+def _register_fvgrid_pytree() -> None:
+    """Leaves = array tables; aux = shape/spacing scalars (static)."""
+    data = ("cosp", "sinp", "cose", "sine", "acosp", "acosu",
+            "coslon", "sinlon", "cosl5", "sinl5", "f0", "fc",
+            "pft_center", "pft_edge", "lats", "lons")
+    meta = ("im", "jm", "km", "dl", "dp", "acap", "rcap", "ycrit_deg", "rdy")
+
+    def flatten(g):
+        return tuple(getattr(g, f) for f in data), \
+            tuple(getattr(g, f) for f in meta)
+
+    def unflatten(aux, children):
+        return FVGrid(**dict(zip(meta, aux)), **dict(zip(data, children)))
+
+    jax.tree_util.register_pytree_node(FVGrid, flatten, unflatten)
+
+
+_register_fvgrid_pytree()
 
 
 def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
@@ -162,11 +193,16 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
     pftc = _pft_coefficients(im, cosp, ycrit, pole_rows_exempt=True)
     pfte = _pft_coefficients(im, cose, ycrit, pole_rows_exempt=False)
 
-    return FVGrid(im=im, jm=jm, km=km, dl=dl, dp=dp, cosp=cosp, sinp=sinp,
-                  cose=cose, sine=sine[:jm], acosp=acosp, acosu=acosu,
-                  coslon=coslon, sinlon=sinlon, cosl5=cosl5, sinl5=sinl5,
-                  acap=acap, rcap=rcap, f0=f0, fc=fc, ycrit_deg=ycrit,
-                  pft_center=pftc, pft_edge=pfte, rdy=1.0 / (ae * dp))
+    dev = jnp.asarray   # device-resident leaves (see FVGrid docstring)
+    return FVGrid(im=im, jm=jm, km=km, dl=dl, dp=dp, cosp=dev(cosp),
+                  sinp=dev(sinp), cose=dev(cose), sine=dev(sine[:jm]),
+                  acosp=dev(acosp), acosu=dev(acosu), coslon=dev(coslon),
+                  sinlon=dev(sinlon), cosl5=dev(cosl5), sinl5=dev(sinl5),
+                  acap=acap, rcap=rcap, f0=dev(f0), fc=dev(fc),
+                  ycrit_deg=ycrit, pft_center=dev(pftc), pft_edge=dev(pfte),
+                  lats=dev(np.linspace(-0.5 * math.pi, 0.5 * math.pi, jm)),
+                  lons=dev(-math.pi + dl * np.arange(im)),
+                  rdy=1.0 / (ae * dp))
 
 
 def _pft_coefficients(im: int, coslat: np.ndarray, ycrit_deg: float,

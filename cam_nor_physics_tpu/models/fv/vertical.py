@@ -13,22 +13,33 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 
 @dataclass(frozen=True)
 class HybridCoord:
+    """Hybrid ak/bk set. Registered as a JAX pytree (ak/bk are leaves) so
+    hot jits can take the coordinate as an argument — embedded array
+    constants disable the axon runtime's fast execution path (FVGrid note).
+    `ptop`/`ps0` are static aux scalars usable under tracing."""
+
     ak: np.ndarray       # (km+1,) Pa
     bk: np.ndarray       # (km+1,) dimensionless
     ps0: float = 1.0e5
+    ptop: float = None   # snapshot of ak[0]; set at construction
+
+    def __post_init__(self):
+        if self.ptop is None:
+            object.__setattr__(self, "ptop", float(np.asarray(self.ak)[0]))
+        if isinstance(self.ak, np.ndarray):
+            import jax.numpy as jnp
+            object.__setattr__(self, "ak", jnp.asarray(self.ak))
+            object.__setattr__(self, "bk", jnp.asarray(self.bk))
 
     @property
     def km(self) -> int:
         return self.ak.shape[0] - 1
-
-    @property
-    def ptop(self) -> float:
-        return float(self.ak[0])
 
     def pint(self, ps):
         """Interface pressures (..., km+1) from surface pressure (...,)."""
@@ -68,3 +79,17 @@ def sigma_coefficients(km: int, ptop: float = 100.0, ps0: float = 1.0e5
     bk = k
     ak = ptop * (1.0 - k)
     return HybridCoord(ak=ak, bk=bk, ps0=ps0)
+
+
+def _register_hybridcoord_pytree() -> None:
+    def flatten(h):
+        return (h.ak, h.bk), (h.ps0, h.ptop)
+
+    def unflatten(aux, children):
+        return HybridCoord(ak=children[0], bk=children[1],
+                           ps0=aux[0], ptop=aux[1])
+
+    jax.tree_util.register_pytree_node(HybridCoord, flatten, unflatten)
+
+
+_register_hybridcoord_pytree()

@@ -193,9 +193,20 @@ def _level_mask(pver: int, top: int, bot: int, dtype) -> jnp.ndarray:
     return ((k >= top) & (k <= (bot % pver))).astype(dtype)
 
 
+def refresh_dse(state: PhysicsState) -> PhysicsState:
+    """Recompute zi/zm and dry static energy from the current t/q
+    (the tail of physics_update, physics_types.F90:452-467)."""
+    zi, zm = geopotential_t(state.lnpint, state.lnpmid, state.pint,
+                            state.pmid, state.pdel, state.rpdel,
+                            state.t, state.q[:, :, 0])
+    s = state.t * c.CPAIR + c.GRAVIT * zm + state.phis[:, None]
+    return state.replace(zi=zi, zm=zm, s=s)
+
+
 def physics_update(state: PhysicsState, ptend: PhysicsPtend, dt: float,
                    registry: ConstituentRegistry,
                    tend: PhysicsTend | None = None,
+                   refresh: bool = True,
                    ) -> tuple[PhysicsState, PhysicsTend | None]:
     """Apply parameterization tendencies to the state (physics_update equivalent,
     /root/reference/physics/physics_types.F90:210-497).
@@ -221,7 +232,6 @@ def physics_update(state: PhysicsState, ptend: PhysicsPtend, dt: float,
             tend = tend.replace(dvdt=tend.dvdt + ptend.v * mask)
 
     ixnum = {registry.index(n) for n in ("NUMICE", "NUMLIQ", "NUMRAI", "NUMSNO")}
-    qmin = registry.qmin_array(q.dtype)
     cols = []
     for m in range(pcnst):
         qm = q[:, :, m]
@@ -231,8 +241,10 @@ def physics_update(state: PhysicsState, ptend: PhysicsPtend, dt: float,
                 # number concentrations: clamp to [1e-12, 1e10] (:331-335)
                 qm = jnp.clip(qm, 1.0e-12, 1.0e10)
             else:
-                # qneg3 repair: reset below-minimum values to qmin (:329)
-                qm = jnp.maximum(qm, qmin[m])
+                # qneg3 repair: reset below-minimum values to qmin (:329);
+                # scalar literal, NOT registry.qmin_array — an embedded
+                # array constant disables the axon fast execution path
+                qm = jnp.maximum(qm, float(registry.constituents[m].qmin))
                 if m == 0:
                     # physical ceiling for vapor (guard-rail family): no
                     # atmosphere holds >0.1 kg/kg; values beyond it are
@@ -260,13 +272,12 @@ def physics_update(state: PhysicsState, ptend: PhysicsPtend, dt: float,
 
     state = state.replace(u=u, v=v, t=t, q=q)
 
-    # refresh geopotential + dry static energy when heating or moisture changed
-    if ptend.ls or (len(ptend.lq) > 0 and ptend.lq[0]):
-        zi, zm = geopotential_t(state.lnpint, state.lnpmid, state.pint,
-                                state.pmid, state.pdel, state.rpdel,
-                                state.t, state.q[:, :, 0])
-        s = state.t * c.CPAIR + c.GRAVIT * zm + state.phis[:, None]
-        state = state.replace(zi=zi, zm=zm, s=s)
+    # refresh geopotential + dry static energy when heating or moisture
+    # changed. `refresh=False` lets a driver that applies several ptends
+    # back-to-back defer this to a single final refresh_dse() — valid
+    # whenever no intermediate consumer reads zi/zm/s.
+    if refresh and (ptend.ls or (len(ptend.lq) > 0 and ptend.lq[0])):
+        state = refresh_dse(state)
 
     return state, tend
 

@@ -18,7 +18,7 @@ from ...utils.config import ZMConfig
 from .constituents import ConstituentRegistry
 from .physics_buffer import PhysicsBuffer
 from .state import (PhysicsPtend, PhysicsState, physics_update, ptend_init,
-                    ptend_sum)
+                    ptend_sum, refresh_dse)
 from .zm_conv import ZMConvOut, zm_conv_evap, zm_convr
 from .zm_transport import convtran, momtran
 
@@ -118,13 +118,36 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
 
     ptend_all = ptend_init("zm_conv_tend", ncol, pver, pcnst, dtype=dtype)
     ptend_all = ptend_sum(ptend_all, ptend_conv, name="zm_conv_tend")
-    state1, _ = physics_update(state, ptend_conv, ztodt, registry)
+    # Intermediate updates defer the zi/zm/s refresh: nothing between here
+    # and the final state consumes them (evap reads t/q/p; momtran reads
+    # u/v; convtran reads q) — one refresh_dse at the end is equivalent.
+    state1, _ = physics_update(state, ptend_conv, ztodt, registry,
+                               refresh=False)
 
-    # ---- evaporation of precip on the updated state (intr:764-798) ----
+    # ---- fused Pallas tail (single-chip TPU f32): evap + momtran +
+    # convtran1 as ONE kernel — their XLA scans are dispatch-bound ----
+    doconv = registry.mask("is_convtran1")
+    tr_idx = [m for m in range(pcnst) if doconv[m]]
+    from .zm_tail_pallas import use_pallas_tail, zm_tail_pallas
+    fused_tail = (use_pallas_tail(cfg, dtype) and len(tr_idx) > 0
+                  and 0 not in tr_idx and ix_org not in tr_idx
+                  and not cfg.microp)
     cld = pbuf.get("CLD")
-    ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
-                      state1.q[:, :, 0], landfrac, out.rprd, cld, ztodt,
-                      out.prec)
+    if fused_tail:
+        # valid because conv/evap/org updates never touch u, v, or the
+        # convtran-1 species (checked by the gate above)
+        ev, mt, dq_sub = zm_tail_pallas(
+            cfg, state1.t, state1.q[:, :, 0], state1.pmid, state1.pdel,
+            state1.u, state1.v, state1.q[:, :, tr_idx], cld,
+            out.mu, out.md, out.du, out.eu, out.ed, out.dp, out.jt,
+            out.maxg, out.rprd, out.prec, landfrac, ztodt)
+        dq_tran = jnp.zeros((ncol, pver, pcnst), dtype)
+        for j, m in enumerate(tr_idx):
+            dq_tran = dq_tran.at[:, :, m].set(dq_sub[:, :, j])
+    else:
+        ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
+                          state1.q[:, :, 0], landfrac, out.rprd, cld, ztodt,
+                          out.prec)
     ptend_evap = ptend_init("zm_conv_evap", ncol, pver, pcnst, ls=True, lq=lq,
                             dtype=dtype)
     ptend_evap = ptend_evap.replace(
@@ -140,7 +163,8 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     diags["PRECZ"] = ev["prec"]
 
     ptend_all = ptend_sum(ptend_all, ptend_evap, name="zm_conv_tend")
-    state1, _ = physics_update(state1, ptend_evap, ztodt, registry)
+    state1, _ = physics_update(state1, ptend_evap, ztodt, registry,
+                               refresh=False)
 
     # ---- ZM_ORG source/decay (intr:773-777: org sourced from downdraft/
     # precip evaporation, first-order decay) ----
@@ -153,11 +177,14 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         ptend_org = ptend_org.replace(
             q=ptend_org.q.at[:, :, ix_org].set(dorg))
         ptend_all = ptend_sum(ptend_all, ptend_org, name="zm_conv_tend")
-        state1, _ = physics_update(state1, ptend_org, ztodt, registry)
+        state1, _ = physics_update(state1, ptend_org, ztodt, registry,
+                                   refresh=False)
 
     # ---- momentum transport (intr:822-858) ----
-    mt = momtran(state1.u, state1.v, out.mu, out.md, out.du, out.eu, out.ed,
-                 out.dp, out.jt, out.maxg, ztodt, cfg.momcu, cfg.momcd)
+    if not fused_tail:
+        mt = momtran(state1.u, state1.v, out.mu, out.md, out.du, out.eu,
+                     out.ed, out.dp, out.jt, out.maxg, ztodt, cfg.momcu,
+                     cfg.momcd)
     ptend_mom = ptend_init("momtran", ncol, pver, pcnst, ls=True, lu=True,
                            lv=True, dtype=dtype)
     ptend_mom = ptend_mom.replace(u=mt["dudt"], v=mt["dvdt"], s=mt["seten"])
@@ -170,12 +197,13 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     diags["ZMICVU"] = mt["icwu"][1]
 
     ptend_all = ptend_sum(ptend_all, ptend_mom, name="zm_conv_tend")
-    state1, _ = physics_update(state1, ptend_mom, ztodt, registry)
+    state1, _ = physics_update(state1, ptend_mom, ztodt, registry,
+                               refresh=False)
 
     # ---- convective transport pass 1: cloud liquid/ice (intr:875-886) ----
-    doconv = registry.mask("is_convtran1")
-    dq_tran = convtran(doconv, state1.q, out.mu, out.md, out.du, out.eu,
-                       out.ed, out.dp, out.jt, out.maxg, ztodt)
+    if not fused_tail:
+        dq_tran = convtran(doconv, state1.q, out.mu, out.md, out.du, out.eu,
+                           out.ed, out.dp, out.jt, out.maxg, ztodt)
     lq1 = tuple(m for m in doconv)
     ptend_tr = ptend_init("convtran1", ncol, pver, pcnst, lq=lq1, dtype=dtype)
     ptend_tr = ptend_tr.replace(q=dq_tran)
@@ -186,7 +214,9 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     if ix_ice > 0:
         diags["ZMDICE"] = dq_tran[:, :, ix_ice]
     ptend_all = ptend_sum(ptend_all, ptend_tr, name="zm_conv_tend")
-    state1, _ = physics_update(state1, ptend_tr, ztodt, registry)
+    state1, _ = physics_update(state1, ptend_tr, ztodt, registry,
+                               refresh=False)
+    state1 = refresh_dse(state1)
 
     # ---- pbuf stores (intr:591-621 / evaporation block) ----
     pbuf = pbuf.update(

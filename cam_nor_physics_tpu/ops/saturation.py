@@ -13,6 +13,8 @@ All functions are shape-polymorphic and jit-safe.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..utils import constants as c
@@ -30,7 +32,7 @@ def svp_water(t):
          + 5.02808 * jnp.log10(ts / t)
          - 1.3816e-7 * (10.0 ** (11.344 * (1.0 - t / ts)) - 1.0)
          + 8.1328e-3 * (10.0 ** (-3.49149 * (ts / t - 1.0)) - 1.0)
-         + jnp.log10(1013.246))
+         + math.log10(1013.246))
     return 10.0 ** e * 100.0
 
 
@@ -40,7 +42,7 @@ def svp_ice(t):
     e = (-9.09718 * (h2otrip / t - 1.0)
          - 3.56654 * jnp.log10(h2otrip / t)
          + 0.876793 * (1.0 - t / h2otrip)
-         + jnp.log10(6.1071))
+         + math.log10(6.1071))
     return 10.0 ** e * 100.0
 
 

@@ -171,6 +171,11 @@ class ZMConfig:
     # vs ~7 ms XLA at 13824x26 — a (pver, cols)-major kernel layout is the
     # known fix (future work). True enables; "auto" currently = False.
     use_pallas: bool | str = False
+    # Fused Pallas kernel for the ZM tail (evap + momtran + convtran,
+    # models/physics/zm_tail_pallas.py): (pver, cols)-major layout with
+    # statically unrolled level recursions. "auto" = on for single-chip TPU
+    # float32 (the XLA lowering is dispatch-bound there); False forces XLA.
+    use_pallas_tail: bool | str = "auto"
 
     def __post_init__(self) -> None:
         if self.num_cin > 5:
