@@ -109,7 +109,7 @@ def main():
         f_te = jax.jit(lambda st, coord, grid: te_map(
             st, coord, grid, coord.ptop, kord=cfg.kord, consv=cfg.conserve))
         t_cd = time_fn(lambda st: (f_cd(st, grid, phis)[0],), (state,), iters)
-        t_tr = time_fn(lambda q: (f_tr(q, state.delp, d, grid),),
+        t_tr = time_fn(lambda q: (f_tr(q, state.delp, d, grid)[0],),
                        (state.q,), iters)
         t_te = time_fn(lambda st: (f_te(st, coord, grid),), (st1,), iters)
         print(f"phases: cd_core={t_cd*1e3:.1f}ms x{ns} "

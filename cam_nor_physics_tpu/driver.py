@@ -130,9 +130,11 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
                          out_dir) if hist_every else None
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
 
-    step_first = jax.jit(lambda s, ci: atm_step(model, s, ci,
-                                                first_step=True))
-    step_rest = jax.jit(lambda s, ci: atm_step(model, s, ci))
+    # model rides as a pytree ARGUMENT (closure grid tables would embed as
+    # executable constants and disable the axon fast execution path)
+    step_jit = jax.jit(atm_step, static_argnames=("first_step",))
+    step_first = lambda s, ci: step_jit(model, s, ci, first_step=True)
+    step_rest = lambda s, ci: step_jit(model, s, ci)
 
     for i in range(nsteps):
         fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
@@ -198,7 +200,7 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
 
-    def _step(s, sst, first):
+    def _step(model, s, sst, first):
         cam_in = bulk_surface_fluxes(s.phys, sst, model.registry.pcnst)
         s2, cam_out, diags = atm_step(model, s, cam_in, first_step=first)
         if slab_ocean:
@@ -207,8 +209,10 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
         return s2, sst, cam_in, cam_out, diags
 
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
-    step_first = jax.jit(lambda s, t: _step(s, t, True))
-    step_rest = jax.jit(lambda s, t: _step(s, t, False))
+    # model as pytree argument — see run() note
+    _step_jit = jax.jit(_step, static_argnames=("first",))
+    step_first = lambda s, t: _step_jit(model, s, t, first=True)
+    step_rest = lambda s, t: _step_jit(model, s, t, first=False)
 
     for i in range(nsteps):
         fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest

@@ -36,8 +36,11 @@ from .physics.state import PhysicsState
 
 @dataclass(frozen=True)
 class AtmModel:
-    """Static model description (grids, configs, registry) — Python-side
-    constants closed over by the jitted step (dyn_init/phys_init role)."""
+    """Model description (grids, configs, registry) — dyn_init/phys_init
+    role. Registered as a JAX pytree (grid/coord tables are leaves; configs
+    and registry are static aux) so jitted steps can take the model as an
+    ARGUMENT: closure-captured grid tables become executable constants,
+    which disable the axon runtime's fast execution path (see FVGrid)."""
 
     grid: FVGrid
     coord: HybridCoord
@@ -65,6 +68,25 @@ class AtmModel:
                    phys_cfg=phys_cfg or PhysConfig(),
                    zm_cfg=zm_cfg or ZMConfig(), dt=dt,
                    filter_impl=filter_impl)
+
+
+def _register_atmmodel_pytree() -> None:
+    import jax
+
+    def flatten(m):
+        return (m.grid, m.coord), \
+            (m.registry, m.fv_cfg, m.phys_cfg, m.zm_cfg, m.dt, m.filter_impl)
+
+    def unflatten(aux, children):
+        registry, fv_cfg, phys_cfg, zm_cfg, dt, filter_impl = aux
+        return AtmModel(grid=children[0], coord=children[1],
+                        registry=registry, fv_cfg=fv_cfg, phys_cfg=phys_cfg,
+                        zm_cfg=zm_cfg, dt=dt, filter_impl=filter_impl)
+
+    jax.tree_util.register_pytree_node(AtmModel, flatten, unflatten)
+
+
+_register_atmmodel_pytree()
 
 
 @struct.dataclass
