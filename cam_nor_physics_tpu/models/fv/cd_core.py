@@ -171,6 +171,15 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     `return_debug` adds the wind-update term decomposition (half-step
     kicks, vorticity fluxes, PGF pieces, damping) to the diagnostics for
     stability forensics."""
+    if (use_pallas and not filter_dm and not filter_csw_dm):
+        from .cd_pallas import cd_step_fused, use_fused_cd
+        if use_fused_cd(grid, dyn_filter, c_sw_pgf, ke_method, filter_impl,
+                        return_debug):
+            # 4-kernel fused path (cd_pallas.py): same formulas; the polar
+            # filter runs as an in-kernel DFT matmul (== rfft to roundoff)
+            return cd_step_fused(state, grid, ptop, phis, dt, iord, jord,
+                                 div2_coef_nd, dyn_filter, ke_method,
+                                 del2_velocity)
     dbg = {}
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
     km, jm, im = delp.shape

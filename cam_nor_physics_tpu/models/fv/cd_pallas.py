@@ -1,0 +1,451 @@
+"""Fused Pallas TPU path for cd_step: 4 kernels per small step.
+
+The XLA lowering of cd_step runs ~95 fusions + 13 custom calls per call
+(measured at 144x96x26); through the axon runtime each kernel carries ~10 us
+of fixed overhead, so the small step is launch-bound, not compute-bound.
+This module fuses every per-level elementwise chain into four per-level
+Pallas programs:
+
+    K1  c_sw half step: D->A->C winds, C-grid Courants, tp2c/tp2d transport,
+        thickness/pt floors                        -> delp_h, pt_h, uc0, vc0
+    [XLA: pe_h cumsum, pk/pkz, wz_h reverse cumsum — the only k-coupled ops]
+    K2  C-grid PGF kick + polar filter (in-kernel DFT matmul) + D Courants
+                                                   -> uc, crx, cry
+    K3  D-grid tp2c/tp2d transport + floors        -> delp', pt', mfx, mfy
+    [XLA: pe cumsum, pk/pkz/peln, wz reverse cumsum]
+    K4  vector-invariant wind update: vorticity fluxes (ytp/xtp), KE, PGF,
+        div2/del2 damping, polar filter            -> u', v'
+
+The polar filter runs inside K2/K4 as a two-sided real-DFT matmul on the MXU
+(HIGHEST precision): filtered = ((A@Fc) * resp) @ Gc + ((A@Fs) * resp) @ Gs,
+identical to the rfft form to ~1e-13 relative in f64 (verified) and to f32
+roundoff on-chip. The DFT factor matrices ride on FVGrid as pytree leaves so
+the executable stays free of array constants (see grid.py).
+
+Numerics: same formulas as cd_core.cd_step; differences vs the XLA path are
+the DFT-vs-FFT and MXU-vs-VPU roundoff (~1e-6 relative f32). Dispatched by
+cd_step when the fused path supports the requested flags.
+
+Reference: cd_core contract at /root/reference/fv/dyn_comp.F90:1926-1941.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import tp_core as tp
+from ...ops.pallas_kernels import _MAX_SLAB_CELLS
+from ...ops.tp_core import _rollx, _rolly, edge_north, wset_interior, wset_row
+from ...utils import constants as c
+from .grid import FVGrid
+
+
+def use_fused_cd(grid, dyn_filter: bool, c_sw_pgf: bool, ke_method: str,
+                 filter_impl: str, return_debug: bool) -> bool:
+    if return_debug or not c_sw_pgf:
+        return False
+    if filter_impl not in ("fft", "dft"):
+        return False          # matmul-circulant impl stays on the XLA path
+    if ke_method not in ("centered", "avg_sq", "upwind"):
+        return False
+    if getattr(grid, "dft_fc", None) is None:
+        return False          # grid built before the DFT tables existed
+    try:
+        return (jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and grid.jm * grid.im <= _MAX_SLAB_CELLS)
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (all on (jm, im) slabs; row tables are (jm,) values)
+# ---------------------------------------------------------------------------
+
+def _dft_filter(a, fc, fs, gc, gs, resp):
+    """Polar filter as two-sided real-DFT matmuls (MXU, HIGHEST precision)."""
+    hi = jax.lax.Precision.HIGHEST
+    sr = jnp.dot(a, fc, precision=hi) * resp
+    si = jnp.dot(a, fs, precision=hi) * resp
+    return jnp.dot(sr, gc, precision=hi) + jnp.dot(si, gs, precision=hi)
+
+
+def _d2a(u, v):
+    ua = wset_interior(jnp.zeros_like(u), 0.5 * (u + _rolly(u, -1)))
+    va = 0.5 * (v + _rollx(v, -1))
+    va = wset_row(wset_row(va, 0, 0.0), -1, 0.0)
+    return ua, va
+
+
+def _corner_from_center(a):
+    a_w = _rollx(a, 1)
+    cor = 0.25 * ((a + a_w) + _rolly(a + a_w, 1))
+    return wset_row(cor, 0, 0.0)
+
+
+def _vc_at_uc(vc):
+    vc_c = 0.5 * (vc + edge_north(vc))
+    return 0.5 * (vc_c + _rollx(vc_c, 1))
+
+
+def _uc_at_vc(uc):
+    return wset_row(0.5 * (uc + _rolly(uc, 1)), 0, 0.0)
+
+
+def _tp_pair(va, delp, pt, crx, cry, yfx, cosp, acosp, rcap, iord, jord, jm,
+             ffsl):
+    ddp, mfx_k, mfy_k = tp.tp2c(va, delp, crx, cry, iord, jord, crx, yfx,
+                                cosp, acosp, rcap, ffsl)
+    fx_pt, fy_pt = tp.tp2d(va, pt, crx, cry, iord, jord, mfx_k, mfy_k,
+                           cosp, ffsl, 1)
+    dpt = fx_pt - tp._rollx(fx_pt, -1) + \
+        (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
+    dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
+    dpt = tp.wset_row(dpt, -1, jnp.sum(fy_pt[jm - 1, :]) * rcap)
+    return ddp, dpt, mfx_k, mfy_k
+
+
+# ---------------------------------------------------------------------------
+# K1: c_sw half step
+# ---------------------------------------------------------------------------
+
+def _k1_kernel(u_ref, v_ref, pt_ref, delp_ref, cosp_ref, acosp_ref, cose_ref,
+               delph_ref, pth_ref, uc0_ref, vc0_ref,
+               *, dt5, dl, dp_, rcap, jm):
+    u, v = u_ref[0], v_ref[0]
+    pt, delp = pt_ref[0], delp_ref[0]
+    cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
+
+    ua, va = _d2a(u, v)
+    uc0 = 0.5 * (ua + _rollx(ua, 1))
+    vc0 = wset_row(0.5 * (va + _rolly(va, 1)), 0, 0.0)
+
+    safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
+    crx_c = uc0 * dt5 / (c.REARTH * safe_cosp * dl)
+    crx_c = wset_row(wset_row(crx_c, 0, 0.0), -1, 0.0)
+    cry_c = wset_row(vc0 * dt5 / (c.REARTH * dp_), 0, 0.0)
+    yfx_c = cry_c * cose[:, None]
+    va_c2 = 0.5 * (cry_c + edge_north(cry_c))
+    ffsl_c = jnp.max(jnp.abs(crx_c), axis=-1) > 1.0
+
+    ddp_c, dpt_c, _, _ = _tp_pair(va_c2, delp, pt, crx_c, cry_c, yfx_c,
+                                  cosp, acosp, rcap, 1, 1, jm, ffsl_c)
+
+    delp_h = jnp.maximum(delp + ddp_c, 0.05 * delp)
+    pt_h = (pt * delp + dpt_c) / delp_h
+    pt_h = jnp.maximum(pt_h, 0.1 * pt)
+
+    delph_ref[0] = delp_h
+    pth_ref[0] = pt_h
+    uc0_ref[0] = uc0
+    vc0_ref[0] = vc0
+
+
+# ---------------------------------------------------------------------------
+# K2: C-grid PGF kick + filter + D Courants
+# ---------------------------------------------------------------------------
+
+def _k2_kernel(enh_ref, pth_ref, pkzh_ref, uc0_ref, vc0_ref,
+               cosp_ref, f0_ref, fc_ref, cose_ref,
+               fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
+               uc_ref, crx_ref, cry_ref,
+               *, dt, dt5, dl, dp_, dyn_filter, jm):
+    en_h, pt_h, pkz_h = enh_ref[0], pth_ref[0], pkzh_ref[0]
+    uc0, vc0 = uc0_ref[0], vc0_ref[0]
+    cosp, f0, fc_e, cose = (cosp_ref[0], f0_ref[0], fc_ref[0], cose_ref[0])
+    safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
+
+    dx_en = (en_h - _rollx(en_h, 1)) / (c.REARTH * safe_cosp * dl)
+    dx_th = (pt_h - _rollx(pt_h, 1)) / (c.REARTH * safe_cosp * dl)
+    pi_u = 0.5 * (pkz_h + _rollx(pkz_h, 1))
+    pgf_u = -(dx_en - c.CPAIR * pi_u * dx_th)
+    pgf_u = wset_row(wset_row(pgf_u, 0, 0.0), -1, 0.0)
+
+    dy_en = wset_row((en_h - _rolly(en_h, 1)) / (c.REARTH * dp_), 0, 0.0)
+    dy_th = wset_row((pt_h - _rolly(pt_h, 1)) / (c.REARTH * dp_), 0, 0.0)
+    pi_v = wset_row(0.5 * (pkz_h + _rolly(pkz_h, 1)), 0, pkz_h)
+    pgf_v = wset_row(-(dy_en - c.CPAIR * pi_v * dy_th), 0, 0.0)
+
+    duc = dt5 * (f0[:, None] * _vc_at_uc(vc0) + pgf_u)
+    dvc = dt5 * (-fc_e[:, None] * _uc_at_vc(uc0) + pgf_v)
+    if dyn_filter:
+        fc_m, fs_m = fc_m_ref[...], fs_m_ref[...]
+        gc_m, gs_m = gc_m_ref[...], gs_m_ref[...]
+        duc = _dft_filter(duc, fc_m, fs_m, gc_m, gs_m, rspc_ref[...])
+        dvc = _dft_filter(dvc, fc_m, fs_m, gc_m, gs_m, rspe_ref[...])
+    uc = uc0 + duc
+    vc = vc0 + dvc
+
+    crx = uc * dt / (c.REARTH * safe_cosp * dl)
+    crx = wset_row(wset_row(crx, 0, 0.0), -1, 0.0)
+    cry = wset_row(vc * dt / (c.REARTH * dp_), 0, 0.0)
+
+    uc_ref[0] = uc
+    crx_ref[0] = crx
+    cry_ref[0] = cry
+
+
+# ---------------------------------------------------------------------------
+# K3: D-grid transport
+# ---------------------------------------------------------------------------
+
+def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
+               cose_ref,
+               delpn_ref, ptn_ref, mfx_ref, mfy_ref,
+               *, iord, jord, rcap, jm):
+    delp, pt = delp_ref[0], pt_ref[0]
+    crx, cry = crx_ref[0], cry_ref[0]
+    cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
+
+    yfx = cry * cose[:, None]
+    va_c = 0.5 * (cry + edge_north(cry))
+    ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
+
+    ddp, dpt, mfx_k, mfy_k = _tp_pair(va_c, delp, pt, crx, cry, yfx, cosp,
+                                      acosp, rcap, iord, jord, jm, ffsl)
+    delp_new = jnp.maximum(delp + ddp, 0.05 * delp)
+    pt_new = (pt * delp + dpt) / delp_new
+
+    delpn_ref[0] = delp_new
+    ptn_ref[0] = pt_new
+    mfx_ref[0] = mfx_k
+    mfy_ref[0] = mfy_k
+
+
+# ---------------------------------------------------------------------------
+# K4: vector-invariant wind update
+# ---------------------------------------------------------------------------
+
+def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
+               uc_ref, cosp_ref, cose_ref, cosen_ref, f0_ref,
+               fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
+               un_ref, vn_ref,
+               *, dt, dl, dp_, iord, jord, ke_method, nu, del2_velocity,
+               dyn_filter, acap, jm, im):
+    u, v = u_ref[0], v_ref[0]
+    pt_new, pkz, phi_m = ptn_ref[0], pkz_ref[0], phim_ref[0]
+    crx, cry, uc = crx_ref[0], cry_ref[0], uc_ref[0]
+    cosp, cose, f0 = cosp_ref[0], cose_ref[0], f0_ref[0]
+    cose_n = cosen_ref[0]
+
+    ua, va = _d2a(u, v)
+
+    # absolute vorticity at centers with polar-cap means
+    u_n = wset_row(_rolly(u, -1), -1, 0.0)
+    v_e = _rollx(v, -1)
+    circ = (u * cose[:, None] - u_n * cose_n[:, None]) * dl * c.REARTH + \
+        (v_e - v) * dp_ * c.REARTH
+    area = c.REARTH ** 2 * cosp[:, None] * dl * dp_
+    zeta = circ / jnp.where(area == 0.0, 1.0, area)
+    cap_area = c.REARTH ** 2 * acap * dp_ * dl / im
+    # no scalar/negative indexing of values (Mosaic lowers those to
+    # dynamic_slice, which is unsupported): row reads use positive literals
+    ucose = u * cose[:, None]
+    circ_s = -jnp.sum(ucose[1, :] * dl * c.REARTH) / (im * cap_area)
+    circ_n = jnp.sum(ucose[jm - 1, :] * dl * c.REARTH) / (im * cap_area)
+    zeta = wset_row(zeta, 0, circ_s)
+    zeta = wset_row(zeta, -1, circ_n)
+    zeta_a = zeta + f0[:, None]
+
+    if ke_method == "upwind":
+        u_nn = wset_row(_rolly(u, -1), -1, 0.0)
+        u_sel = jnp.where(va >= 0.0, u, u_nn)
+        v_sel = jnp.where(ua >= 0.0, v, v_e)
+        ke = wset_interior(0.5 * (ua ** 2 + va ** 2),
+                           0.5 * (u_sel ** 2 + v_sel ** 2))
+    elif ke_method == "avg_sq":
+        u_nn = wset_row(_rolly(u, -1), -1, 0.0)
+        ke_u = wset_interior(jnp.zeros_like(u), 0.5 * (u ** 2 + u_nn ** 2))
+        ke_v = 0.5 * (v ** 2 + v_e ** 2)
+        ke_v = wset_row(wset_row(ke_v, 0, 0.0), -1, 0.0)
+        ke = 0.5 * (ke_u + ke_v)
+    else:
+        ke = 0.5 * (ua ** 2 + va ** 2)
+
+    energy = ke + phi_m + c.CPAIR * pt_new * pkz
+
+    ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
+    v_c4 = _corner_from_center(0.5 * (v + v_e))
+    v_edge = 0.5 * (v_c4 + _rollx(v_c4, -1))
+    fy_z = tp.ytp(zeta_a, cry, v_edge * dt, jord, 0)
+    fx_z = tp.xtp(zeta_a, crx, uc * dt, cosp, ffsl, iord, 1)
+
+    cose_s = jnp.where(cose[:, None] > 0, cose[:, None], 1.0)
+    en_c = _corner_from_center(energy)
+    th_c = _corner_from_center(pt_new)
+    pi_c = _corner_from_center(pkz)
+    dx_en = (_rollx(en_c, -1) - en_c) / (c.REARTH * cose_s * dl)
+    dx_th = (_rollx(th_c, -1) - th_c) / (c.REARTH * cose_s * dl)
+    pi_u = 0.5 * (pi_c + _rollx(pi_c, -1))
+    du = fy_z - dt * (dx_en - c.CPAIR * pi_u * dx_th)
+    du = wset_row(du, 0, 0.0)
+
+    def dy_of(ac):
+        return wset_interior(jnp.zeros_like(v),
+                             (_rolly(ac, -1) - ac) / (c.REARTH * dp_))
+
+    dy_en = dy_of(en_c)
+    dy_th = dy_of(th_c)
+    pi_v = wset_interior(jnp.zeros_like(v), 0.5 * (_rolly(pi_c, -1) + pi_c))
+    dv = -fx_z - dt * (dy_en - c.CPAIR * pi_v * dy_th)
+    dv = wset_row(wset_row(dv, 0, 0.0), -1, 0.0)
+
+    # del2 divergence damping (divergence at SW corners from the OLD winds)
+    u_w = _rollx(u, 1)
+    vterm = v * cosp[:, None]
+    div = (u - u_w) / (c.REARTH * cose_s * dl) + \
+        (vterm - _rolly(vterm, 1)) / (c.REARTH * cose_s * dp_)
+    div = wset_interior(jnp.zeros_like(u), div)
+    ddiv_x = (_rollx(div, -1) - div) / (c.REARTH * cose_s * dl)
+    du = du + dt * nu * ddiv_x
+    ddiv_y = wset_interior(jnp.zeros_like(v),
+                           (_rolly(div, -1) - div) / (c.REARTH * dp_))
+    dv = dv + dt * nu * ddiv_y
+
+    if del2_velocity > 0.0:
+        rdx2 = 1.0 / (c.REARTH * cose_s * dl) ** 2
+        rdy2 = 1.0 / (c.REARTH * dp_) ** 2
+
+        def lap(a):
+            d2x = (_rollx(a, -1) - 2.0 * a + _rollx(a, 1)) * rdx2
+            d2y = wset_interior(
+                jnp.zeros_like(a),
+                (_rolly(a, -1) - 2.0 * a + _rolly(a, 1)) * rdy2)
+            return d2x + d2y
+
+        du = du + dt * del2_velocity * lap(u)
+        dv = dv + dt * del2_velocity * lap(v)
+
+    if dyn_filter:
+        fc_m, fs_m = fc_m_ref[...], fs_m_ref[...]
+        gc_m, gs_m = gc_m_ref[...], gs_m_ref[...]
+        du = _dft_filter(du, fc_m, fs_m, gc_m, gs_m, rspe_ref[...])
+        dv = _dft_filter(dv, fc_m, fs_m, gc_m, gs_m, rspc_ref[...])
+
+    un_ref[0] = u + du
+    vn_ref[0] = v + dv
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _specs(km, jm, im, nf, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    slab = pl.BlockSpec((1, jm, im), lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    m_f = pl.BlockSpec((im, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    m_g = pl.BlockSpec((nf, im), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    m_r = pl.BlockSpec((jm, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    return slab, vec, m_f, m_g, m_r
+
+
+def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
+                  iord: int, jord: int, div2_coef_nd: float,
+                  dyn_filter: bool, ke_method: str, del2_velocity: float,
+                  interpret: bool = False):
+    """Fused-Pallas cd_step (c_sw_pgf=True, filter_dm/csw_dm=False path).
+    Same returns as cd_core.cd_step."""
+    from jax.experimental import pallas as pl
+
+    u, v, pt, delp = state.u, state.v, state.pt, state.delp
+    km, jm, im = delp.shape
+    dtype = delp.dtype
+    nf = im // 2 + 1
+    dl, dp_ = grid.dl, grid.dp
+    dt5 = 0.5 * dt
+    nu = div2_coef_nd * (c.REARTH * dp_) ** 2 / dt
+
+    slab, vec, m_f, m_g, m_r = _specs(km, jm, im, nf, dtype)
+    rows = lambda a: jnp.asarray(a, dtype)[None]
+    cosp_r = rows(grid.cosp)
+    acosp_r = rows(grid.acosp)
+    cose_r = rows(grid.cose)
+    f0_r = rows(grid.f0)
+    fc_r = rows(grid.fc)
+    cosen_r = jnp.concatenate([jnp.asarray(grid.cose, dtype)[1:],
+                               jnp.asarray(grid.cose, dtype)[-1:]])[None]
+    fc_m = jnp.asarray(grid.dft_fc, dtype)
+    fs_m = jnp.asarray(grid.dft_fs, dtype)
+    gc_m = jnp.asarray(grid.dft_gc, dtype)
+    gs_m = jnp.asarray(grid.dft_gs, dtype)
+    rspc = jnp.asarray(grid.pft_center, dtype)
+    rspe = jnp.asarray(grid.pft_edge, dtype)
+
+    s3 = jax.ShapeDtypeStruct(delp.shape, dtype)
+
+    # ---- K1 ----
+    k1 = partial(_k1_kernel, dt5=dt5, dl=dl, dp_=dp_, rcap=float(grid.rcap),
+                 jm=jm)
+    delp_h, pt_h, uc0, vc0 = pl.pallas_call(
+        k1, grid=(km,), out_shape=(s3, s3, s3, s3),
+        in_specs=[slab] * 4 + [vec] * 3,
+        out_specs=(slab, slab, slab, slab), interpret=interpret,
+    )(u, v, pt, delp, cosp_r, acosp_r, cose_r)
+
+    # ---- half-step thermodynamics (k-coupled: cumsum + pow) ----
+    kshape = (1,) + delp.shape[1:]
+    pe_h = jnp.concatenate([jnp.full(kshape, ptop, dtype),
+                            ptop + jnp.cumsum(delp_h, axis=0)], axis=0)
+    peln_h = jnp.log(pe_h)
+    pk_h = pe_h ** c.CAPPA
+    pkz_h = (pk_h[1:] - pk_h[:-1]) / (c.CAPPA * (peln_h[1:] - peln_h[:-1]))
+    dgz_h = c.CPAIR * pt_h * (pk_h[1:] - pk_h[:-1])
+    wz_h_top = phis[None] + jnp.flip(
+        jnp.cumsum(jnp.flip(dgz_h, axis=0), axis=0), axis=0)
+    wz_h = jnp.concatenate([wz_h_top, phis[None]], axis=0)
+    phi_h = 0.5 * (wz_h[1:] + wz_h[:-1])     # same rounding as the XLA path
+    en_h = phi_h + c.CPAIR * pt_h * pkz_h
+
+    # ---- K2 ----
+    k2 = partial(_k2_kernel, dt=dt, dt5=dt5, dl=dl, dp_=dp_,
+                 dyn_filter=dyn_filter, jm=jm)
+    uc, crx, cry = pl.pallas_call(
+        k2, grid=(km,), out_shape=(s3, s3, s3),
+        in_specs=[slab] * 5 + [vec] * 4 + [m_f, m_f, m_g, m_g, m_r, m_r],
+        out_specs=(slab, slab, slab), interpret=interpret,
+    )(en_h, pt_h, pkz_h, uc0, vc0, cosp_r, f0_r, fc_r, cose_r,
+      fc_m, fs_m, gc_m, gs_m, rspc, rspe)
+
+    # ---- K3 ----
+    k3 = partial(_k3_kernel, iord=iord, jord=jord, rcap=float(grid.rcap),
+                 jm=jm)
+    delp_new, pt_new, mfx, mfy = pl.pallas_call(
+        k3, grid=(km,), out_shape=(s3, s3, s3, s3),
+        in_specs=[slab] * 4 + [vec] * 3,
+        out_specs=(slab, slab, slab, slab), interpret=interpret,
+    )(delp, pt, crx, cry, cosp_r, acosp_r, cose_r)
+
+    # ---- full-step thermodynamics ----
+    pe = jnp.concatenate([jnp.full(kshape, ptop, dtype),
+                          ptop + jnp.cumsum(delp_new, axis=0)], axis=0)
+    peln = jnp.log(pe)
+    pk = pe ** c.CAPPA
+    pkz = (pk[1:] - pk[:-1]) / (c.CAPPA * (peln[1:] - peln[:-1]))
+    dgz = c.CPAIR * pt_new * (pk[1:] - pk[:-1])
+    wz_top = phis[None] + jnp.flip(
+        jnp.cumsum(jnp.flip(dgz, axis=0), axis=0), axis=0)
+    wz = jnp.concatenate([wz_top, phis[None]], axis=0)
+    phi_m = 0.5 * (wz[1:] + wz[:-1])
+
+    # ---- K4 ----
+    k4 = partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_, iord=iord, jord=jord,
+                 ke_method=ke_method, nu=float(nu),
+                 del2_velocity=float(del2_velocity), dyn_filter=dyn_filter,
+                 acap=float(grid.acap), jm=jm, im=im)
+    u_new, v_new = pl.pallas_call(
+        k4, grid=(km,), out_shape=(s3, s3),
+        in_specs=[slab] * 8 + [vec] * 4 + [m_f, m_f, m_g, m_g, m_r, m_r],
+        out_specs=(slab, slab), interpret=interpret,
+    )(u, v, pt_new, pkz, phi_m, crx, cry, uc, cosp_r, cose_r, cosen_r,
+      f0_r, fc_m, fs_m, gc_m, gs_m, rspc, rspe)
+
+    new_state = state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new)
+    diags = dict(cx=crx, cy=cry, mfx=mfx, mfy=mfy, pe=pe, pk=pk, pkz=pkz,
+                 peln=peln, wz=wz)
+    return new_state, diags

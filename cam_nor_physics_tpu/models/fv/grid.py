@@ -73,6 +73,12 @@ class FVGrid:
     # coordinate tables
     lats: np.ndarray = None  # (jm,) cell-center latitudes (rad)
     lons: np.ndarray = None  # (im,) cell-center longitudes (rad)
+    # real-DFT factor matrices for the in-kernel polar filter
+    # (models/fv/cd_pallas.py): filtered = ((A@fc)*r)@gc + ((A@fs)*r)@gs
+    dft_fc: np.ndarray = None  # (im, im//2+1) cos(2*pi*i*m/im)
+    dft_fs: np.ndarray = None  # (im, im//2+1) sin
+    dft_gc: np.ndarray = None  # (im//2+1, im) w_m cos / im
+    dft_gs: np.ndarray = None  # (im//2+1, im) w_m sin / im
     # scalars
     rdy: float = 0.0
 
@@ -106,7 +112,8 @@ def _register_fvgrid_pytree() -> None:
     """Leaves = array tables; aux = shape/spacing scalars (static)."""
     data = ("cosp", "sinp", "cose", "sine", "acosp", "acosu",
             "coslon", "sinlon", "cosl5", "sinl5", "f0", "fc",
-            "pft_center", "pft_edge", "lats", "lons")
+            "pft_center", "pft_edge", "lats", "lons",
+            "dft_fc", "dft_fs", "dft_gc", "dft_gs")
     meta = ("im", "jm", "km", "dl", "dp", "acap", "rcap", "ycrit_deg", "rdy")
 
     def flatten(g):
@@ -193,6 +200,15 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
     pftc = _pft_coefficients(im, cosp, ycrit, pole_rows_exempt=True)
     pfte = _pft_coefficients(im, cose, ycrit, pole_rows_exempt=False)
 
+    # real-DFT factor matrices for the fused-cd in-kernel polar filter
+    mm = np.arange(im // 2 + 1, dtype=np.float64)
+    ang = 2.0 * math.pi * np.outer(np.arange(im, dtype=np.float64), mm) / im
+    wgt = np.where((mm == 0) | (mm == im // 2), 1.0, 2.0)
+    dft_fc = np.cos(ang)
+    dft_fs = np.sin(ang)
+    dft_gc = (wgt[:, None] * np.cos(ang).T) / im
+    dft_gs = (wgt[:, None] * np.sin(ang).T) / im
+
     dev = jnp.asarray   # device-resident leaves (see FVGrid docstring)
     return FVGrid(im=im, jm=jm, km=km, dl=dl, dp=dp, cosp=dev(cosp),
                   sinp=dev(sinp), cose=dev(cose), sine=dev(sine[:jm]),
@@ -202,6 +218,8 @@ def make_grid(im: int, jm: int, km: int, am_geom_crrct: bool = False,
                   ycrit_deg=ycrit, pft_center=dev(pftc), pft_edge=dev(pfte),
                   lats=dev(np.linspace(-0.5 * math.pi, 0.5 * math.pi, jm)),
                   lons=dev(-math.pi + dl * np.arange(im)),
+                  dft_fc=dev(dft_fc), dft_fs=dev(dft_fs),
+                  dft_gc=dev(dft_gc), dft_gs=dev(dft_gs),
                   rdy=1.0 / (ae * dp))
 
 
