@@ -183,6 +183,8 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     dbg = {}
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
     km, jm, im = delp.shape
+    band5 = tp.ffsl_band(jm, grid.dl, 0.5 * dt)
+    band1 = tp.ffsl_band(jm, grid.dl, dt)
     dl, dp_ = grid.dl, grid.dp
     cosp = jnp.asarray(grid.cosp)
     cose = jnp.asarray(grid.cose)
@@ -215,7 +217,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
 
         ddp_c, dpt_c, _, _ = transport3d(
             delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c, cosp, acosp,
-            grid.rcap, 1, 1, prefer_pallas=use_pallas)
+            grid.rcap, 1, 1, prefer_pallas=use_pallas, band=band5)
         if dyn_filter and filter_csw_dm:
             # polar-filter the half-step mass/pt increments (the reference
             # cd_core filters the c_sw products delpf/ptc with pft2d before
@@ -302,7 +304,7 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     # fused per-level Pallas kernel on single-chip TPU, vmapped jnp else)
     ddp, dpt, mfx, mfy = transport3d(
         delp, pt, crx, cry, yfx, va_c, ffsl, cosp, acosp, grid.rcap,
-        iord, jord, prefer_pallas=use_pallas)
+        iord, jord, prefer_pallas=use_pallas, band=band1)
     if dyn_filter and filter_dm:
         # EXPERIMENTAL: polar-filter the mass/pt transport increments too.
         # The wind-tendency filter alone leaves near-pole zonal delp/pt
@@ -377,7 +379,8 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     v_c4 = _corner_from_center(0.5 * (v + jnp.roll(v, -1, axis=-1)))
     v_edge = 0.5 * (v_c4 + jnp.roll(v_c4, -1, axis=-1))
     fx_z, fy_z = vort_flux3d(zeta_a, crx, cry, uc * dt, v_edge * dt, ffsl,
-                             cosp, iord, jord, prefer_pallas=use_pallas)
+                             cosp, iord, jord, prefer_pallas=use_pallas,
+                             band=band1)
 
     # gradients via corner-averaged fields (half-cell differences; a centered
     # 2Δx stencil would admit a checkerboard null space)

@@ -96,11 +96,11 @@ def _uc_at_vc(uc):
 
 
 def _tp_pair(va, delp, pt, crx, cry, yfx, cosp, acosp, rcap, iord, jord, jm,
-             ffsl):
+             ffsl, band=None):
     ddp, mfx_k, mfy_k = tp.tp2c(va, delp, crx, cry, iord, jord, crx, yfx,
-                                cosp, acosp, rcap, ffsl)
+                                cosp, acosp, rcap, ffsl, band=band)
     fx_pt, fy_pt = tp.tp2d(va, pt, crx, cry, iord, jord, mfx_k, mfy_k,
-                           cosp, ffsl, 1)
+                           cosp, ffsl, 1, band=band)
     dpt = fx_pt - tp._rollx(fx_pt, -1) + \
         (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
     dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
@@ -114,7 +114,7 @@ def _tp_pair(va, delp, pt, crx, cry, yfx, cosp, acosp, rcap, iord, jord, jm,
 
 def _k1_kernel(u_ref, v_ref, pt_ref, delp_ref, cosp_ref, acosp_ref, cose_ref,
                delph_ref, pth_ref, uc0_ref, vc0_ref,
-               *, dt5, dl, dp_, rcap, jm):
+               *, dt5, dl, dp_, rcap, jm, band=None):
     u, v = u_ref[0], v_ref[0]
     pt, delp = pt_ref[0], delp_ref[0]
     cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
@@ -132,7 +132,8 @@ def _k1_kernel(u_ref, v_ref, pt_ref, delp_ref, cosp_ref, acosp_ref, cose_ref,
     ffsl_c = jnp.max(jnp.abs(crx_c), axis=-1) > 1.0
 
     ddp_c, dpt_c, _, _ = _tp_pair(va_c2, delp, pt, crx_c, cry_c, yfx_c,
-                                  cosp, acosp, rcap, 1, 1, jm, ffsl_c)
+                                  cosp, acosp, rcap, 1, 1, jm, ffsl_c,
+                                  band=band)
 
     delp_h = jnp.maximum(delp + ddp_c, 0.05 * delp)
     pt_h = (pt * delp + dpt_c) / delp_h
@@ -195,7 +196,7 @@ def _k2_kernel(enh_ref, pth_ref, pkzh_ref, uc0_ref, vc0_ref,
 def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
                cose_ref,
                delpn_ref, ptn_ref, mfx_ref, mfy_ref,
-               *, iord, jord, rcap, jm):
+               *, iord, jord, rcap, jm, band=None):
     delp, pt = delp_ref[0], pt_ref[0]
     crx, cry = crx_ref[0], cry_ref[0]
     cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
@@ -205,7 +206,8 @@ def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
     ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
 
     ddp, dpt, mfx_k, mfy_k = _tp_pair(va_c, delp, pt, crx, cry, yfx, cosp,
-                                      acosp, rcap, iord, jord, jm, ffsl)
+                                      acosp, rcap, iord, jord, jm, ffsl,
+                                      band=band)
     delp_new = jnp.maximum(delp + ddp, 0.05 * delp)
     pt_new = (pt * delp + dpt) / delp_new
 
@@ -224,7 +226,7 @@ def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
                fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
                un_ref, vn_ref,
                *, dt, dl, dp_, iord, jord, ke_method, nu, del2_velocity,
-               dyn_filter, acap, jm, im):
+               dyn_filter, acap, jm, im, band=None):
     u, v = u_ref[0], v_ref[0]
     pt_new, pkz, phi_m = ptn_ref[0], pkz_ref[0], phim_ref[0]
     crx, cry, uc = crx_ref[0], cry_ref[0], uc_ref[0]
@@ -271,7 +273,7 @@ def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
     v_c4 = _corner_from_center(0.5 * (v + v_e))
     v_edge = 0.5 * (v_c4 + _rollx(v_c4, -1))
     fy_z = tp.ytp(zeta_a, cry, v_edge * dt, jord, 0)
-    fx_z = tp.xtp(zeta_a, crx, uc * dt, cosp, ffsl, iord, 1)
+    fx_z = tp.xtp(zeta_a, crx, uc * dt, cosp, ffsl, iord, 1, band=band)
 
     cose_s = jnp.where(cose[:, None] > 0, cose[:, None], 1.0)
     en_c = _corner_from_center(energy)
@@ -380,8 +382,10 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     s3 = jax.ShapeDtypeStruct(delp.shape, dtype)
 
     # ---- K1 ----
+    band5 = tp.ffsl_band(jm, dl, dt5)
+    band1 = tp.ffsl_band(jm, dl, dt)
     k1 = partial(_k1_kernel, dt5=dt5, dl=dl, dp_=dp_, rcap=float(grid.rcap),
-                 jm=jm)
+                 jm=jm, band=band5)
     delp_h, pt_h, uc0, vc0 = pl.pallas_call(
         k1, grid=(km,), out_shape=(s3, s3, s3, s3),
         in_specs=[slab] * 4 + [vec] * 3,
@@ -414,7 +418,7 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
 
     # ---- K3 ----
     k3 = partial(_k3_kernel, iord=iord, jord=jord, rcap=float(grid.rcap),
-                 jm=jm)
+                 jm=jm, band=band1)
     delp_new, pt_new, mfx, mfy = pl.pallas_call(
         k3, grid=(km,), out_shape=(s3, s3, s3, s3),
         in_specs=[slab] * 4 + [vec] * 3,
@@ -437,7 +441,7 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     k4 = partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_, iord=iord, jord=jord,
                  ke_method=ke_method, nu=float(nu),
                  del2_velocity=float(del2_velocity), dyn_filter=dyn_filter,
-                 acap=float(grid.acap), jm=jm, im=im)
+                 acap=float(grid.acap), jm=jm, im=im, band=band1)
     u_new, v_new = pl.pallas_call(
         k4, grid=(km,), out_shape=(s3, s3),
         in_specs=[slab] * 8 + [vec] * 4 + [m_f, m_f, m_g, m_g, m_r, m_r],

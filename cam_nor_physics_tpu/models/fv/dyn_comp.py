@@ -82,7 +82,7 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
 
 
 def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
-           kord: int = 4, consv: bool = False):
+           kord: int = 4, consv: bool = False, use_pallas: bool = True):
     """Vertical remap from Lagrangian surfaces to the hybrid coordinate
     (upstream te_map contract, dyn_comp.F90:79, 2699-2740).
 
@@ -99,34 +99,53 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
     ncol = jm * im
 
-    def flat(a, nk):
-        return a.reshape((nk, ncol)).T            # (ncol, nk)
-
-    def unflat(a, nk):
-        return a.T.reshape((nk, jm, im))
-
-    pe_s = flat(pe, km + 1)
-    pe_t = flat(pe_tgt, km + 1)
-
-    # pt + all tracers share the center interfaces: one multi-field remap
-    # (search masks computed once — SURVEY §2.3 P6's tracer batching)
-    fields = jnp.stack([flat(state.pt, km)] +
-                       [flat(state.q[m], km) for m in range(nq)])
-    remapped = ppm_remap_multi(pe_s, fields, pe_t, kord)
-    pt_new = unflat(remapped[0], km)
-    q_new = jnp.stack([unflat(remapped[1 + m], km) for m in range(nq)],
-                      axis=0)
-
     # winds: remap on pressure profiles averaged to their staggered positions
     def south_shift(a):                   # a[:, j-1], row 0 -> row 0
         return wset_row(_rolly(a, 1), 0, a)
 
-    pe_su = flat(0.5 * (pe + south_shift(pe)), km + 1)
-    pe_tu = flat(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1)
-    u_new = unflat(ppm_remap(pe_su, flat(state.u, km), pe_tu, kord), km)
-    pe_sv = flat(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1)
-    pe_tv = flat(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1)
-    v_new = unflat(ppm_remap(pe_sv, flat(state.v, km), pe_tv, kord), km)
+    from ...ops.remap_pallas import te_map_remap_pallas, use_pallas_remap
+    if use_pallas and use_pallas_remap(ncol):
+        # fused per-column-block kernel in the natural (k, ncol) layout —
+        # no transposes, one program for pt + tracers + u + v
+        r2 = lambda a, nk: a.reshape((nk, ncol))
+        cen, u2, v2 = te_map_remap_pallas(
+            r2(pe, km + 1), r2(pe_tgt, km + 1),
+            r2(0.5 * (pe + south_shift(pe)), km + 1),
+            r2(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1),
+            r2(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1),
+            r2(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1),
+            [r2(state.pt, km)] + [r2(state.q[m], km) for m in range(nq)],
+            r2(state.u, km), r2(state.v, km), kord)
+        pt_new = cen[0].reshape((km, jm, im))
+        q_new = jnp.stack([cen[1 + m].reshape((km, jm, im))
+                           for m in range(nq)], axis=0)
+        u_new = u2.reshape((km, jm, im))
+        v_new = v2.reshape((km, jm, im))
+    else:
+        def flat(a, nk):
+            return a.reshape((nk, ncol)).T            # (ncol, nk)
+
+        def unflat(a, nk):
+            return a.T.reshape((nk, jm, im))
+
+        pe_s = flat(pe, km + 1)
+        pe_t = flat(pe_tgt, km + 1)
+
+        # pt + all tracers share the center interfaces: one multi-field
+        # remap (search masks computed once — SURVEY §2.3 P6)
+        fields = jnp.stack([flat(state.pt, km)] +
+                           [flat(state.q[m], km) for m in range(nq)])
+        remapped = ppm_remap_multi(pe_s, fields, pe_t, kord)
+        pt_new = unflat(remapped[0], km)
+        q_new = jnp.stack([unflat(remapped[1 + m], km) for m in range(nq)],
+                          axis=0)
+
+        pe_su = flat(0.5 * (pe + south_shift(pe)), km + 1)
+        pe_tu = flat(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1)
+        u_new = unflat(ppm_remap(pe_su, flat(state.u, km), pe_tu, kord), km)
+        pe_sv = flat(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1)
+        pe_tv = flat(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1)
+        v_new = unflat(ppm_remap(pe_sv, flat(state.v, km), pe_tv, kord), km)
 
     delp_new = pe_tgt[1:] - pe_tgt[:-1]
 
@@ -265,7 +284,8 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         pe1 = pressure_vars(st.delp, ptop)[0]
         pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
         omega = (pmid1 - pmid0) * (nv / ndt)
-        st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve)
+        st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve,
+                    use_pallas=use_pallas)
         return st, omega
 
     state, omegas = jax.lax.scan(remap_cycle, state, None, length=nv)

@@ -69,16 +69,19 @@ def _specs(km: int, jm: int, im: int):
 def _transport_kernel(delp_ref, pt_ref, crx_ref, cry_ref, yfx_ref, va_ref,
                       ffsl_ref, cosp_ref, acosp_ref,
                       ddp_ref, dpt_ref, mfx_ref, mfy_ref,
-                      *, iord: int, jord: int, rcap: float, jm: int):
+                      *, iord: int, jord: int, rcap: float, jm: int,
+                      band: int | None = None):
     from jax.experimental import pallas as pl
     f_k = ffsl_ref[pl.program_id(0)] > 0.5   # row flags carried as f32
     cosp = cosp_ref[0]
     acosp = acosp_ref[0]
     ddp, mfx_k, mfy_k = tp.tp2c(va_ref[0], delp_ref[0], crx_ref[0],
                                 cry_ref[0], iord, jord, crx_ref[0],
-                                yfx_ref[0], cosp, acosp, rcap, f_k)
+                                yfx_ref[0], cosp, acosp, rcap, f_k,
+                                band=band)
     fx_pt, fy_pt = tp.tp2d(va_ref[0], pt_ref[0], crx_ref[0], cry_ref[0],
-                           iord, jord, mfx_k, mfy_k, cosp, f_k, 1)
+                           iord, jord, mfx_k, mfy_k, cosp, f_k, 1,
+                           band=band)
     dpt = fx_pt - tp._rollx(fx_pt, -1) + \
         (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
     dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
@@ -90,7 +93,8 @@ def _transport_kernel(delp_ref, pt_ref, crx_ref, cry_ref, yfx_ref, va_ref,
 
 
 def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
-                iord: int, jord: int, prefer_pallas: bool = True):
+                iord: int, jord: int, prefer_pallas: bool = True,
+                band: int | None = None):
     """Mass-flux (tp2c) + mass-consistent scalar (tp2d) transport of the
     cd_core D/C steps, fused per level. Shapes (km, jm, im); cosp/acosp
     (jm,); ffsl (km, jm) bool. Returns (ddp, dpt, mfx, mfy): thickness and
@@ -102,9 +106,9 @@ def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
             delp_k, pt_k, crx_k, cry_k, yfx_k, va_k, ffsl_k = args
             ddp, mfx_k, mfy_k = tp.tp2c(va_k, delp_k, crx_k, cry_k, iord,
                                         jord, crx_k, yfx_k, cosp, acosp,
-                                        rcap, ffsl_k)
+                                        rcap, ffsl_k, band=band)
             fx_pt, fy_pt = tp.tp2d(va_k, pt_k, crx_k, cry_k, iord, jord,
-                                   mfx_k, mfy_k, cosp, ffsl_k, 1)
+                                   mfx_k, mfy_k, cosp, ffsl_k, 1, band=band)
             dpt = fx_pt - tp._rollx(fx_pt, -1) + \
                 (fy_pt - tp.edge_north(fy_pt)) * acosp[:, None]
             dpt = tp.wset_row(dpt, 0, -jnp.sum(fy_pt[1, :]) * rcap)
@@ -117,7 +121,7 @@ def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
     slab, vec, full2 = _specs(km, jm, im)
     out = jax.ShapeDtypeStruct(delp.shape, delp.dtype)
     kern = partial(_transport_kernel, iord=iord, jord=jord,
-                   rcap=float(rcap), jm=jm)
+                   rcap=float(rcap), jm=jm, band=band)
     return pl.pallas_call(
         kern, grid=(km,),
         out_shape=(out, out, out, out),
@@ -132,16 +136,17 @@ def transport3d(delp, pt, crx, cry, yfx, va, ffsl, cosp, acosp, rcap: float,
 # ---------------------------------------------------------------------------
 
 def _vort_kernel(zeta_ref, crx_ref, cry_ref, udt_ref, vedt_ref, ffsl_ref,
-                 cosp_ref, fx_ref, fy_ref, *, iord: int, jord: int):
+                 cosp_ref, fx_ref, fy_ref, *, iord: int, jord: int,
+                 band: int | None = None):
     from jax.experimental import pallas as pl
     f_k = ffsl_ref[pl.program_id(0)] > 0.5
     fy_ref[0] = tp.ytp(zeta_ref[0], cry_ref[0], vedt_ref[0], jord, 0)
     fx_ref[0] = tp.xtp(zeta_ref[0], crx_ref[0], udt_ref[0], cosp_ref[0],
-                       f_k, iord, 1)
+                       f_k, iord, 1, band=band)
 
 
 def vort_flux3d(zeta, crx, cry, udt, vedt, ffsl, cosp, iord: int, jord: int,
-                prefer_pallas: bool = True):
+                prefer_pallas: bool = True, band: int | None = None):
     """Upwind-PPM fluxes of absolute vorticity for the vector-invariant wind
     update (cd_core role): fy = ytp(ζ)·v̄dt at u points, fx = xtp(ζ)·ūdt at
     v points. Shapes (km, jm, im). Returns (fx_z, fy_z)."""
@@ -149,14 +154,15 @@ def vort_flux3d(zeta, crx, cry, udt, vedt, ffsl, cosp, iord: int, jord: int,
     if not (prefer_pallas and use_pallas(jm * im)):
         fy = jax.vmap(lambda z, c, m: tp.ytp(z, c, m, jord, 0))(
             zeta, cry, vedt)
-        fx = jax.vmap(lambda z, c, m, f: tp.xtp(z, c, m, cosp, f, iord, 1))(
+        fx = jax.vmap(lambda z, c, m, f: tp.xtp(z, c, m, cosp, f, iord, 1,
+                                                band=band))(
             zeta, crx, udt, ffsl)
         return fx, fy
 
     from jax.experimental import pallas as pl
     slab, vec, full2 = _specs(km, jm, im)
     out = jax.ShapeDtypeStruct(zeta.shape, zeta.dtype)
-    kern = partial(_vort_kernel, iord=iord, jord=jord)
+    kern = partial(_vort_kernel, iord=iord, jord=jord, band=band)
     return pl.pallas_call(
         kern, grid=(km,),
         out_shape=(out, out),

@@ -260,7 +260,29 @@ def _ppm_edges(p, dm, iord: int):
     return al, ar, a6
 
 
-def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
+def ffsl_band(jm: int, dl: float, dt: float, umax: float = 320.0):
+    """Static rows-per-pole envelope where |c| = u·dt/(a·cosφ·dl) can reach
+    1 under the umax wind guard (cd_core's umax=300 m/s + margin). Rows
+    equatorward of the band can never take the FFSL branch, so xtp can run
+    the (dominant) FFSL roll+select chains on the polar sub-slab only.
+    Returns None when the band covers the whole slab (no saving)."""
+    import math
+
+    import numpy as np
+    rearth = 6.37122e6
+    dp = math.pi / (jm - 1)
+    lat = -0.5 * math.pi + dp * np.arange(jm)
+    thresh = umax * dt / (rearth * dl)
+    need = np.cos(lat) < thresh
+    nb = int(need[: jm // 2].sum()) + 1     # +1 safety row
+    nb = max(nb, 2)
+    if 2 * nb >= jm:
+        return None
+    return nb
+
+
+def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None,
+        band: int | None = None):
     """E-W flux (xtpv, tp_core.F90:285-497), whole-slab.
 
     q, c, mfx: (jm, im); cosa, ffsl: (jm,) row properties (cosine of latitude
@@ -317,7 +339,32 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
                            jnp.where(vanleer_row, fx_van, fx_ppm))
 
     # ---------- FFSL branch (|c| may exceed 1; periodic wrap) ----------
-    K = max_cfl_int
+    # With a static `band` (rows per pole that can physically reach
+    # |c| >= 1 given the umax guard — see ffsl_band), the roll+select
+    # chains run on the (2*band, im) polar sub-slab only: they are the
+    # dominant op count of xtp, and |c| >= 1 equatorward of the band would
+    # require winds beyond the dycore's umax bound (such a state is
+    # already broken; it falls back to the Eulerian branch there).
+    if band is not None and 2 * band < jm:
+        nb = band
+
+        def bandsel(a):
+            return jnp.concatenate([a[:nb], a[jm - nb:]], axis=0)
+
+        fxb = _xtp_ffsl(bandsel(q), bandsel(c), bandsel(mfx),
+                        bandsel(cosa), iord, id_, K=max_cfl_int)
+        mid = jnp.zeros((jm - 2 * nb,) + q.shape[1:], q.dtype)
+        fx_ffsl = jnp.concatenate([fxb[:nb], mid, fxb[nb:]], axis=0)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+        ffsl = ffsl & ((rowi < nb) | (rowi >= jm - nb))
+    else:
+        fx_ffsl = _xtp_ffsl(q, c, mfx, cosa, iord, id_, K=max_cfl_int)
+
+    return jnp.where(ffsl, fx_ffsl, fx_reg)
+
+
+def _xtp_ffsl(q, c, mfx, cosa, iord: int, id_: int, K: int):
+    """FFSL E-W flux (the |c| >= 1 machinery of xtp) on a row sub-slab."""
     iu = jnp.clip(jnp.trunc(c).astype(jnp.int32), -K, K)
     rut = c - iu
     # fractional-donor offset relative to i: cell i-iu-1 (c>0) or i-iu (c<=0)
@@ -369,8 +416,7 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None):
         # that destroyed every >10-day HS run regardless of filtering.
         c_safe = jnp.sign(c) * jnp.maximum(jnp.abs(c), 1e-30)
         fx_ffsl = fx_ffsl * (mfx / c_safe)
-
-    return jnp.where(ffsl, fx_ffsl, fx_reg)
+    return fx_ffsl
 
 
 def ymist(q, jord: int, iv: int):
@@ -497,7 +543,7 @@ def edge_north(fy):
 
 
 def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
-         id_: int):
+         id_: int, band: int | None = None):
     """2-D transport on the D grid (tp2d, tp_core.F90:163-276).
 
     va: (jm, im) advective y-Courant at cell centers; q: (jm, im);
@@ -509,7 +555,7 @@ def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
     jm, im = q.shape
 
     # inner advective x-operator (first-order) -> adx (tp_core.F90:228-243)
-    wk1 = xtp(q, crx, crx, cosp, ffsl, 1, 0)
+    wk1 = xtp(q, crx, crx, cosp, ffsl, 1, 0, band=band)
     wk1_e = _rollx(wk1, -1)          # wk1[i+1]
     crx_e = _rollx(crx, -1)
     adx = q + 0.5 * (wk1 - wk1_e + q * (crx_e - crx))
@@ -530,12 +576,12 @@ def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
     # reference leaves them at q via loop bounds js2g0/jn2g0
     ady = wset_row(wset_row(ady, 0, q), -1, q)
 
-    fx = xtp(ady, crx, xfx, cosp, ffsl, iord, id_)
+    fx = xtp(ady, crx, xfx, cosp, ffsl, iord, id_, band=band)
     return fx, fy
 
 
 def tp2c(va, h, crx, cry, iord: int, jord: int, xfx, yfx, cosp, acosp, rcap,
-         ffsl):
+         ffsl, band: int | None = None):
     """C-grid transport + flux divergence with polar-cap closure
     (tp2c, tp_core.F90:72-155).
 
@@ -544,7 +590,8 @@ def tp2c(va, h, crx, cry, iord: int, jord: int, xfx, yfx, cosp, acosp, rcap,
     (jm, im) south-edge convention.
     """
     jm, im = h.shape
-    fx, fy = tp2d(va, h, crx, cry, iord, jord, xfx, yfx, cosp, ffsl, 0)
+    fx, fy = tp2d(va, h, crx, cry, iord, jord, xfx, yfx, cosp, ffsl, 0,
+                  band=band)
     dh = fx - _rollx(fx, -1) + (fy - edge_north(fy)) * acosp[:, None]
     # polar caps (tp_core.F90:130-152)
     s_sum = -jnp.sum(fy[1, :]) * rcap
