@@ -131,13 +131,22 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
 
     # model rides as a pytree ARGUMENT (closure grid tables would embed as
-    # executable constants and disable the axon fast execution path)
+    # executable constants and disable the axon fast execution path).
+    # Steady-state calls donate the state buffers (s(n) is dead once s(n+1)
+    # exists — XLA reuses the HBM in place); the first call does NOT donate,
+    # so the caller's initial state stays valid (restart tests reuse it).
     step_jit = jax.jit(atm_step, static_argnames=("first_step",))
+    step_don = jax.jit(atm_step, static_argnames=("first_step",),
+                       donate_argnums=(1,))
     step_first = lambda s, ci: step_jit(model, s, ci, first_step=True)
-    step_rest = lambda s, ci: step_jit(model, s, ci)
+    step_nodon = lambda s, ci: step_jit(model, s, ci)
+    step_rest = lambda s, ci: step_don(model, s, ci)
 
     for i in range(nsteps):
-        fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
+        if i == 0:      # never donate the caller's (or freshly restored) state
+            fn = step_first if int(state.nstep) == 0 else step_nodon
+        else:
+            fn = step_rest
         state, cam_out, diags = timer.timed("atm_step", fn, state, cam_in)
 
         if hist:
@@ -209,13 +218,20 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
         return s2, sst, cam_in, cam_out, diags
 
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
-    # model as pytree argument — see run() note
+    # model as pytree argument — see run() note; steady-state calls donate
+    # state+sst (in-place HBM reuse), i==0 never donates the caller's arrays
     _step_jit = jax.jit(_step, static_argnames=("first",))
+    _step_don = jax.jit(_step, static_argnames=("first",),
+                        donate_argnums=(1, 2))
     step_first = lambda s, t: _step_jit(model, s, t, first=True)
-    step_rest = lambda s, t: _step_jit(model, s, t, first=False)
+    step_nodon = lambda s, t: _step_jit(model, s, t, first=False)
+    step_rest = lambda s, t: _step_don(model, s, t, first=False)
 
     for i in range(nsteps):
-        fn = step_first if int(state.nstep) == 0 and i == 0 else step_rest
+        if i == 0:
+            fn = step_first if int(state.nstep) == 0 else step_nodon
+        else:
+            fn = step_rest
         state, sst, cam_in, cam_out, diags = timer.timed(
             "atm_step", fn, state, sst)
 
