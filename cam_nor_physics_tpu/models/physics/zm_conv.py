@@ -69,34 +69,111 @@ def _canon(v):
     return _CANON_HOOK(v) if _CANON_HOOK is not None else v
 
 
+# ---------------------------------------------------------------------------
+# Layout abstraction. The zm_convr path runs in one of two array layouts:
+#   _LM = False : (ncol, pver) — column-major, the package-surface layout
+#   _LM = True  : (pver, ncol) — level-major, used INSIDE the Pallas TPU
+#                 mega-kernel, where columns must live in the minor (lane)
+#                 dimension for full vector-register utilization (pver=26
+#                 in the minor dim pads to 128 lanes = 20% occupancy).
+# Every level-axis-dependent construct goes through the helpers below, so
+# both layouts trace from the same code; reduction/scan element order along
+# levels is identical, making the two layouts bitwise comparable.
+# ---------------------------------------------------------------------------
+_LM = False
+
+
+def _lax_():
+    return 0 if _LM else 1
+
+
+def _shape_cp(a):
+    """(ncol, nk) of a 2-D state array in either layout."""
+    return (a.shape[1], a.shape[0]) if _LM else (a.shape[0], a.shape[1])
+
+
+def _c(v):
+    """Column scalar (ncol,) -> broadcastable against state arrays."""
+    return v[None, :] if _LM else v[:, None]
+
+
+def _karr2(nk):
+    """Level iota broadcastable against state arrays."""
+    k = jnp.arange(nk)
+    return k[:, None] if _LM else k[None, :]
+
+
+def _lsum(a):
+    return _canon(jnp.sum(a, axis=_lax_()))
+
+
+def _lmax(a):
+    return _canon(jnp.max(a, axis=_lax_()))
+
+
+def _lmin(a):
+    return _canon(jnp.min(a, axis=_lax_()))
+
+
+def _lany(a):
+    return _canon(jnp.any(a, axis=_lax_()))
+
+
+def _lsl(a, sl):
+    """Slice along the level axis."""
+    return a[sl] if _LM else a[:, sl]
+
+
+def _lcat(parts):
+    return jnp.concatenate(parts, axis=_lax_())
+
+
+def _below(a):
+    """a(k+1) with the bottom level replicated."""
+    return _lcat([_lsl(a, slice(1, None)), _lsl(a, slice(-1, None))])
+
+
+def _above(a):
+    """a(k-1) with the top level replicated."""
+    return _lcat([_lsl(a, slice(None, 1)), _lsl(a, slice(None, -1))])
+
+
+def _zfull(ncol, nk, dtype):
+    return jnp.zeros((nk, ncol) if _LM else (ncol, nk), dtype)
+
+
+def _bfull(v, nk):
+    """Broadcast a column scalar (ncol,) to a full state array."""
+    ncol = v.shape[0]
+    return jnp.broadcast_to(_c(v), (nk, ncol) if _LM else (ncol, nk))
+
+
 def _take_col(arr, idx):
-    """arr[(i, idx[i])] for arr (ncol, nk), idx (ncol,) int.
+    """arr[(i, idx[i])] for state arr, idx (ncol,) int.
 
     One-hot masked sum over the (small) level axis: equal cost to a gather
     in XLA at nk ~ 26 and lowers inside Pallas/Mosaic kernels (which have no
     take_along_axis)."""
-    nk = arr.shape[1]
-    karr = jnp.arange(nk)[None, :]
-    return _canon(
-        jnp.sum(jnp.where(karr == idx[:, None], arr, jnp.zeros_like(arr)),
-                axis=1))
+    nk = arr.shape[_lax_()]
+    karr = _karr2(nk)
+    return _lsum(jnp.where(karr == _c(idx), arr, jnp.zeros_like(arr)))
 
 
 def _first_true_from_bottom(mask, default):
     """Largest k with mask true per column, else `default` (int array/scalar).
 
     iota-reduction form (no argmax/flip — Mosaic-safe, same cost in XLA)."""
-    nk = mask.shape[1]
-    karr = jnp.arange(nk)[None, :]
-    idx = _canon(jnp.max(jnp.where(mask, karr, -1), axis=1))
+    nk = mask.shape[_lax_()]
+    karr = _karr2(nk)
+    idx = _lmax(jnp.where(mask, karr, -1))
     found = idx >= 0
     return jnp.where(found, idx, default), found
 
 
 def _first_true_from_top(mask, default):
-    nk = mask.shape[1]
-    karr = jnp.arange(nk)[None, :]
-    idx = _canon(jnp.min(jnp.where(mask, karr, nk), axis=1))
+    nk = mask.shape[_lax_()]
+    karr = _karr2(nk)
+    idx = _lmin(jnp.where(mask, karr, nk))
     found = idx < nk
     return jnp.where(found, idx, default), found
 
@@ -107,11 +184,15 @@ def _cumsum_lvl(x, reverse: bool = False):
     at nk ~ 26 the (nk, nk) contraction is negligible, and keeping ONE
     implementation for both the XLA and Pallas paths keeps them bitwise
     comparable."""
-    nk = x.shape[-1]
+    nk = x.shape[_lax_()]
     i = jnp.arange(nk)
     tri = (i[:, None] >= i[None, :]) if reverse else (i[:, None] <= i[None, :])
     # HIGHEST precision: the default MXU f32 matmul runs bf16 passes, which
     # corrupts the ascent suffix-sums enough to flip trigger/level decisions
+    if _LM:
+        # out[k, i] = sum_k' tri[k, k'] x[k', i]
+        return jnp.dot(tri.astype(x.dtype).T, x,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.dot(x, tri.astype(x.dtype),
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -126,12 +207,13 @@ class _XlaScan:
     as an in-kernel fori_loop over VMEM scratch."""
 
     def scan(self, step, carry, xs: dict, reverse: bool = False):
-        nk = next(iter(xs.values())).shape[1]
+        nk = next(iter(xs.values())).shape[_lax_()]
         ks = jnp.arange(nk)
-        xs_T = {k: v.T for k, v in xs.items()}
+        # scan consumes (nk, ncol) rows: already level-major under _LM
+        xs_T = xs if _LM else {k: v.T for k, v in xs.items()}
         carry, ys = jax.lax.scan(lambda cy, xk: step(cy, xk[0], xk[1]),
                                  carry, (xs_T, ks), reverse=reverse)
-        return carry, tuple(y.T for y in ys)
+        return carry, tuple(y if _LM else y.T for y in ys)
 
 
 LAX_SCAN = _XlaScan()
@@ -144,20 +226,20 @@ def _log_mean_interface(x, thresh=1.0e-6):
     relative difference exceeds 1e-6 use x0*x1*ln(x0/x1)/(x0-x1), else the
     arithmetic mean. xhat(0) = x(0).
     """
-    x0 = x[:, :-1]   # level k-1 (above)
-    x1 = x[:, 1:]    # level k
+    x0 = _lsl(x, slice(None, -1))   # level k-1 (above)
+    x1 = _lsl(x, slice(1, None))    # level k
     diff = jnp.abs(_safe_div(x0 - x1, jnp.maximum(jnp.maximum(x0, x1), 1e-300)))
     use_log = (diff > thresh) & (x0 > 0) & (x1 > 0) & (jnp.abs(x0 - x1) > 0)
     logmean = _safe_div(jnp.log(jnp.where(use_log, _safe_div(x0, x1), 1.0)),
                         x0 - x1) * x0 * x1
     xhat = jnp.where(use_log, logmean, 0.5 * (x0 + x1))
-    return jnp.concatenate([x[:, :1], xhat], axis=1)
+    return _lcat([_lsl(x, slice(None, 1)), xhat])
 
 
 def _col(b):
-    """1-D bool -> (ncol, 1) broadcastable bool. Mosaic cannot reshape i1
+    """1-D bool -> broadcastable bool column. Mosaic cannot reshape i1
     vectors (minor-dim insertion is 32-bit only), so ride through f32."""
-    return b.astype(jnp.float32)[:, None] > 0.5
+    return _c(b.astype(jnp.float32)) > 0.5
 
 
 def cldfrc_fice(t):
@@ -194,7 +276,7 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
 
     Returns (tp, qstp, tpv, tl, pl, lcl).
     """
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
     lwmax = 1.0e-3
     tscool = 0.0
@@ -216,13 +298,10 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
     _, qs_launch = qsat_hpa(t_launch, p_launch)
 
     # ---- entrainment ascent (bottom-up over levels pver-1 .. msg) ----
-    # level-below values x(k+1): shift
-    def below(a):
-        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
-
-    karr_ = jnp.arange(pver)[None, :]
-    above_all = karr_ < klaunch[:, None]
-    at_launch_all = karr_ == klaunch[:, None]
+    below = _below            # level-below values x(k+1)
+    karr_ = _karr2(pver)
+    above_all = karr_ < _c(klaunch)
+    at_launch_all = karr_ == _c(klaunch)
 
     if cfg.parcel_impl == "batched":
         # The entrainment budget (sp, qtp, mp) is independent of the
@@ -250,20 +329,20 @@ def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
         sp_s = -ssum(inc * senv)
         qtp_s = -ssum(inc * qtenv)
         mp_s = -ssum(inc)
-        denom = mp0[:, None] + mp_s
-        smix_a = (sp0[:, None] + sp_s) / denom
-        qtmix_a = (qtp0[:, None] + qtp_s) / denom
+        denom = _c(mp0) + mp_s
+        smix_a = (_c(sp0) + sp_s) / denom
+        qtmix_a = (_c(qtp0) + qtp_s) / denom
         t_inv, qs_inv, _ = ienthalpy(smix_a, p, qtmix_a, z, t,
                                      solver=cfg.inversion_solver)
         t_inv = jnp.where(jnp.isnan(t_inv), t, t_inv)
 
-        smix = jnp.where(at_launch_all, sp0[:, None],
+        smix = jnp.where(at_launch_all, _c(sp0),
                          jnp.where(above_all, smix_a, senv))
-        qtmix = jnp.where(at_launch_all, qtp0[:, None],
+        qtmix = jnp.where(at_launch_all, _c(qtp0),
                           jnp.where(above_all, qtmix_a, q))
-        tmix = jnp.where(at_launch_all, t_launch[:, None],
+        tmix = jnp.where(at_launch_all, _c(t_launch),
                          jnp.where(above_all, t_inv, t))
-        qsmix = jnp.where(at_launch_all, qs_launch[:, None],
+        qsmix = jnp.where(at_launch_all, _c(qs_launch),
                           jnp.where(above_all, qs_inv, q))
         return _parcel_finish(cfg, msg, klaunch, p, z, t, q, tpert, tl0, pl0,
                               t_launch, qs_launch, qtp0, smix, qtmix, tmix,
@@ -324,7 +403,7 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
                    qsmix, dzdp_l, scan_impl=LAX_SCAN):
     """LCL detection + precipitation/freezing adjustment on the ascent
     profiles (zm_conv.F90:5100-5270); shared tail of both parcel ascents."""
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
     lwmax = 1.0e-3
     tscool = 0.0
@@ -332,10 +411,10 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
 
     # ---- LCL detection + interpolation (zm_conv.F90:5100-5135) ----
     p_launch = _take_col(p, klaunch)
-    karr = jnp.arange(pver)[None, :]
-    above_m = karr < klaunch[:, None]
-    qsmix_b = jnp.concatenate([qsmix[:, 1:], qs_launch[:, None]], axis=1)
-    qtmix_b = jnp.concatenate([qtmix[:, 1:], qtp0[:, None]], axis=1)
+    karr = _karr2(pver)
+    above_m = karr < _c(klaunch)
+    qsmix_b = _lcat([_lsl(qsmix, slice(1, None)), _c(qs_launch)])
+    qtmix_b = _lcat([_lsl(qtmix, slice(1, None)), _c(qtp0)])
     crossing = above_m & (qsmix <= qtmix) & (qsmix_b > qtmix_b)
     # reference loop runs k decreasing, so the last write is the smallest k
     lcl_idx, found = _first_true_from_top(crossing, klaunch)
@@ -344,9 +423,9 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
     def interp_at(arr):
         return _take_col(arr, lcl)
 
-    p_b_full = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
-    z_b_full = jnp.concatenate([z[:, 1:], z[:, -1:]], axis=1)
-    smix_bf = jnp.concatenate([smix[:, 1:], smix[:, -1:]], axis=1)
+    p_b_full = _below(p)
+    z_b_full = _below(z)
+    smix_bf = _below(smix)
     dp_lcl = interp_at(p) - interp_at(p_b_full)
     qxsk = interp_at(qtmix) - interp_at(qsmix)
     qxskp1 = interp_at(qtmix_b) - interp_at(qsmix_b)
@@ -378,7 +457,7 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
         # coupling is a weak latent-heat correction, so a few sweeps reach
         # the same fixed point as the reference's sequential recursion
         # (validated against the scan implementation in test_zm_conv).
-        at_launch_m = karr == klaunch[:, None]
+        at_launch_m = karr == _c(klaunch)
         tmix_c, qsmix_c = tmix, qsmix
         xsh2o = jnp.zeros_like(tmix)
         for _ in range(cfg.precip_sweeps):
@@ -430,9 +509,9 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
         qstp = jnp.where(above_m,
                          jnp.where(new_q > qsmix_c, qsmix_c, new_q), q)
         denom_q = jnp.where(above_m, new_q, qstp)
-        tpv = (tp + tpert[:, None]) * (1.0 + qstp / EPS1) / (1.0 + denom_q)
+        tpv = (tp + _c(tpert)) * (1.0 + qstp / EPS1) / (1.0 + denom_q)
 
-        below_m = karr > klaunch[:, None]
+        below_m = karr > _c(klaunch)
         tp = jnp.where(below_m, t, tp)
         qstp = jnp.where(below_m, q, qstp)
         return tp, qstp, tpv, tl, pl, lcl
@@ -498,7 +577,7 @@ def _parcel_finish(cfg: ZMConfig, msg: int, klaunch, p, z, t, q, tpert,
                                         reverse=True)
 
     # outside the plume (k > klaunch) keep environment values
-    below_m = karr > klaunch[:, None]
+    below_m = karr > _c(klaunch)
     tp = jnp.where(below_m, t, tp)
     qstp = jnp.where(below_m, q, qstp)
 
@@ -514,9 +593,9 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
     pblt = 0-based PBL-top level index (float), dmpdz (ncol, pver) entrainment
     rate (/m, negative). Returns parcel profile + CAPE/CIN + level indices.
     """
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
-    karr = jnp.arange(pver)[None, :]
+    karr = _karr2(pver)
 
     pblt_i = jnp.rint(pblt).astype(jnp.int32)
     lon = jnp.minimum(pver - 1, pblt_i + 2)   # zm_conv.F90:4578
@@ -529,18 +608,19 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
     if cfg.parcel_pbl:
         # PBL-mixed parcel (zm_conv.F90:4639-4702); zi_ is AGL (surface = 0)
         pbl_dz = _take_col(z, pblt_i) - zs
-        parcel_dz = jnp.maximum(zi_[:, pver - 1], cfg.parcel_hscale * pbl_dz)
-        dp_lev = pf[:, 1:] - pf[:, :-1]
-        zi_top = zi_[:, :-1]   # upper-interface height AGL
-        zi_bot = zi_[:, 1:]
-        in_mix = zi_bot <= parcel_dz[:, None]
+        parcel_dz = jnp.maximum(_lsl(zi_, pver - 1),
+                                cfg.parcel_hscale * pbl_dz)
+        dp_lev = _lsl(pf, slice(1, None)) - _lsl(pf, slice(None, -1))
+        zi_top = _lsl(zi_, slice(None, -1))   # upper-interface height AGL
+        zi_bot = _lsl(zi_, slice(1, None))
+        in_mix = zi_bot <= _c(parcel_dz)
         frac = jnp.where(karr == pver - 1, 1.0,
-                         jnp.clip(_safe_div(parcel_dz[:, None] - zi_bot,
+                         jnp.clip(_safe_div(_c(parcel_dz) - zi_bot,
                                             zi_top - zi_bot), None, 1.0))
         w = jnp.where(in_mix, dp_lev * frac, 0.0)
-        wsum = _canon(jnp.sum(w, axis=1))
-        hpar = _canon(jnp.sum(hmn * w, axis=1)) / jnp.maximum(wsum, 1e-30)
-        qpar = _canon(jnp.sum(q * w, axis=1)) / jnp.maximum(wsum, 1e-30)
+        wsum = _lsum(w)
+        hpar = _lsum(hmn * w) / jnp.maximum(wsum, 1e-30)
+        qpar = _lsum(q * w) / jnp.maximum(wsum, 1e-30)
         mx, _ = _first_true_from_top(in_mix, jnp.full((ncol,), pver - 1, jnp.int32))
         parcel_ztop = parcel_dz + zs
         tl0 = (hpar - RL * qpar - GRAV * parcel_ztop) / CP
@@ -551,12 +631,11 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
         # Fortran scans bottom-up with strict >, so ties pick the lowest
         # level: emulate with a value-max reduction followed by the largest
         # k attaining it (argmax/flip-free — Mosaic-safe).
-        mask = (karr >= pblt_i[:, None]) & (karr <= lon[:, None])
+        mask = (karr >= _c(pblt_i)) & (karr <= _c(lon))
         hmn_m = jnp.where(mask, hmn, -jnp.inf)
-        vmax = _canon(jnp.max(hmn_m, axis=1))
-        mx = _canon(jnp.max(jnp.where(hmn_m == vmax[:, None], karr, -1),
-                            axis=1)).astype(jnp.int32)
-        mx = jnp.where(_canon(jnp.any(mask, axis=1)), mx, lon)
+        vmax = _lmax(hmn_m)
+        mx = _lmax(jnp.where(hmn_m == _c(vmax), karr, -1)).astype(jnp.int32)
+        mx = jnp.where(_lany(mask), mx, lon)
         tl0 = _take_col(t, mx)
         ql0 = _take_col(q, mx)
         pl0 = _take_col(p, mx)
@@ -569,20 +648,21 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
 
     # env virtual temperature (tht form) and buoyancy (zm_conv.F90:4763-4780)
     tv = t * (1.0 + q / EPS1) / (1.0 + q)
-    in_plume = (karr <= mx[:, None]) & _col(plge600)
+    in_plume = (karr <= _c(mx)) & _col(plge600)
     buoy = jnp.where(in_plume, tpv - tv + cfg.tiedke_add, 0.0)
     tp = jnp.where(in_plume, tp, t)
     qstp = jnp.where(in_plume, qstp, q)
 
     # neutral-buoyancy crossings, top-down, up to num_cin (zm_conv.F90:4786-4797)
-    buoy_b = jnp.concatenate([buoy[:, 1:], buoy[:, -1:]], axis=1)
-    kmask = (karr >= msg + 1) & (karr < lcl[:, None]) & _col(plge600)
+    buoy_b = _below(buoy)
+    kmask = (karr >= msg + 1) & (karr < _c(lcl)) & _col(plge600)
     crossing = kmask & (buoy_b > 0.0) & (buoy <= 0.0)
     # crossing ordinal via the triangular-matmul cumsum (counts <= pver are
     # exact in f32); compared with half-open windows below
     order = _cumsum_lvl(crossing.astype(dtype))
 
-    dlnp = jnp.log(pf[:, 1:] / pf[:, :-1])   # ln(pf(k+1)/pf(k)) > 0
+    dlnp = jnp.log(_lsl(pf, slice(1, None)) /
+                   _lsl(pf, slice(None, -1)))   # ln(pf(k+1)/pf(k)) > 0
     cape = jnp.zeros((ncol,), dtype)
     cin = jnp.zeros((ncol,), dtype)
     lel = jnp.full((ncol,), pver - 1, jnp.int32)
@@ -591,10 +671,10 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
         sel = crossing & (jnp.abs(order - n) < 0.5)
         lel_n, found_n = _first_true_from_top(sel, jnp.full((ncol,), pver - 1,
                                                             jnp.int32))
-        seg = (karr <= mx[:, None]) & (karr > lel_n[:, None]) & _col(plge600)
-        cape_n = _canon(jnp.sum(jnp.where(seg, RGAS * buoy * dlnp, 0.0), axis=1))
-        cin_n = _canon(jnp.sum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) *
-                                         dlnp, 0.0), axis=1))
+        seg = (karr <= _c(mx)) & (karr > _c(lel_n)) & _col(plge600)
+        cape_n = _lsum(jnp.where(seg, RGAS * buoy * dlnp, 0.0))
+        cin_n = _lsum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) * dlnp,
+                                0.0))
         better = found_n & (cape_n > jnp.maximum(best, 0.0))
         cape = jnp.where(better, cape_n, cape)
         cin = jnp.where(better, cin_n, cin)
@@ -645,15 +725,15 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     eu/du/ed returned in 1/m (converted to 1/mb by the caller, matching
     zm_convr:1252-1262).
     """
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
-    karr = jnp.arange(pver)[None, :]
+    karr = _karr2(pver)
     small = 1.0e-20
 
     c0mask = cfg.c0_ocn * (1.0 - landfrac) + cfg.c0_lnd * landfrac
     tiedke_msk = cfg.tiedke_add * (1.0 - landfrac) + cfg.tiedke_lnd * landfrac
 
-    dz = zf[:, :-1] - zf[:, 1:]
+    dz = _lsl(zf, slice(None, -1)) - _lsl(zf, slice(1, None))
 
     est, qst = qsat_hpa(t, p)
     qst = jnp.where(p - est <= 0.0, 1.0, qst)
@@ -681,13 +761,12 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     jt0 = jnp.minimum(jnp.maximum(lel, msg + 1), pver - 1)
     jd = jnp.full((ncol,), pver - 1, jnp.int32)
 
-    in_jtjb = (karr >= jt0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
+    in_jtjb = (karr >= _c(jt0)) & (karr <= _c(jb)) & (karr >= msg)
     hsat_m = jnp.where(in_jtjb, hsat, jnp.inf)
     # Fortran keeps the LAST k attaining the min (<=): value-min reduction,
     # then largest k attaining it (argmin/flip-free — Mosaic-safe)
-    vmin = _canon(jnp.min(hsat_m, axis=1))
-    j0 = _canon(jnp.max(jnp.where(hsat_m == vmin[:, None], karr, -1),
-                        axis=1)).astype(jnp.int32)
+    vmin = _lmin(hsat_m)
+    j0 = _lmax(jnp.where(hsat_m == _c(vmin), karr, -1)).astype(jnp.int32)
     j0 = jnp.clip(j0, jt0 + 2, jb - 2)
     j0 = jnp.minimum(j0, pver - 1)
 
@@ -713,19 +792,20 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                                              reverse=True)
 
     # hmin over [j0, jb] and expdif (zm_conv.F90:3448-3456)
-    in_j0jb = (karr >= j0[:, None]) & (karr <= jb[:, None]) & (karr >= msg)
-    hmin2 = _canon(jnp.min(jnp.where(in_j0jb, hmn, jnp.inf), axis=1))
+    in_j0jb = (karr >= _c(j0)) & (karr <= _c(jb)) & (karr >= msg)
+    hmin2 = _lmin(jnp.where(in_j0jb, hmn, jnp.inf))
     expdif = hmn_mx - hmin2
 
     # eps(z) Taylor series (zm_conv.F90:3463-3487)
-    z_b = jnp.concatenate([z[:, :1], z[:, :-1]], axis=1)      # z(k-1)
-    hsat_b = jnp.concatenate([hsat[:, :1], hsat[:, :-1]], axis=1)
-    expnum = hmn_mx[:, None] - (hsat_b * (zf[:, :-1] - z) +
-                                hsat * (z_b - zf[:, :-1])) / \
+    z_b = _above(z)                                           # z(k-1)
+    hsat_b = _above(hsat)
+    zf_top = _lsl(zf, slice(None, -1))
+    expnum = _c(hmn_mx) - (hsat_b * (zf_top - z) +
+                           hsat * (z_b - zf_top)) / \
         jnp.where(z_b - z == 0, 1e-30, z_b - z)
-    in_win = (karr >= jt0[:, None]) & (karr < jb[:, None])
+    in_win = (karr >= _c(jt0)) & (karr < _c(jb))
     expnum = jnp.where(in_win, expnum, 0.0)
-    cond_f = (expdif[:, None] > 100.0) & (expnum > 0.0) & \
+    cond_f = (_c(expdif) > 100.0) & (expnum > 0.0) & \
         (k1a > expnum * dz) & in_win
     ftemp = jnp.where(cond_f, _safe_div(expnum, k1a), 0.0)
     f = ftemp + _safe_div(i2a, k1a) * ftemp ** 2 + \
@@ -750,33 +830,33 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                              dict(f=f), reverse=False)
 
     eps0 = _take_col(f, j0)
-    in_j0jb2 = (karr >= j0[:, None]) & (karr <= jb[:, None])
-    in_jtj0 = (karr < j0[:, None]) & (karr >= jt0[:, None])
-    eps = jnp.where(in_j0jb2, eps0[:, None], jnp.where(in_jtj0, f, 0.0))
+    in_j0jb2 = (karr >= _c(j0)) & (karr <= _c(jb))
+    in_jtj0 = (karr < _c(j0)) & (karr >= _c(jt0))
+    eps = jnp.where(in_j0jb2, _c(eps0), jnp.where(in_jtj0, f, 0.0))
 
     active = eps0 > 0.0
 
     # updraft mass flux profile (zm_conv.F90:3547-3569)
     zf_jb = _take_col(zf, jb)
-    zuef = zf[:, :-1] - zf_jb[:, None]
-    eps_b = jnp.concatenate([eps[:, 1:], eps[:, -1:]], axis=1)
+    zuef = _lsl(zf, slice(None, -1)) - _c(zf_jb)
+    eps_b = _below(eps)
     safe_zuef = jnp.where(zuef == 0.0, 1e-30, zuef)
-    inv_eps0 = _safe_div(jnp.ones_like(eps0), eps0)[:, None]
+    inv_eps0 = _c(_safe_div(jnp.ones_like(eps0), eps0))
     rmue = inv_eps0 * (jnp.exp(eps_b * zuef) - 1.0) / safe_zuef
     mu_f = inv_eps0 * (jnp.exp(eps * zuef) - 1.0) / safe_zuef
 
-    in_upd = (karr >= jt0[:, None]) & (karr < jb[:, None]) & _col(active)
+    in_upd = (karr >= _c(jt0)) & (karr < _c(jb)) & _col(active)
     mu = jnp.where(in_upd, mu_f, 0.0)
-    at_jb = karr == jb[:, None]
+    at_jb = karr == _c(jb)
     mu = jnp.where(at_jb & _col(active), 1.0, mu)
-    mu_below = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
+    mu_below = _below(mu)
     eu = jnp.where(in_upd, (rmue - mu_below) / dz, 0.0)
     eu = jnp.where(at_jb & _col(active), _safe_div(jnp.ones_like(dz), dz), eu)
     du = jnp.where(in_upd, (rmue - mu) / dz, 0.0)
 
     # hu ascent with mu<0.02 cutoff (zm_conv.F90:3571-3599), bottom-up scan
-    hu0 = jnp.where((karr >= jt0[:, None]) & (karr <= jb[:, None]),
-                    hmn_mx[:, None] + CP * tiedke_msk[:, None], hmn)
+    hu0 = jnp.where((karr >= _c(jt0)) & (karr <= _c(jb)),
+                    _c(hmn_mx) + CP * _c(tiedke_msk), hmn)
 
     xsH = dict(mu=mu, eu=eu, du=du, dz=dz, hmn=hmn, hsat=hsat, hu0=hu0)
     hu_jb = hmn_mx + CP * tiedke_msk
@@ -806,12 +886,12 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
 
     # jt detection (zm_conv.F90:3606-3629): first k from bottom in
     # [lel-1, jb-2] matching either condition
-    hu_b2 = jnp.concatenate([hu[:, 1:], hu[:, -1:]], axis=1)
-    hsthat_b = jnp.concatenate([hsthat[:, 1:], hsthat[:, -1:]], axis=1)
+    hu_b2 = _below(hu)
+    hsthat_b = _below(hsthat)
     hu_at_jb = _take_col(hu, jb)
-    in_det = (karr <= jb[:, None] - 2) & (karr >= lel[:, None] - 1)
+    in_det = (karr <= _c(jb) - 2) & (karr >= _c(lel) - 1)
     cond1 = (hu <= hsthat) & (hu_b2 > hsthat_b) & (mu >= 0.02)
-    cond2 = (hu > hu_at_jb[:, None]) | (mu < 0.02)
+    cond2 = (hu > _c(hu_at_jb)) | (mu < 0.02)
     anyc = in_det & (cond1 | cond2)
     jt_cand = jnp.where(cond1, jnp.where(hu - hsthat < -2000.0, karr + 1, karr),
                         karr + 1)
@@ -820,9 +900,9 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                    _take_col(jt_cand, det_k.astype(jnp.int32)), jt0).astype(jnp.int32)
 
     # zero the region above jt (zm_conv.F90:3633-3648)
-    above_jt = (karr >= lel[:, None]) & (karr <= jt[:, None]) & _col(active)
-    mu_below2 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
-    at_jt = (karr == jt[:, None]) & _col(active)
+    above_jt = (karr >= _c(lel)) & (karr <= _c(jt)) & _col(active)
+    mu_below2 = _below(mu)
+    at_jt = (karr == _c(jt)) & _col(active)
     mu = jnp.where(above_jt, 0.0, mu)
     eu = jnp.where(above_jt | at_jt, 0.0, eu)
     hu = jnp.where(above_jt, hmn, hu)
@@ -831,15 +911,15 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
 
     # tu initialisation (zm_conv.F90:3652-3657) with env qu
     qu_init = q
-    tu = (hu - GRAV * zf[:, :-1] - (1.0 + DCOL * TFREEZ) * RL * qu_init) / \
+    tu = (hu - GRAV * zf_top - (1.0 + DCOL * TFREEZ) * RL * qu_init) / \
         (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qu_init))
 
     # su/qu ascent + jlcl detection (zm_conv.F90:3659-3706), bottom-up scan
     q_mx = _take_col(q, jb)
-    p_b3 = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)   # p(k-1)
+    p_b3 = _above(p)   # p(k-1)
 
     xsS = dict(mu=mu, eu=eu, du=du, dz=dz, s=s, q=q, qst=qst, hu=hu,
-               zf=zf[:, :-1], p=p, pm1=p_b3, tu0=tu)
+               zf=zf_top, p=p, pm1=p_b3, tu0=tu)
     carryS = dict(su_b=jnp.zeros((ncol,), dtype), qu_b=jnp.zeros((ncol,), dtype),
                   mu_b=jnp.zeros((ncol,), dtype),
                   done=jnp.zeros((ncol,), dtype),   # 0/1 (bool carries are
@@ -877,23 +957,23 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     jlcl = cyS["jlcl"]
 
     # saturated portion jt < k <= jlcl (zm_conv.F90:3708-3722)
-    in_sat = (karr > jt[:, None]) & (karr <= jlcl[:, None]) & _col(active)
+    in_sat = (karr > _c(jt)) & (karr <= _c(jlcl)) & _col(active)
     qu_sat = qsthat + gamhat * (hu - hsthat) / \
         ((1.0 - DCOL * (tu - TFREEZ)) * RL * (1.0 + gamhat))
     su_sat = shat + (hu - hsthat) / ((1.0 + CPVIR * qu_sat) * CP *
                                      (1.0 + gamhat))
-    tu_sat = su_sat - GRAV / ((1.0 + CPVIR * qu_sat) * CP) * zf[:, :-1]
+    tu_sat = su_sat - GRAV / ((1.0 + CPVIR * qu_sat) * CP) * zf_top
     qu = jnp.where(in_sat, qu_sat, qu)
     su = jnp.where(in_sat, su_sat, su)
     tu = jnp.where(in_sat, tu_sat, tu)
 
     # condensation in updraft (zm_conv.F90:3730-3759)
-    mu_b3 = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
-    su_b3 = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
-    in_cu = (karr >= jt[:, None]) & (karr < jb[:, None]) & _col(active)
+    mu_b3 = _below(mu)
+    su_b3 = _below(su)
+    in_cu = (karr >= _c(jt)) & (karr < _c(jb)) & _col(active)
     cu = ((mu * su - mu_b3 * su_b3) / dz - (eu - du) * s) / (RL / CP) * \
         ((1.0 + CPVIR * qu) / (1.0 - DCOL * (tu - TFREEZ)))
-    cu = jnp.where(in_cu & (karr != jt[:, None]), jnp.maximum(cu, 0.0), 0.0)
+    cu = jnp.where(in_cu & (karr != _c(jt)), jnp.maximum(cu, 0.0), 0.0)
 
     # liquid water + rain production (zm_conv.F90:3953-3975), bottom-up scan
     xsQ = dict(mu=mu, du=du, cu=cu, dz=dz)
@@ -923,33 +1003,33 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     jt = jnp.minimum(jt, jb - 1)
     jd = jnp.clip(jnp.maximum(j0, jt + 1), None, jb)
     zf_jd = _take_col(zf, jd)
-    zdef = zf_jd[:, None] - zf[:, :-1]
-    in_dd = (karr > jd[:, None]) & (karr <= jb[:, None]) & _col(active)
+    zdef = _c(zf_jd) - zf_top
+    in_dd = (karr > _c(jd)) & (karr <= _c(jb)) & _col(active)
     safe_zdef = jnp.where(zdef == 0.0, 1e-30, zdef)
     md = jnp.where(in_dd,
-                   -alfa / (2.0 * jnp.where(eps0 == 0, 1e-30, eps0))[:, None] *
-                   (jnp.exp(2.0 * eps0[:, None] * zdef) - 1.0) / safe_zdef, 0.0)
-    at_jd = (karr == jd[:, None]) & _col(jd < jb) & _col(active)
+                   _c(-alfa / (2.0 * jnp.where(eps0 == 0, 1e-30, eps0))) *
+                   (jnp.exp(2.0 * _c(eps0) * zdef) - 1.0) / safe_zdef, 0.0)
+    at_jd = (karr == _c(jd)) & _col(jd < jb) & _col(active)
     md = jnp.where(at_jd, -alfa, md)
 
     mu_jb = _take_col(mu, jb)
     md_jb = _take_col(md, jb)
     ratmjb = jnp.minimum(jnp.abs(_safe_div(mu_jb, md_jb)), 1.0)
-    in_scale = (karr >= jt[:, None]) & (karr <= jb[:, None]) & \
+    in_scale = (karr >= _c(jt)) & (karr <= _c(jb)) & \
         _col(active) & _col(jd < jb)
-    md = jnp.where(in_scale, md * ratmjb[:, None], md)
+    md = jnp.where(in_scale, md * _c(ratmjb), md)
 
     # ed and hd (zm_conv.F90:4108-4118): F writes ed(k-1) = (md(k-1)-md(k))/dz
     # for F k >= jt_f, i.e. 0-based ed(j) = (md(j)-md(j+1))/dz(j) for j >= jt-1
-    md_b4 = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)   # md(k+1)
-    in_ed = (karr >= jt[:, None] - 1) & _col(active)
+    md_b4 = _below(md)   # md(k+1)
+    in_ed = (karr >= _c(jt) - 1) & _col(active)
     ed = jnp.where(in_ed, (md - md_b4) / dz, 0.0)
 
     hd0 = hmn
     xsD = dict(md=md, ed=ed, dz=dz, hmn=hmn, hd0=hd0)
-    carryD = dict(hd_p=hmn[:, 0], md_p=jnp.zeros((ncol,), dtype),
+    carryD = dict(hd_p=_lsl(hmn, 0), md_p=jnp.zeros((ncol,), dtype),
                   ed_p=jnp.zeros((ncol,), dtype),
-                  hmn_p=hmn[:, 0], dz_p=dz[:, 0])
+                  hmn_p=_lsl(hmn, 0), dz_p=_lsl(dz, 0))
 
     def hd_step(cy, x, k):
         # F writes hd(i,k) for F k >= jt_f, i.e. 0-based hd(j) for j >= jt:
@@ -967,10 +1047,10 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     _, (hd,) = scan_impl.scan(hd_step, carryD, xsD, reverse=False)
 
     # qds + td (zm_conv.F90:4122-4137)
-    in_qds = (karr >= jd[:, None]) & (karr <= jb[:, None]) & \
+    in_qds = (karr >= _c(jd)) & (karr <= _c(jb)) & \
         _col(active) & _col(jd < jb)
     qds0 = qsthat + gamhat * (hd - hsthat) / (RL * (1.0 + gamhat))
-    td = (hd - GRAV * zf[:, :-1] - (1.0 + DCOL * TFREEZ) * RL * qds0) / \
+    td = (hd - GRAV * zf_top - (1.0 + DCOL * TFREEZ) * RL * qds0) / \
         (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qds0))
     qds = jnp.where(in_qds,
                     qsthat + gamhat * (hd - hsthat) /
@@ -986,7 +1066,7 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     sd_jd = (hd_jd - (1.0 - DCOL * (sd_jd_t - TFREEZ)) * RL * qd_jd) / \
         ((1.0 + CPVIR * qd_jd) * CP)
 
-    qds_b = jnp.concatenate([qds[:, 1:], qds[:, -1:]], axis=1)
+    qds_b = _below(qds)
     xsE = dict(md=md, md_b=md_b4, ed=ed, dz=dz, q=q, s=s, td=td, qds=qds,
                qds_b=qds_b)
     carryE = dict(sd_c=sd_jd, totevp=jnp.zeros((ncol,), dtype))
@@ -1009,7 +1089,7 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
 
     cyE, (sd, qd, evp) = scan_impl.scan(evp_step, carryE, xsE, reverse=False)
     # levels outside [jd, jb): environment values (initialized s, q)
-    out_dd = ~((karr >= jd[:, None]) & (karr <= jb[:, None]))
+    out_dd = ~((karr >= _c(jd)) & (karr <= _c(jb)))
     sd = jnp.where(out_dd, sd0, sd)
     qd = jnp.where(out_dd, qd0, qd)
 
@@ -1025,15 +1105,14 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                                       jnp.where(totevp + totpcp == 0, 1e-30,
                                                 totevp + totpcp)), 0.0)
     in_all = karr >= msg + 1
-    md = jnp.where(in_all, md * fac[:, None], md)
-    ed = jnp.where(in_all, ed * fac[:, None], ed)
-    evp = jnp.where(in_all, evp * fac[:, None], evp)
+    md = jnp.where(in_all, md * _c(fac), md)
+    ed = jnp.where(in_all, ed * _c(fac), ed)
+    evp = jnp.where(in_all, evp * _c(fac), evp)
     cmeg = jnp.where(in_all, cu - evp, 0.0)
     rprd = jnp.where(in_all, rprd - evp, rprd)
 
     # precipitation flux through interfaces (zm_conv.F90:4203-4208)
-    pflx = jnp.concatenate(
-        [jnp.zeros((ncol, 1), dtype), _cumsum_lvl(rprd * dz)], axis=1)
+    pflx = _lcat([_c(jnp.zeros((ncol,), dtype)), _cumsum_lvl(rprd * dz)])
 
     mc = mu + md
 
@@ -1055,9 +1134,9 @@ def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
     Returns mb (ncol,) in mb/s per unit normalized mass flux. All mass-flux
     profile inputs are normalized (mb=1); eu/du/ed are in 1/mb here.
     """
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
-    karr = jnp.arange(pver)[None, :]
+    karr = _karr2(pver)
 
     q_mx = _take_col(q, mx)
     p_mx = _take_col(p, mx)
@@ -1083,25 +1162,25 @@ def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
         (3.5 * jnp.log(t_mx) - jnp.log(eb) - 4.805) ** 2
 
     # cumulus heating/drying per unit mb (zm_conv.F90:4150-4185)
-    mu_b = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
-    md_b = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)
-    mc_b = jnp.concatenate([mc[:, 1:], mc[:, -1:]], axis=1)
-    su_b = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
-    sd_b = jnp.concatenate([sd[:, 1:], sd[:, -1:]], axis=1)
-    qu_b = jnp.concatenate([qu[:, 1:], qu[:, -1:]], axis=1)
-    qd_b = jnp.concatenate([qd[:, 1:], qd[:, -1:]], axis=1)
-    shat_b = jnp.concatenate([shat[:, 1:], shat[:, -1:]], axis=1)
-    qhat_b = jnp.concatenate([qhat[:, 1:], qhat[:, -1:]], axis=1)
-    ql_b = jnp.concatenate([ql[:, 1:], ql[:, -1:]], axis=1)
+    mu_b = _below(mu)
+    md_b = _below(md)
+    mc_b = _below(mc)
+    su_b = _below(su)
+    sd_b = _below(sd)
+    qu_b = _below(qu)
+    qd_b = _below(qd)
+    shat_b = _below(shat)
+    qhat_b = _below(qhat)
+    ql_b = _below(ql)
 
-    at_jt = karr == jt[:, None]
+    at_jt = karr == _c(jt)
     dtmdt_jt = (1.0 / dp) * (mu_b * (su_b - shat_b - RL / CP * ql_b) +
                              md_b * (sd_b - shat_b))
     dqmdt_jt = (1.0 / dp) * (mu_b * (qu_b - qhat_b + ql_b) +
                              md_b * (qd_b - qhat_b))
 
     beta = 0.0
-    in_mid = (karr > jt[:, None]) & (karr < mx[:, None])
+    in_mid = (karr > _c(jt)) & (karr < _c(mx))
     dtmdt_mid = (mc * (shat - s) - mc_b * (shat_b - s)) / dp - \
         RL / CP * du * (beta * ql + (1.0 - beta) * ql_b)
     dqmdt_mid = (mu_b * (qu_b - qhat_b + CP / RL * (su_b - s)) -
@@ -1114,35 +1193,35 @@ def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
     dqmdt = jnp.where(at_jt, dqmdt_jt, jnp.where(in_mid, dqmdt_mid, 0.0))
 
     # dboydt integrand (zm_conv.F90:4188-4238)
-    in_cape = (karr >= lel[:, None]) & (karr <= lcl[:, None])
+    in_cape = (karr >= _c(lel)) & (karr <= _c(lcl))
     thetavp1 = tp * (1000.0 / p) ** (RGAS / CP) * \
-        (1.0 + 1.608 * qstp - q_mx[:, None])
+        (1.0 + 1.608 * qstp - _c(q_mx))
     thetavm = t * (1000.0 / p) ** (RGAS / CP) * (1.0 + 0.608 * q)
     dqsdtp = qstp * (1.0 + qstp / EPS1) * EPS1 * RL / (RGAS * tp ** 2)
-    tl_s = jnp.where(tl <= 0, 1e-30, tl)[:, None]
+    tl_s = _c(jnp.where(tl <= 0, 1e-30, tl))
     dtpdt = tp / (1.0 + RL / CP * (dqsdtp - qstp / tp)) * \
-        (dtbdt[:, None] / t_mx[:, None] +
-         RL / CP * (dqbdt[:, None] / tl_s - q_mx[:, None] / tl_s ** 2 *
-                    dtldt[:, None]))
-    dboydt1 = ((dtpdt / tp + 1.0 / (1.0 + 1.608 * qstp - q_mx[:, None]) *
-                (1.608 * dqsdtp * dtpdt - dqbdt[:, None])) -
+        (_c(dtbdt) / _c(t_mx) +
+         RL / CP * (_c(dqbdt) / tl_s - _c(q_mx) / tl_s ** 2 *
+                    _c(dtldt)))
+    dboydt1 = ((dtpdt / tp + 1.0 / (1.0 + 1.608 * qstp - _c(q_mx)) *
+                (1.608 * dqsdtp * dtpdt - _c(dqbdt))) -
                (dtmdt / t + 0.608 / (1.0 + 0.608 * q) * dqmdt)) * \
         GRAV * thetavp1 / thetavm
 
-    in_sub = (karr > lcl[:, None]) & (karr < mx[:, None])
+    in_sub = (karr > _c(lcl)) & (karr < _c(mx))
     thetavp2 = tp * (1000.0 / p) ** (RGAS / CP) * \
-        (1.0 + 0.608 * q_mx[:, None])
-    dboydt2 = (dtbdt[:, None] / t_mx[:, None] +
-               0.608 / (1.0 + 0.608 * q_mx[:, None]) * dqbdt[:, None] -
+        (1.0 + 0.608 * _c(q_mx))
+    dboydt2 = (_c(dtbdt) / _c(t_mx) +
+               0.608 / (1.0 + 0.608 * _c(q_mx)) * _c(dqbdt) -
                dtmdt / t - 0.608 / (1.0 + 0.608 * q) * dqmdt) * \
         GRAV * thetavp2 / thetavm
 
     dboydt = jnp.where(in_cape, dboydt1, jnp.where(in_sub, dboydt2, 0.0))
 
     # integrate dA/dt and close (zm_conv.F90:4243-4257)
-    dzf = zf[:, :-1] - zf[:, 1:]
-    seg = (karr >= lel[:, None]) & (karr <= mx[:, None] - 1)
-    dadt = _canon(jnp.sum(jnp.where(seg, dboydt * dzf, 0.0), axis=1))
+    dzf = _lsl(zf, slice(None, -1)) - _lsl(zf, slice(1, None))
+    seg = (karr >= _c(lel)) & (karr <= _c(mx) - 1)
+    dadt = _lsum(jnp.where(seg, dboydt * dzf, 0.0))
     dltaa = -(cape - cfg.capelmt)
     mb = jnp.where(dadt != 0.0, jnp.maximum(dltaa / (cfg.tau * dadt), 0.0), 0.0)
     return mb
@@ -1159,21 +1238,21 @@ def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
     Returns (dqdt, dsdt, dl) on gathered==all columns, units /s (dsdt in
     normalized dry static energy per s, i.e. K-equivalent)."""
     evp, cu = dl_evp_cu
-    ncol, pver = q.shape
-    karr = jnp.arange(pver)[None, :]
+    ncol, pver = _shape_cp(q)
+    karr = _karr2(pver)
 
-    mu_b = jnp.concatenate([mu[:, 1:], mu[:, -1:]], axis=1)
-    md_b = jnp.concatenate([md[:, 1:], md[:, -1:]], axis=1)
-    su_b = jnp.concatenate([su[:, 1:], su[:, -1:]], axis=1)
-    sd_b = jnp.concatenate([sd[:, 1:], sd[:, -1:]], axis=1)
-    qu_b = jnp.concatenate([qu[:, 1:], qu[:, -1:]], axis=1)
-    qd_b = jnp.concatenate([qd[:, 1:], qd[:, -1:]], axis=1)
-    shat_b = jnp.concatenate([shat[:, 1:], shat[:, -1:]], axis=1)
-    qhat_b = jnp.concatenate([qhat[:, 1:], qhat[:, -1:]], axis=1)
-    ql_b = jnp.concatenate([ql[:, 1:], ql[:, -1:]], axis=1)
+    mu_b = _below(mu)
+    md_b = _below(md)
+    su_b = _below(su)
+    sd_b = _below(sd)
+    qu_b = _below(qu)
+    qd_b = _below(qd)
+    shat_b = _below(shat)
+    qhat_b = _below(qhat)
+    ql_b = _below(ql)
 
     emc = -cu + evp
-    in_main = (karr >= jt[:, None]) & (karr <= pver - 2)
+    in_main = (karr >= _c(jt)) & (karr <= pver - 2)
     dsdt = jnp.where(in_main,
                      -RL / CP * emc +
                      (mu_b * (su_b - shat_b) - mu * (su - shat) +
@@ -1198,9 +1277,9 @@ def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
                                md_mx * (sd_mx - shat_mx))
     dqdt_sub = (1.0 / dsub) * (-mu_mx * (qu_mx - qhat_mx) -
                                md_mx * (qd_mx - qhat_mx))
-    below = karr >= mx[:, None]
-    dsdt = jnp.where(below, dsdt_sub[:, None], dsdt)
-    dqdt = jnp.where(below, dqdt_sub[:, None], dqdt)
+    below = karr >= _c(mx)
+    dsdt = jnp.where(below, _c(dsdt_sub), dsdt)
+    dqdt = jnp.where(below, _c(dqdt_sub), dqdt)
     return dqdt, dsdt, dl
 
 
@@ -1250,22 +1329,22 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     interface passes 0.5*ztodt, zm_conv_intr.F90:666). `msg` is the number
     of excluded top levels (= F limcnv-1).
     """
-    ncol, pver = t.shape
+    ncol, pver = _shape_cp(t)
     dtype = t.dtype
-    karr = jnp.arange(pver)[None, :]
+    karr = _karr2(pver)
 
     # geometry in mb / m incl. surface elevation (zm_conv.F90:822-843)
     zs = geos * RGRAV
     p = pap * 0.01
     pf = paph * 0.01
-    z = zm_ + zs[:, None]
-    zf = zi_ + zs[:, None]
+    z = zm_ + _c(zs)
+    zf = zi_ + _c(zs)
     dp = 0.01 * dpp
 
     # PBL top level index (zm_conv.F90:845-849): smallest k whose midpoint is
     # within half a layer of the PBL height
-    near = jnp.abs(z - zs[:, None] - pblh[:, None]) < \
-        (zf[:, :-1] - zf[:, 1:]) * 0.5
+    near = jnp.abs(z - _c(zs) - _c(pblh)) < \
+        (_lsl(zf, slice(None, -1)) - _lsl(zf, slice(1, None))) * 0.5
     near = near & (karr >= msg) & (karr <= pver - 2)
     pblt, _ = _first_true_from_top(near, jnp.full((ncol,), pver - 1, jnp.int32))
     pblt = pblt.astype(dtype)
@@ -1274,7 +1353,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     # scaled dry static energy s = T + g z /((1+zvir q) cp)  (tht, :855-858)
     s = t + (GRAV / ((1.0 + c.ZVIR * q) * CP)) * z
 
-    dmpdz0 = jnp.full((ncol, pver), -cfg.tentrm, dtype)
+    dmpdz0 = _bfull(jnp.full((ncol,), -cfg.tentrm, dtype), pver)
 
     b1 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
                        landfrac, dmpdz0, scan_impl=scan_impl)
@@ -1302,12 +1381,12 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     if cfg.second_call:
         # diagnose entrainment from eu (zm_conv.F90:1046-1078): mean of eu>0
         has_eu = (c1.eu > 0.0) & _col(ideep1)
-        cnt = _canon(jnp.sum(has_eu, axis=1))
-        dmsm = -_canon(jnp.sum(jnp.where(has_eu, c1.eu, 0.0), axis=1)) / \
+        cnt = _lsum(has_eu)
+        dmsm = -_lsum(jnp.where(has_eu, c1.eu, 0.0)) / \
             jnp.where(cnt == 0, 1, cnt)
         dmpdz2_col = jnp.where(ideep1, jnp.where(cnt > 0, dmsm, -1.0),
                                -cfg.tentrm)
-        dmpdz2 = jnp.broadcast_to(dmpdz2_col[:, None], (ncol, pver))
+        dmpdz2 = _bfull(dmpdz2_col, pver)
 
         b2 = buoyan_dilute(cfg, msg, q, t, p, z, pf, zi_, zs, pblt, tpert,
                            landfrac, dmpdz2, scan_impl=scan_impl)
@@ -1320,15 +1399,14 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
         eurt = -dmpdz2
 
     mask = ideep
-    maskf = mask.astype(dtype)[:, None]
+    maskf = _c(mask.astype(dtype))
 
     mx = buoy_used.mx
     jt = cld.jt
-    dz = zf[:, :-1] - zf[:, 1:]
+    dz = _lsl(zf, slice(None, -1)) - _lsl(zf, slice(1, None))
 
     # subcloud thickness (zm_conv.F90:990-997)
-    dsubcld = _canon(jnp.sum(jnp.where((karr >= mx[:, None]) & (karr >= msg),
-                                       dp, 0.0), axis=1))
+    dsubcld = _lsum(jnp.where((karr >= _c(mx)) & (karr >= msg), dp, 0.0))
 
     # convert 1/m -> 1/mb (zm_conv.F90:1252-1262)
     fac_mb = dz / dp
@@ -1347,8 +1425,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
                  jt, mx)
 
     # CFL cap (zm_conv.F90:1285-1300)
-    mumax = _canon(jnp.max(jnp.where(karr >= msg + 1, cld.mu / dp, 0.0),
-                           axis=1))
+    mumax = _lmax(jnp.where(karr >= msg + 1, cld.mu / dp, 0.0))
     mb = jnp.where(mumax > 0.0,
                    jnp.minimum(mb, 0.5 / (delt * jnp.where(mumax <= 0, 1e30,
                                                            mumax))), 0.0)
@@ -1358,7 +1435,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     mb = jnp.where(mask, mb, 0.0)
 
     # scale by mb (zm_conv.F90:1319-1331)
-    mbk = mb[:, None]
+    mbk = _c(mb)
     mu = cld.mu * mbk
     md = cld.md * mbk
     mc = cld.mc * mbk
@@ -1369,9 +1446,9 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     rprdg = rprdg * mbk
     cu = cu * mbk
     evpg = evpg * mbk
-    pflxg = jnp.concatenate(
-        [jnp.zeros((ncol, 1), dtype),
-         cld.pflx[:, 1:] * mbk * 100.0 / GRAV], axis=1)
+    pflxg = _lcat(
+        [_c(jnp.zeros((ncol,), dtype)),
+         _lsl(cld.pflx, slice(1, None)) * mbk * 100.0 / GRAV])
 
     dqdt, dsdt, dlg = q1q2_pjr(msg, q, cld.qst, cld.qu, cld.su, du, qhat,
                                shat, dp, mu, md, cld.sd, cld.qd, cld.qcde,
@@ -1389,20 +1466,19 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     cmeg = cmeg * maskf
     rprdg = rprdg * maskf
     evpg = evpg * maskf
-    pflxg = pflxg * mask.astype(dtype)[:, None]
+    pflxg = pflxg * _c(mask.astype(dtype))
     qlg = cld.ql * maskf
 
     # precipitation from column moisture change (zm_conv.F90:1495-1640)
     q_new = qh + 2.0 * delt * dqdt
-    prec = _canon(jnp.sum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt,
-                          axis=1))
+    prec = _lsum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt)
     prec = RGRAV * jnp.maximum(prec, 0.0) / (2.0 * delt) / 1000.0
 
     # reserved liquid (zm_conv.F90:1645-1652)
-    rliq = _canon(jnp.sum(dlg * dpp / GRAV, axis=1)) / 1000.0
+    rliq = _lsum(dlg * dpp / GRAV) / 1000.0
     rice = jnp.zeros_like(rliq)
 
-    mcon = jnp.concatenate([mc * maskf, jnp.zeros((ncol, 1), dtype)], axis=1)
+    mcon = _lcat([mc * maskf, _c(jnp.zeros((ncol,), dtype))])
 
     jctop = jnp.where(mask, jt, pver - 1)
     jcbot = jnp.where(mask, mx, 0)

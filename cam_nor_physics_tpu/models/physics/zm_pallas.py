@@ -81,10 +81,12 @@ class _PallasScan:
         if len(names) > len(self.xs_refs):
             raise ValueError(f"xs pool too small: {len(names)} arrays")
         first = xs[names[0]]
-        bc, nk = first.shape
+        bc, nk = zc._shape_cp(first)
         in_dtypes = [xs[n].dtype for n in names]
         for r, n in zip(self.xs_refs, names):
-            r[0:nk, :] = xs[n].astype(jnp.float32).T
+            # level-major (_LM) xs are already (nk, bc) rows
+            v = xs[n].astype(jnp.float32)
+            r[0:nk, :] = v if zc._LM else v.T
 
         ys_sd = jax.eval_shape(
             step, carry,
@@ -105,8 +107,12 @@ class _PallasScan:
             return cy
 
         carry = jax.lax.fori_loop(0, nk, body, carry)
-        ys_out = tuple(self.ys_refs[j][0:nk, :].T.astype(ys_sd[j].dtype)
-                       for j in range(n_ys))
+        if zc._LM:
+            ys_out = tuple(self.ys_refs[j][0:nk, :].astype(ys_sd[j].dtype)
+                           for j in range(n_ys))
+        else:
+            ys_out = tuple(self.ys_refs[j][0:nk, :].T.astype(ys_sd[j].dtype)
+                           for j in range(n_ys))
         return carry, ys_out
 
 
@@ -161,6 +167,9 @@ def _kernel(cfg, msg, delt, refs):
     # 1-D (ncol,) values cannot be standalone Pallas operands (XLA tiles
     # them T(1024) vs Mosaic's T(512)) — scalars ride as ROWS of stacked
     # (n, ncol) f32 arrays; row reads/writes have the canonical layout.
+    # The kernel runs zm_convr in the LEVEL-MAJOR (pver, bc) layout
+    # (zm_conv._LM): columns in the minor/lane dimension give full vector
+    # registers (the (bc, 26) layout padded 26 -> 128 lanes, 20% occupancy).
     n_in = 8
     ins = refs[:n_in]
     outs2d = refs[n_in:n_in + len(_OUT_2D)]
@@ -174,11 +183,13 @@ def _kernel(cfg, msg, delt, refs):
     scal = ins[7]
     geos, pblh, tpert, landfrac = (scal[j, :] for j in range(len(_SCAL_IN)))
     zc._CANON_HOOK = canon
+    zc._LM = True
     try:
         out = zc.zm_convr(cfg, msg, t, qh, pap, paph, dpp, zm_, geos, zi_,
                           pblh, tpert, landfrac, delt, scan_impl=impl)
     finally:
         zc._CANON_HOOK = None
+        zc._LM = False
     for ref, (name, _, dt) in zip(outs2d, _OUT_2D):
         ref[...] = getattr(out, name).astype(dt)
     for j, (name, _, dt) in enumerate(_OUT_SC):
@@ -208,15 +219,16 @@ def zm_convr_pallas(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_,
                                                       (pad,) + a.shape[1:])],
                                  axis=0)
 
-    t_, qh_, pap_, dpp_, zmid_ = map(padc, (t, qh, pap, dpp, zm_))
-    paph_, zi2_ = map(padc, (paph, zi_))
+    # level-major kernel operands: (pver, ncp) with columns in the lane dim
+    t_, qh_, pap_, dpp_, zmid_ = (padc(a).T for a in (t, qh, pap, dpp, zm_))
+    paph_, zi2_ = (padc(a).T for a in (paph, zi_))
     geos_, pblh_, tpert_, lf_ = map(padc, (geos, pblh, tpert, landfrac))
     ncp = ncol + pad
     grid = ncp // bc
 
-    sp_m = pl.BlockSpec((bc, pver), lambda i: (i, 0),
+    sp_m = pl.BlockSpec((pver, bc), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    sp_i = pl.BlockSpec((bc, pver + 1), lambda i: (i, 0),
+    sp_i = pl.BlockSpec((pver + 1, bc), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     sp_sin = pl.BlockSpec((len(_SCAL_IN), bc), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
@@ -230,10 +242,10 @@ def zm_convr_pallas(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_,
     out_shapes, out_specs = [], []
     for _, kind, dt in _OUT_2D:
         if kind == "m":
-            out_shapes.append(jax.ShapeDtypeStruct((ncp, pver), dt))
+            out_shapes.append(jax.ShapeDtypeStruct((pver, ncp), dt))
             out_specs.append(sp_m)
         else:
-            out_shapes.append(jax.ShapeDtypeStruct((ncp, pver + 1), dt))
+            out_shapes.append(jax.ShapeDtypeStruct((pver + 1, ncp), dt))
             out_specs.append(sp_i)
     out_shapes.append(jax.ShapeDtypeStruct((len(_OUT_SC), ncp), jnp.float32))
     out_specs.append(sp_sout)
@@ -254,7 +266,7 @@ def zm_convr_pallas(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_,
 
     vals = {}
     for (name, kind, dt), v in zip(_OUT_2D, raw[:-1]):
-        vals[name] = v[:ncol]
+        vals[name] = v.T[:ncol]
     sc = raw[-1]
     for j, (name, kind, dt) in enumerate(_OUT_SC):
         v = sc[j, :ncol]
