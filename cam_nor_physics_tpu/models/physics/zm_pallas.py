@@ -198,7 +198,7 @@ def _kernel(cfg, msg, delt, refs):
 
 def zm_convr_pallas(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_,
                     geos, zi_, pblh, tpert, landfrac, delt,
-                    block_cols: int = 256) -> "zc.ZMConvOut":
+                    block_cols: int = 512) -> "zc.ZMConvOut":
     """zm_convr as one fused Pallas program per `block_cols` column block.
 
     Columns are padded (edge-replicated) to a multiple of block_cols and

@@ -165,12 +165,13 @@ class ZMConfig:
     precip_sweeps: int = 3     # fixed-point sweeps in the batched adjustment
     # Fused Pallas mega-kernel for zm_convr (models/physics/zm_pallas.py):
     # the whole core (both buoyan/cldprp passes, closure, q1q2) runs as one
-    # program per column block. EXPERIMENTAL, default OFF: in the verbatim
-    # (cols, pver) layout the kernel pads 26 levels to 128 lanes (~20% vreg
-    # utilization) and Mosaic serializes grid blocks, so it measures ~12 ms
-    # vs ~7 ms XLA at 13824x26 — a (pver, cols)-major kernel layout is the
-    # known fix (future work). True enables; "auto" currently = False.
-    use_pallas: bool | str = False
+    # LEVEL-MAJOR (pver, cols) program per column block — columns in the
+    # lane dimension give full vector registers. Measured 3.9 ms vs 5.9 ms
+    # XLA at 13824x26 f32 (single chip, bc=512); trigger agreement 99.98%
+    # with differences confined to marginal trigger-flip columns
+    # (Mosaic-vs-XLA transcendental ULPs). "auto" = on for single-chip TPU
+    # float32 with the fixed-count inversion solver; False forces XLA.
+    use_pallas: bool | str = "auto"
     # Fused Pallas kernel for the ZM tail (evap + momtran + convtran,
     # models/physics/zm_tail_pallas.py): (pver, cols)-major layout with
     # statically unrolled level recursions. "auto" = on for single-chip TPU
