@@ -139,7 +139,12 @@ def main():
         jnp.zeros((ncol, pver), dtype), q, jnp.zeros((ncol,), dtype))
     pbuf = pbuf_register(zm_pbuf_specs(ncol, pver), dtype).set(
         "CLD", jnp.full((ncol, pver), 0.1, dtype))
-    zcfg = ZMConfig()
+    # The bench explicitly opts in to the ZM Pallas mega-kernel ("auto" =
+    # single-chip TPU f32 only). It is off by default package-wide because
+    # trigger decisions flip on ~0.02% of columns vs the validated XLA path
+    # (Mosaic-vs-XLA transcendental ULPs) — an accepted, documented
+    # divergence for the performance configuration.
+    zcfg = ZMConfig(use_pallas="auto")
     pblh = jnp.full((ncol,), 800.0, dtype)
     tpert = jnp.full((ncol,), 0.3, dtype)
     landfrac = jnp.ones((ncol,), dtype)

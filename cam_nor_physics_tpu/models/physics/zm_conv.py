@@ -26,6 +26,8 @@ until scaled by `mb` (mb/s).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 
 import jax
@@ -61,46 +63,69 @@ def _safe_div(a, b, eps=1.0e-300):
 # (zm_pallas.py) installs a hook that round-trips such values through a
 # VMEM scratch row, forcing the canonical layout; the XLA path leaves it
 # None (identity). Applied at every reduction that yields a per-column
-# scalar on the zm_convr path.
-_CANON_HOOK = None
+# scalar on the zm_convr path. Carried in a contextvar (NOT a module
+# global) so concurrent/re-entrant traces of the XLA path while a Pallas
+# kernel traces cannot observe each other's state.
+_CANON_VAR = contextvars.ContextVar("zm_canon_hook", default=None)
 
 
 def _canon(v):
-    return _CANON_HOOK(v) if _CANON_HOOK is not None else v
+    hook = _CANON_VAR.get()
+    return hook(v) if hook is not None else v
 
 
 # ---------------------------------------------------------------------------
 # Layout abstraction. The zm_convr path runs in one of two array layouts:
-#   _LM = False : (ncol, pver) — column-major, the package-surface layout
-#   _LM = True  : (pver, ncol) — level-major, used INSIDE the Pallas TPU
+#   _lm() False : (ncol, pver) — column-major, the package-surface layout
+#   _lm() True  : (pver, ncol) — level-major, used INSIDE the Pallas TPU
 #                 mega-kernel, where columns must live in the minor (lane)
 #                 dimension for full vector-register utilization (pver=26
 #                 in the minor dim pads to 128 lanes = 20% occupancy).
 # Every level-axis-dependent construct goes through the helpers below, so
 # both layouts trace from the same code; reduction/scan element order along
 # levels is identical, making the two layouts bitwise comparable.
+# The flag lives in a contextvar, set via `layout_ctx`, so traces on other
+# threads/contexts always see their own layout.
 # ---------------------------------------------------------------------------
-_LM = False
+_LM_VAR = contextvars.ContextVar("zm_level_major", default=False)
+
+
+def _lm() -> bool:
+    return _LM_VAR.get()
+
+
+@contextlib.contextmanager
+def layout_ctx(level_major: bool, canon=None):
+    """Scope the array layout (and optional canonicalization hook) for
+    zm_convr tracing. Used by the Pallas mega-kernel (level_major=True)
+    and by layout-equivalence tests."""
+    t1 = _LM_VAR.set(level_major)
+    t2 = _CANON_VAR.set(canon)
+    try:
+        yield
+    finally:
+        _CANON_VAR.reset(t2)
+        _LM_VAR.reset(t1)
 
 
 def _lax_():
-    return 0 if _LM else 1
+    return 0 if _lm() else 1
 
 
 def _shape_cp(a):
     """(ncol, nk) of a 2-D state array in either layout."""
-    return (a.shape[1], a.shape[0]) if _LM else (a.shape[0], a.shape[1])
+    return (a.shape[1], a.shape[0]) if _lm() else (a.shape[0], a.shape[1])
 
 
 def _c(v):
     """Column scalar (ncol,) -> broadcastable against state arrays."""
-    return v[None, :] if _LM else v[:, None]
+    return v[None, :] if _lm() else v[:, None]
 
 
 def _karr2(nk):
     """Level iota broadcastable against state arrays."""
     k = jnp.arange(nk)
-    return k[:, None] if _LM else k[None, :]
+    return k[:, None] if _lm() else k[None, :]
 
 
 def _lsum(a):
@@ -121,7 +146,7 @@ def _lany(a):
 
 def _lsl(a, sl):
     """Slice along the level axis."""
-    return a[sl] if _LM else a[:, sl]
+    return a[sl] if _lm() else a[:, sl]
 
 
 def _lcat(parts):
@@ -139,13 +164,13 @@ def _above(a):
 
 
 def _zfull(ncol, nk, dtype):
-    return jnp.zeros((nk, ncol) if _LM else (ncol, nk), dtype)
+    return jnp.zeros((nk, ncol) if _lm() else (ncol, nk), dtype)
 
 
 def _bfull(v, nk):
     """Broadcast a column scalar (ncol,) to a full state array."""
     ncol = v.shape[0]
-    return jnp.broadcast_to(_c(v), (nk, ncol) if _LM else (ncol, nk))
+    return jnp.broadcast_to(_c(v), (nk, ncol) if _lm() else (ncol, nk))
 
 
 def _take_col(arr, idx):
@@ -189,7 +214,7 @@ def _cumsum_lvl(x, reverse: bool = False):
     tri = (i[:, None] >= i[None, :]) if reverse else (i[:, None] <= i[None, :])
     # HIGHEST precision: the default MXU f32 matmul runs bf16 passes, which
     # corrupts the ascent suffix-sums enough to flip trigger/level decisions
-    if _LM:
+    if _lm():
         # out[k, i] = sum_k' tri[k, k'] x[k', i]
         return jnp.dot(tri.astype(x.dtype).T, x,
                        precision=jax.lax.Precision.HIGHEST)
@@ -209,11 +234,11 @@ class _XlaScan:
     def scan(self, step, carry, xs: dict, reverse: bool = False):
         nk = next(iter(xs.values())).shape[_lax_()]
         ks = jnp.arange(nk)
-        # scan consumes (nk, ncol) rows: already level-major under _LM
-        xs_T = xs if _LM else {k: v.T for k, v in xs.items()}
+        # scan consumes (nk, ncol) rows: already level-major under _lm()
+        xs_T = xs if _lm() else {k: v.T for k, v in xs.items()}
         carry, ys = jax.lax.scan(lambda cy, xk: step(cy, xk[0], xk[1]),
                                  carry, (xs_T, ks), reverse=reverse)
-        return carry, tuple(y if _LM else y.T for y in ys)
+        return carry, tuple(y if _lm() else y.T for y in ys)
 
 
 LAX_SCAN = _XlaScan()

@@ -84,9 +84,9 @@ class _PallasScan:
         bc, nk = zc._shape_cp(first)
         in_dtypes = [xs[n].dtype for n in names]
         for r, n in zip(self.xs_refs, names):
-            # level-major (_LM) xs are already (nk, bc) rows
+            # level-major xs are already (nk, bc) rows
             v = xs[n].astype(jnp.float32)
-            r[0:nk, :] = v if zc._LM else v.T
+            r[0:nk, :] = v if zc._lm() else v.T
 
         ys_sd = jax.eval_shape(
             step, carry,
@@ -107,7 +107,7 @@ class _PallasScan:
             return cy
 
         carry = jax.lax.fori_loop(0, nk, body, carry)
-        if zc._LM:
+        if zc._lm():
             ys_out = tuple(self.ys_refs[j][0:nk, :].astype(ys_sd[j].dtype)
                            for j in range(n_ys))
         else:
@@ -182,14 +182,9 @@ def _kernel(cfg, msg, delt, refs):
     (t, qh, pap, paph, dpp, zm_, zi_) = [r[...] for r in ins[:7]]
     scal = ins[7]
     geos, pblh, tpert, landfrac = (scal[j, :] for j in range(len(_SCAL_IN)))
-    zc._CANON_HOOK = canon
-    zc._LM = True
-    try:
+    with zc.layout_ctx(level_major=True, canon=canon):
         out = zc.zm_convr(cfg, msg, t, qh, pap, paph, dpp, zm_, geos, zi_,
                           pblh, tpert, landfrac, delt, scan_impl=impl)
-    finally:
-        zc._CANON_HOOK = None
-        zc._LM = False
     for ref, (name, _, dt) in zip(outs2d, _OUT_2D):
         ref[...] = getattr(out, name).astype(dt)
     for j, (name, _, dt) in enumerate(_OUT_SC):
@@ -282,11 +277,16 @@ def zm_convr_dispatch(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_,
                       geos, zi_, pblh, tpert, landfrac, delt):
     """zm_convr with automatic Pallas/XLA path selection (ZMConfig.use_pallas:
     'auto' | True | False)."""
-    flag = getattr(cfg, "use_pallas", "auto")
+    flag = getattr(cfg, "use_pallas", False)
     if flag == "auto":
         on = use_pallas_zm(cfg, t.dtype, delt)
     else:
         on = bool(flag)
+        if on and not isinstance(delt, (int, float)):
+            # the kernel needs a trace-static delt (float(delt) inside
+            # pallas_call would raise ConcretizationTypeError) — fall back
+            # to the identical XLA path rather than erroring deep in Mosaic
+            on = False
     if on:
         return zm_convr_pallas(cfg, msg, t, qh, pap, paph, dpp, zm_, geos,
                                zi_, pblh, tpert, landfrac, delt)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -169,9 +170,15 @@ class ZMConfig:
     # lane dimension give full vector registers. Measured 3.9 ms vs 5.9 ms
     # XLA at 13824x26 f32 (single chip, bc=512); trigger agreement 99.98%
     # with differences confined to marginal trigger-flip columns
-    # (Mosaic-vs-XLA transcendental ULPs). "auto" = on for single-chip TPU
-    # float32 with the fixed-count inversion solver; False forces XLA.
-    use_pallas: bool | str = "auto"
+    # (Mosaic-vs-XLA transcendental ULPs). Because the kernel is NOT
+    # bitwise vs the validated XLA path (marginal trigger flips on ~0.02%
+    # of real-atmosphere columns), the DEFAULT IS OFF: enable explicitly
+    # with use_pallas="auto"/True or the CAM_ZM_PALLAS=1 environment
+    # opt-in. "auto" = on for single-chip TPU float32 with the fixed-count
+    # inversion solver; False forces XLA.
+    use_pallas: bool | str = field(
+        default_factory=lambda: "auto" if os.environ.get(
+            "CAM_ZM_PALLAS", "0") == "1" else False)
     # Fused Pallas kernel for the ZM tail (evap + momtran + convtran,
     # models/physics/zm_tail_pallas.py): (pver, cols)-major layout with
     # statically unrolled level recursions. "auto" = on for single-chip TPU

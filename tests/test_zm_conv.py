@@ -259,3 +259,36 @@ class TestParcelImplEquivalence:
         a, b = self._pair(unstable=False)
         assert not np.any(np.asarray(a.ideep))
         assert not np.any(np.asarray(b.ideep))
+
+
+class TestLayoutEquivalence:
+    """ADVICE r1: the level-major (pver, ncol) layout — used inside the
+    Pallas TPU mega-kernel — must be CPU-testable and tightly equal to the
+    column-major package-surface layout (both trace the same zm_conv code
+    through the layout helpers; see zm_conv.layout_ctx)."""
+
+    @pytest.mark.parametrize("unstable", [True, False])
+    def test_level_major_matches_column_major(self, unstable):
+        import dataclasses
+        s = make_sounding(ncol=8, unstable=unstable, seed=3)
+        cfg = ZMConfig()
+        args_cm = (s["t"], s["q"], s["pmid"], s["pint"], s["pdel"], s["zm"],
+                   s["geos"], s["zi"], s["pblh"], s["tpert"], s["landfrac"])
+        out_cm = zm.zm_convr(cfg, MSG, *args_cm[:6], s["geos"], s["zi"],
+                             s["pblh"], s["tpert"], s["landfrac"], 900.0)
+        lm = [a.T if a.ndim == 2 else a for a in args_cm]
+        with zm.layout_ctx(level_major=True):
+            out_lm = zm.zm_convr(cfg, MSG, lm[0], lm[1], lm[2], lm[3],
+                                 lm[4], lm[5], lm[6], lm[7], lm[8], lm[9],
+                                 lm[10], 900.0)
+        for f in dataclasses.fields(out_cm):
+            a = np.asarray(getattr(out_cm, f.name))
+            b = np.asarray(getattr(out_lm, f.name))
+            if b.ndim == 2:
+                b = b.T
+            # ULP-level tolerance: the triangular-matmul cumsums reduce in
+            # transposed order between the two layouts (few-ULP f64 drift
+            # observed only in pflx, max rel 3e-16)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-13, atol=1e-18,
+                err_msg=f"layout mismatch in {f.name}")

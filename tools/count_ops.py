@@ -3,10 +3,11 @@
 Under the axon tunnel each executed XLA thunk costs ~1.5-5 us of dispatch,
 so entry-computation op count (plus while-body counts, which re-dispatch per
 iteration) is the proxy for the dispatch floor of a step."""
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -104,4 +105,5 @@ def main():
     count("zm_convr", zmcore, pstate, pblh, tpert, landfrac)
 
 
-main()
+if __name__ == "__main__":
+    main()
