@@ -164,14 +164,35 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             ke_method: str = "centered", del2_velocity: float = 0.0,
             c_sw_pgf: bool = False, filter_dm: bool = False,
             filter_csw_dm: bool = False, use_pallas: bool = True,
-            return_debug: bool = False):
+            mesh=None, return_debug: bool = False):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy).
 
     `return_debug` adds the wind-update term decomposition (half-step
     kicks, vorticity fluxes, PGF pieces, damping) to the diagnostics for
-    stability forensics."""
-    if (use_pallas and not filter_dm and not filter_csw_dm):
+    stability forensics. With `mesh` (a ('y','x') Mesh, y-sharded inputs)
+    the transport/vorticity kernels run as shard_map Pallas strips
+    (parallel/shard_stencil.py) instead of the auto-partitioned jnp path."""
+    jm_ = state.delp.shape[-2]
+    from ...parallel.shard_stencil import use_sharded_pallas
+    sharded = (use_pallas and use_sharded_pallas(mesh)
+               and jm_ % mesh.shape['y'] == 0
+               and jm_ // mesh.shape['y'] >= 8)
+    if sharded:
+        from functools import partial as _pt
+
+        from ...parallel.shard_stencil import (sharded_transport3d,
+                                               sharded_vort_flux3d)
+        transport = _pt(sharded_transport3d, mesh)
+        vort_flux = _pt(sharded_vort_flux3d, mesh)
+    else:
+        def transport(*a, **kw):
+            return transport3d(*a, **kw, prefer_pallas=use_pallas)
+
+        def vort_flux(*a, **kw):
+            return vort_flux3d(*a, **kw, prefer_pallas=use_pallas)
+    if (use_pallas and not sharded and not filter_dm
+            and not filter_csw_dm):
         from .cd_pallas import cd_step_fused, use_fused_cd
         if use_fused_cd(grid, dyn_filter, c_sw_pgf, ke_method, filter_impl,
                         return_debug):
@@ -215,9 +236,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         va_c2 = 0.5 * (cry_c + edge_north(cry_c))
         ffsl_c = jnp.max(jnp.abs(crx_c), axis=-1) > 1.0
 
-        ddp_c, dpt_c, _, _ = transport3d(
+        ddp_c, dpt_c, _, _ = transport(
             delp, pt, crx_c, cry_c, yfx_c, va_c2, ffsl_c, cosp, acosp,
-            grid.rcap, 1, 1, prefer_pallas=use_pallas, band=band5)
+            grid.rcap, 1, 1, **({} if sharded else dict(band=band5)))
         if dyn_filter and filter_csw_dm:
             # polar-filter the half-step mass/pt increments (the reference
             # cd_core filters the c_sw products delpf/ptc with pft2d before
@@ -302,9 +323,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     # ---- transport delp (mass) and pt with tp2c/tp2d ----
     # (pt advected as mixing-ratio-like with the same mass fluxes, id=1;
     # fused per-level Pallas kernel on single-chip TPU, vmapped jnp else)
-    ddp, dpt, mfx, mfy = transport3d(
+    ddp, dpt, mfx, mfy = transport(
         delp, pt, crx, cry, yfx, va_c, ffsl, cosp, acosp, grid.rcap,
-        iord, jord, prefer_pallas=use_pallas, band=band1)
+        iord, jord, **({} if sharded else dict(band=band1)))
     if dyn_filter and filter_dm:
         # EXPERIMENTAL: polar-filter the mass/pt transport increments too.
         # The wind-tendency filter alone leaves near-pole zonal delp/pt
@@ -378,9 +399,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
     # at west edges (xtp) with uc·dt — fused per level
     v_c4 = _corner_from_center(0.5 * (v + jnp.roll(v, -1, axis=-1)))
     v_edge = 0.5 * (v_c4 + jnp.roll(v_c4, -1, axis=-1))
-    fx_z, fy_z = vort_flux3d(zeta_a, crx, cry, uc * dt, v_edge * dt, ffsl,
-                             cosp, iord, jord, prefer_pallas=use_pallas,
-                             band=band1)
+    fx_z, fy_z = vort_flux(zeta_a, crx, cry, uc * dt, v_edge * dt, ffsl,
+                           cosp, iord, jord,
+                           **({} if sharded else dict(band=band1)))
 
     # gradients via corner-averaged fields (half-cell differences; a centered
     # 2Δx stencil would admit a checkerboard null space)

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import tp_core as tp
-from ...ops.pallas_kernels import _MAX_SLAB_CELLS
+from ...ops.pallas_kernels import (_band_ffsl, _tpu_params, band_plan,
+                                   use_pallas)
 from ...ops.tp_core import _rollx, _rolly, edge_north, wset_interior, wset_row
 from ...utils import constants as c
 from .grid import FVGrid
@@ -53,12 +54,11 @@ def use_fused_cd(grid, dyn_filter: bool, c_sw_pgf: bool, ke_method: str,
         return False
     if getattr(grid, "dft_fc", None) is None:
         return False          # grid built before the DFT tables existed
-    try:
-        return (jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-                and grid.jm * grid.im <= _MAX_SLAB_CELLS)
-    except Exception:
+    if not use_pallas():
         return False
+    # whole-slab or j-banded (band_plan); [] = banding infeasible (im too
+    # wide for a useful band under the VMEM cap) -> XLA path
+    return band_plan(grid.jm, grid.im) != []
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +355,8 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     Same returns as cd_core.cd_step."""
     from jax.experimental import pallas as pl
 
+    from ...ops.pallas_kernels import _run_banded
+
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
     km, jm, im = delp.shape
     dtype = delp.dtype
@@ -363,7 +365,45 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     dt5 = 0.5 * dt
     nu = div2_coef_nd * (c.REARTH * dp_) ** 2 / dt
 
-    slab, vec, m_f, m_g, m_r = _specs(km, jm, im, nf, dtype)
+    plan = band_plan(jm, im)
+
+    def banded(make_kern, ins, kinds, n_out, nb_ffsl=None):
+        """Run one fused kernel whole-slab or j-banded. `make_kern(jml,
+        band)` builds the kernel for a jml-row slab with the per-slab FFSL
+        restriction; `kinds` tags each input: 's' (km, jm, im) slab,
+        'v' (1, jm) row vector, 'r' (jm, nf) filter response rows,
+        'F'/'G' full DFT factor matrices."""
+        def one(slo, shi, bnd):
+            jml = shi - slo
+            slab_l, vec_l, m_f_l, m_g_l, m_r_l = _specs(km, jml, im, nf,
+                                                        dtype)
+            spec_of = {'s': slab_l, 'v': vec_l, 'r': m_r_l,
+                       'F': m_f_l, 'G': m_g_l}
+            sliced = []
+            for a, k in zip(ins, kinds):
+                if k in ('s', 'v'):
+                    sliced.append(a[:, slo:shi])
+                elif k == 'r':
+                    sliced.append(a[slo:shi])
+                else:
+                    sliced.append(a)
+            out_sh = tuple(jax.ShapeDtypeStruct((km, jml, im), dtype)
+                           for _ in range(n_out))
+            return pl.pallas_call(
+                make_kern(jml, bnd), grid=(km,),
+                out_shape=out_sh,
+                in_specs=[spec_of[k] for k in kinds],
+                out_specs=tuple(slab_l for _ in range(n_out)),
+                interpret=interpret,
+                compiler_params=_tpu_params(),
+            )(*sliced)
+
+        if plan is None:
+            return one(0, jm, nb_ffsl)
+        return _run_banded(
+            plan, lambda lo, hi, slo, shi: one(
+                slo, shi, _band_ffsl(slo, shi, jm, nb_ffsl)))
+
     rows = lambda a: jnp.asarray(a, dtype)[None]
     cosp_r = rows(grid.cosp)
     acosp_r = rows(grid.acosp)
@@ -379,18 +419,14 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     rspc = jnp.asarray(grid.pft_center, dtype)
     rspe = jnp.asarray(grid.pft_edge, dtype)
 
-    s3 = jax.ShapeDtypeStruct(delp.shape, dtype)
-
     # ---- K1 ----
     band5 = tp.ffsl_band(jm, dl, dt5)
     band1 = tp.ffsl_band(jm, dl, dt)
-    k1 = partial(_k1_kernel, dt5=dt5, dl=dl, dp_=dp_, rcap=float(grid.rcap),
-                 jm=jm, band=band5)
-    delp_h, pt_h, uc0, vc0 = pl.pallas_call(
-        k1, grid=(km,), out_shape=(s3, s3, s3, s3),
-        in_specs=[slab] * 4 + [vec] * 3,
-        out_specs=(slab, slab, slab, slab), interpret=interpret,
-    )(u, v, pt, delp, cosp_r, acosp_r, cose_r)
+    delp_h, pt_h, uc0, vc0 = banded(
+        lambda jml, bnd: partial(_k1_kernel, dt5=dt5, dl=dl, dp_=dp_,
+                                 rcap=float(grid.rcap), jm=jml, band=bnd),
+        (u, v, pt, delp, cosp_r, acosp_r, cose_r),
+        "ssssvvv", 4, nb_ffsl=band5)
 
     # ---- half-step thermodynamics (k-coupled: cumsum + pow) ----
     kshape = (1,) + delp.shape[1:]
@@ -407,23 +443,19 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     en_h = phi_h + c.CPAIR * pt_h * pkz_h
 
     # ---- K2 ----
-    k2 = partial(_k2_kernel, dt=dt, dt5=dt5, dl=dl, dp_=dp_,
-                 dyn_filter=dyn_filter, jm=jm)
-    uc, crx, cry = pl.pallas_call(
-        k2, grid=(km,), out_shape=(s3, s3, s3),
-        in_specs=[slab] * 5 + [vec] * 4 + [m_f, m_f, m_g, m_g, m_r, m_r],
-        out_specs=(slab, slab, slab), interpret=interpret,
-    )(en_h, pt_h, pkz_h, uc0, vc0, cosp_r, f0_r, fc_r, cose_r,
-      fc_m, fs_m, gc_m, gs_m, rspc, rspe)
+    uc, crx, cry = banded(
+        lambda jml, bnd: partial(_k2_kernel, dt=dt, dt5=dt5, dl=dl, dp_=dp_,
+                                 dyn_filter=dyn_filter, jm=jml),
+        (en_h, pt_h, pkz_h, uc0, vc0, cosp_r, f0_r, fc_r, cose_r,
+         fc_m, fs_m, gc_m, gs_m, rspc, rspe),
+        "sssssvvvvFFGGrr", 3)
 
     # ---- K3 ----
-    k3 = partial(_k3_kernel, iord=iord, jord=jord, rcap=float(grid.rcap),
-                 jm=jm, band=band1)
-    delp_new, pt_new, mfx, mfy = pl.pallas_call(
-        k3, grid=(km,), out_shape=(s3, s3, s3, s3),
-        in_specs=[slab] * 4 + [vec] * 3,
-        out_specs=(slab, slab, slab, slab), interpret=interpret,
-    )(delp, pt, crx, cry, cosp_r, acosp_r, cose_r)
+    delp_new, pt_new, mfx, mfy = banded(
+        lambda jml, bnd: partial(_k3_kernel, iord=iord, jord=jord,
+                                 rcap=float(grid.rcap), jm=jml, band=bnd),
+        (delp, pt, crx, cry, cosp_r, acosp_r, cose_r),
+        "ssssvvv", 4, nb_ffsl=band1)
 
     # ---- full-step thermodynamics ----
     pe = jnp.concatenate([jnp.full(kshape, ptop, dtype),
@@ -438,16 +470,17 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     phi_m = 0.5 * (wz[1:] + wz[:-1])
 
     # ---- K4 ----
-    k4 = partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_, iord=iord, jord=jord,
-                 ke_method=ke_method, nu=float(nu),
-                 del2_velocity=float(del2_velocity), dyn_filter=dyn_filter,
-                 acap=float(grid.acap), jm=jm, im=im, band=band1)
-    u_new, v_new = pl.pallas_call(
-        k4, grid=(km,), out_shape=(s3, s3),
-        in_specs=[slab] * 8 + [vec] * 4 + [m_f, m_f, m_g, m_g, m_r, m_r],
-        out_specs=(slab, slab), interpret=interpret,
-    )(u, v, pt_new, pkz, phi_m, crx, cry, uc, cosp_r, cose_r, cosen_r,
-      f0_r, fc_m, fs_m, gc_m, gs_m, rspc, rspe)
+    u_new, v_new = banded(
+        lambda jml, bnd: partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_,
+                                 iord=iord, jord=jord, ke_method=ke_method,
+                                 nu=float(nu),
+                                 del2_velocity=float(del2_velocity),
+                                 dyn_filter=dyn_filter,
+                                 acap=float(grid.acap), jm=jml, im=im,
+                                 band=bnd),
+        (u, v, pt_new, pkz, phi_m, crx, cry, uc, cosp_r, cose_r, cosen_r,
+         f0_r, fc_m, fs_m, gc_m, gs_m, rspc, rspe),
+        "ssssssssvvvvFFGGrr", 2, nb_ffsl=band1)
 
     new_state = state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new)
     diags = dict(cx=crx, cy=cry, mfx=mfx, mfy=mfy, pe=pe, pk=pk, pkz=pkz,

@@ -35,7 +35,7 @@ from .vertical import HybridCoord
 
 
 def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
-           fill: bool = True, use_pallas: bool = True):
+           fill: bool = True, use_pallas: bool = True, mesh=None):
     """Large-timestep tracer transport with accumulated Courant numbers and
     mass fluxes (upstream trac2d contract, dyn_comp.F90:2385-2388).
 
@@ -68,8 +68,15 @@ def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
     # a blow-up). Floor it; the subsequent te_map restores the coordinate.
     dp_new = jnp.maximum(dp0 + ddp, 0.05 * dp0)
 
-    dqm = tracer_div3d(q, cx, cy, mfx, mfy, va, ffsl, cosp, acosp,
-                       grid.rcap, iord, jord, prefer_pallas=use_pallas)
+    from ...parallel.shard_stencil import (sharded_tracer_div3d,
+                                           use_sharded_pallas)
+    if (use_pallas and use_sharded_pallas(mesh)
+            and jm % mesh.shape['y'] == 0 and jm // mesh.shape['y'] >= 8):
+        dqm = sharded_tracer_div3d(mesh, q, cx, cy, mfx, mfy, va, ffsl,
+                                   cosp, acosp, grid.rcap, iord, jord)
+    else:
+        dqm = tracer_div3d(q, cx, cy, mfx, mfy, va, ffsl, cosp, acosp,
+                           grid.rcap, iord, jord, prefer_pallas=use_pallas)
     q_new = (q * dp0[None] + dqm) / dp_new[None]
     if fill:
         # vertical borrowing repair of splitting undershoots (fill_module
@@ -214,7 +221,8 @@ def benergy(state: DynState, grid: FVGrid, ptop: float):
 
 def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             cfg: FVConfig, ndt: float, filter_impl: str = "fft",
-            c_sw_pgf: bool | None = None, return_diags: bool = False):
+            c_sw_pgf: bool | None = None, mesh=None,
+            return_diags: bool = False):
     """One large dynamics timestep (dyn_run, dyn_comp.F90:742-2823).
 
     Subcycle factorization per dyn_comp.F90:1497-1524:
@@ -258,7 +266,7 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               del2_velocity=(cfg.del2coef
                                              if cfg.div24del2flag == 42
                                              else 0.0),
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, mesh=mesh)
             if cfg.am_fixer:
                 # global AM restoration per small step (dyn_comp.F90:1952-2069)
                 st_i = am_fixer(st_i, grid, am0)
@@ -270,7 +278,7 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                                     length=nsplit)
         q_new, _dp_chk = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
                                 acc["mfy"], grid, cfg.iord, cfg.jord,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, mesh=mesh)
         return st.replace(q=q_new), None
 
     def remap_cycle(st, _):

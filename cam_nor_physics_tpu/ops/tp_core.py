@@ -341,22 +341,36 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None,
     # ---------- FFSL branch (|c| may exceed 1; periodic wrap) ----------
     # With a static `band` (rows per pole that can physically reach
     # |c| >= 1 given the umax guard — see ffsl_band), the roll+select
-    # chains run on the (2*band, im) polar sub-slab only: they are the
-    # dominant op count of xtp, and |c| >= 1 equatorward of the band would
-    # require winds beyond the dycore's umax bound (such a state is
-    # already broken; it falls back to the Eulerian branch there).
-    if band is not None and 2 * band < jm:
-        nb = band
+    # chains run on the polar sub-slab only: they are the dominant op
+    # count of xtp, and |c| >= 1 equatorward of the band would require
+    # winds beyond the dycore's umax bound (such a state is already
+    # broken; it falls back to the Eulerian branch there). `band` is
+    # either an int (rows per pole, both sides) or a (south, north) tuple
+    # — j-banded callers pass per-side counts for the slab edges they own;
+    # (0, 0) / 0 skips the FFSL machinery entirely.
+    if band is not None:
+        nbs, nbn = (band, band) if isinstance(band, int) else band
+        if nbs + nbn == 0:
+            return fx_reg
+        if nbs + nbn < jm:
+            def bandsel(a):
+                parts = ([a[:nbs]] if nbs else []) + \
+                    ([a[jm - nbn:]] if nbn else [])
+                return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+                    else parts[0]
 
-        def bandsel(a):
-            return jnp.concatenate([a[:nb], a[jm - nb:]], axis=0)
-
-        fxb = _xtp_ffsl(bandsel(q), bandsel(c), bandsel(mfx),
-                        bandsel(cosa), iord, id_, K=max_cfl_int)
-        mid = jnp.zeros((jm - 2 * nb,) + q.shape[1:], q.dtype)
-        fx_ffsl = jnp.concatenate([fxb[:nb], mid, fxb[nb:]], axis=0)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
-        ffsl = ffsl & ((rowi < nb) | (rowi >= jm - nb))
+            fxb = _xtp_ffsl(bandsel(q), bandsel(c), bandsel(mfx),
+                            bandsel(cosa), iord, id_, K=max_cfl_int)
+            mid = jnp.zeros((jm - nbs - nbn,) + q.shape[1:], q.dtype)
+            # avoid zero-size slices (Mosaic rejects 0-extent vectors)
+            parts = ([fxb[:nbs]] if nbs else []) + [mid] + \
+                ([fxb[nbs:]] if nbn else [])
+            fx_ffsl = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+                else parts[0]
+            rowi = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+            ffsl = ffsl & ((rowi < nbs) | (rowi >= jm - nbn))
+        else:
+            fx_ffsl = _xtp_ffsl(q, c, mfx, cosa, iord, id_, K=max_cfl_int)
     else:
         fx_ffsl = _xtp_ffsl(q, c, mfx, cosa, iord, id_, K=max_cfl_int)
 

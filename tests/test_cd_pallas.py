@@ -67,3 +67,37 @@ class TestFusedCdStep:
         m0 = (np.asarray(state.delp) * w[:, None]).sum()
         m1 = (np.asarray(new.delp) * w[:, None]).sum()
         assert abs(m1 - m0) / m0 < 5e-6
+
+
+class TestBandedFusedCdStep:
+    """J-banded fused path (band_plan forces 3 bands on the small test
+    grid) must match the unbanded XLA cd_step: verifies halo isolation of
+    the band interiors and pole anchoring at slab edges."""
+
+    def test_banded_matches_xla_f64(self, monkeypatch):
+        if not jax.config.jax_enable_x64:
+            pytest.skip("f64 comparison needs x64")
+        from cam_nor_physics_tpu.ops import pallas_kernels as pk
+        dtype = jnp.float64
+        grid, coord, phis, state = _setup(dtype)
+        # 46x72 slab padded = 48*128 = 6144 cells; cap 4000 -> banded
+        monkeypatch.setattr(pk, "_MAX_SLAB_CELLS", 4000)
+        plan = pk.band_plan(grid.jm, grid.im)
+        assert plan is not None and len(plan) >= 2, plan
+        ref, dref = cd_step(state, grid, coord.ptop, phis, 450.0,
+                            c_sw_pgf=True, dyn_filter=True,
+                            del2_velocity=6e5, use_pallas=False)
+        new, dnew = cd_step_fused(state, grid, coord.ptop, phis, 450.0,
+                                  4, 4, 0.08, True, "centered", 6e5,
+                                  interpret=jax.default_backend() != "tpu")
+        for n in ("u", "v", "pt", "delp"):
+            a = np.asarray(getattr(new, n))
+            b = np.asarray(getattr(ref, n))
+            np.testing.assert_allclose(a, b, rtol=1e-11,
+                                       atol=1e-11 * np.abs(b).max(),
+                                       err_msg=n)
+        for n in ("cx", "cy", "mfx", "mfy"):
+            a, b = np.asarray(dnew[n]), np.asarray(dref[n])
+            np.testing.assert_allclose(a, b, rtol=1e-11,
+                                       atol=1e-11 * max(np.abs(b).max(),
+                                                        1e-12), err_msg=n)

@@ -114,3 +114,71 @@ class TestShardedStep:
             assert np.abs(a - b).max() < 1e-11 * scale, name
         np.testing.assert_allclose(np.asarray(out.phys.t),
                                    np.asarray(ref.phys.t), atol=1e-10)
+
+
+class TestShardedPallasStencils:
+    """shard_map Pallas transport path (parallel/shard_stencil.py) vs the
+    single-device XLA path, on 8 virtual CPU devices with interpret-mode
+    kernels: halo exchange via ppermute + per-strip fused kernels + the
+    jnp polar patch must reproduce the whole-array results."""
+
+    def _mesh(self):
+        return make_mesh(8, x_shards=1)
+
+    def test_sharded_transport3d_matches(self, monkeypatch):
+        from cam_nor_physics_tpu.ops import pallas_kernels as pk
+        from cam_nor_physics_tpu.ops import tp_core as tp2
+        from cam_nor_physics_tpu.parallel import shard_stencil as ss
+        monkeypatch.setattr(pk, "_INTERPRET", True)
+        mesh = self._mesh()
+        assert ss.use_sharded_pallas(mesh)
+        im, jm, km = 72, 64, 4
+        g = make_grid(im, jm, km)
+        rng = np.random.default_rng(3)
+        f64 = jnp.float64
+        delp = jnp.asarray(1e3 + 50 * rng.standard_normal((km, jm, im)), f64)
+        pt = jnp.asarray(300 + 30 * rng.standard_normal((km, jm, im)), f64)
+        crx = jnp.asarray(0.6 * rng.standard_normal((km, jm, im)), f64)
+        crx = crx.at[:, :3].mul(3.0).at[:, -3:].mul(3.0)
+        cry = tp2.wset_row(
+            jnp.asarray(0.4 * rng.standard_normal((km, jm, im)), f64), 0, 0.0)
+        cosp = jnp.asarray(g.cosp, f64)
+        acosp = jnp.asarray(g.acosp, f64)
+        yfx = cry * jnp.asarray(g.cose, f64)[:, None]
+        va = 0.5 * (cry + tp2.edge_north(cry))
+        ffsl = jnp.max(jnp.abs(crx), axis=-1) > 1.0
+
+        ref = ss._transport_level_jnp(delp, pt, crx, cry, yfx, va, ffsl,
+                                      cosp, acosp, g.rcap, 4, 4)
+        got = jax.jit(lambda *a: ss.sharded_transport3d(
+            mesh, *a, g.rcap, 4, 4))(delp, pt, crx, cry, yfx, va, ffsl,
+                                     cosp, acosp)
+        for n, (x, y) in zip(("ddp", "dpt", "mfx", "mfy"), zip(got, ref)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-12, atol=1e-12, err_msg=n)
+
+    def test_sharded_dyn_run_matches(self, monkeypatch):
+        """Full dyn_run with mesh= (sharded Pallas transport + tracer path)
+        vs the single-device XLA path."""
+        from cam_nor_physics_tpu.ops import pallas_kernels as pk
+        monkeypatch.setattr(pk, "_INTERPRET", True)
+        mesh = self._mesh()
+        im, jm, km = 48, 64, 4
+        g = make_grid(im, jm, km)
+        coord = hybrid_coefficients(km)
+        phis = jnp.zeros((jm, im), jnp.float64)
+        cfg = FVConfig(nsplit=2, nspltrac=1)
+        st = hs_initial_state(g, coord, pert=1.0, dtype=jnp.float64)
+
+        ref = jax.jit(lambda s: dyn_run(s, g, coord, phis, cfg, 1800.0,
+                                        filter_impl="matmul"))(st)
+        st_sh = shard_state(st, mesh)
+        got = jax.jit(lambda s: constrain(
+            dyn_run(s, g, coord, phis, cfg, 1800.0, filter_impl="matmul",
+                    mesh=mesh), mesh))(st_sh)
+        for n in ("u", "v", "pt", "delp", "q"):
+            a = np.asarray(getattr(got, n))
+            b = np.asarray(getattr(ref, n))
+            np.testing.assert_allclose(a, b, rtol=1e-10,
+                                       atol=1e-10 * max(np.abs(b).max(),
+                                                        1e-12), err_msg=n)
