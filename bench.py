@@ -44,6 +44,43 @@ def time_fn(fn, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
+# v5e per-chip speed-of-light constants (public figures; VPU is an
+# estimate): the transport/physics kernels are elementwise-dominated, so
+# the binding roofline is min(HBM-bandwidth time, VPU-f32 time).
+_HBM_BW = 819e9          # bytes/s (v5e HBM)
+_VPU_F32 = 2.0e12        # flop/s (v5e vector unit estimate, f32)
+_MXU_BF16 = 1.97e14      # flop/s (v5e MXU, bf16) — context only
+
+
+def _roofline_report(jitted, args, t_meas, name, dtype):
+    """Per-phase roofline accounting (BENCH_ROOFLINE=1).
+
+    flops come from XLA's cost model on the compiled step; `bytes accessed`
+    likewise (for Pallas custom calls XLA counts operand+result DMA, which
+    IS their HBM traffic — intermediates stay in VMEM). CAVEAT: XLA does
+    not model flops INSIDE custom calls, so on the Pallas path the flops
+    figure undercounts and the bytes/HBM bound is the meaningful one. The
+    % figures are achieved/peak; the gap to 100% is dispatch + pipeline
+    bubbles + band-halo recompute."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+    except Exception as e:                      # pragma: no cover
+        print(f"roofline[{name}]: cost analysis unavailable ({e})",
+              file=sys.stderr)
+        return
+    flops = float(cost.get("flops", 0.0))
+    byts = float(cost.get("bytes accessed", 0.0))
+    gf = flops / t_meas / 1e9
+    gb = byts / t_meas / 1e9
+    pct_f = 100.0 * flops / t_meas / _VPU_F32
+    pct_b = 100.0 * byts / t_meas / _HBM_BW
+    bound = "VPU-f32" if pct_f >= pct_b else "HBM-BW"
+    print(f"roofline[{name}]: t={t_meas*1e3:.2f}ms flops={flops:.3g} "
+          f"bytes={byts:.3g} -> {gf:.0f} GF/s ({pct_f:.0f}% of VPU-f32) "
+          f"/ {gb:.0f} GB/s ({pct_b:.0f}% of HBM) bound={bound}",
+          file=sys.stderr)
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     dtype = jnp.float32
@@ -53,6 +90,11 @@ def main():
         # config-4 resolution (0.9°x1.25°x26, BASELINE.md ladder #4):
         # opt-in — amortizes fixed per-step overheads over 4x the columns
         im, jm, km, iters = 288, 192, 26, 5
+    elif os.environ.get("BENCH_GRID") == "f05":
+        # config-5 resolution (0.47°x0.63°x32, BASELINE.md ladder #5) on
+        # one chip; the multi-host story is the same program over a larger
+        # ('y','x') mesh (tests/test_parallel.py, __graft_entry__)
+        im, jm, km, iters = 576, 384, 32, 3
     else:
         # enough chained iterations to amortize async-pipeline ramp-up
         im, jm, km, iters = 144, 96, 26, 40
@@ -158,6 +200,12 @@ def main():
         return zm_step_g(s, pb, pblh, tpert, landfrac)
 
     t_zm = time_fn(zm_step, (pstate, pbuf), iters)
+
+    if os.environ.get("BENCH_ROOFLINE") == "1":
+        _roofline_report(dyn_step_g, (state, grid, coord, phis), t_dyn,
+                         "dyn_step", dtype)
+        _roofline_report(zm_step_g, (pstate, pbuf, pblh, tpert, landfrac),
+                         t_zm, "zm_tend", dtype)
 
     npts = im * jm * km
     total = t_dyn + t_zm

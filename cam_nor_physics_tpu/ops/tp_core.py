@@ -322,7 +322,12 @@ def xtp(q, c, mfx, cosa, ffsl, iord: int, id_: int, max_cfl_int: int = None,
         # no slope/PPM construction
         fx_reg = fx_upw
     else:
-        dm4 = xmist(q, 2 if iord > 0 else iord)   # tp_core.F90:464-468
+        if iord > 0:
+            dm4 = xmist(q, 2)                     # tp_core.F90:464-468
+        else:
+            # negative iord: limited slope only on rows below the van Leer
+            # angle (the reference's per-row xmist(.., 2) dispatch)
+            dm4 = jnp.where(cosa < COS_VAN, xmist(q, 2), xmist(q, iord))
         fx_van = mfx * (sel_reg(q) + sel_reg(dm4) * (jnp.sign(c) - c))
 
         al, ar, a6 = _ppm_edges(q, dm4, iord)
