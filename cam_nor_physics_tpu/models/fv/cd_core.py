@@ -164,7 +164,8 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             ke_method: str = "centered", del2_velocity: float = 0.0,
             c_sw_pgf: bool = False, filter_dm: bool = False,
             filter_csw_dm: bool = False, use_pallas: bool = True,
-            mesh=None, return_debug: bool = False):
+            mesh=None, return_debug: bool = False, div2_on: bool = True,
+            div4_coef_nd: float = 0.0, div_taper=None):
     """One small Lagrangian step (cd_core equivalent). Returns
     (new_state_nolagrangian_remap, diagnostics dict with cx, cy, mfx, mfy).
 
@@ -200,7 +201,9 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             # filter runs as an in-kernel DFT matmul (== rfft to roundoff)
             return cd_step_fused(state, grid, ptop, phis, dt, iord, jord,
                                  div2_coef_nd, dyn_filter, ke_method,
-                                 del2_velocity)
+                                 del2_velocity, div2_on=div2_on,
+                                 div4_coef_nd=div4_coef_nd,
+                                 div_taper=div_taper)
     dbg = {}
     u, v, pt, delp = state.u, state.v, state.pt, state.delp
     km, jm, im = delp.shape
@@ -435,15 +438,53 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
         dbg.update(fx_z=fx_z, dv_pgf=-dt * (dy_en - c.CPAIR * pi_v * dy_th),
                    crx=crx, cry=cry, ke=ke, zeta_a=zeta_a)
 
-    # ---- del2 divergence damping ----
+    # ---- divergence damping (div24del2flag family) ----
+    # The reference's damping tables (cdx/cdy del2, cdx4/cdy4/cdtau4 div4,
+    # /root/reference/fv/dynamics_vars.F90:205-208, 940-952) are built in
+    # upstream cd_core, which is not shipped; this reconstructs the same
+    # operator family: del2 damping of the corner divergence with an
+    # optional per-level top-sponge taper (the CAM 1+tanh(ln(ptop/p))
+    # convention), and del4 (biharmonic) divergence damping
+    # du += dt·[ν₂ δx(D) − ν₄ δx(∇²D)] (likewise for dv), with
+    # ν₂ = c₂(k)·Δy²/dt and ν₄ = c₄·Δy⁴/dt nondimensionalized on the
+    # meridional spacing.
+    cose_sf = jnp.where(cose[:, None] > 0, cose[:, None], 1.0)
     div = divergence_corner(u, v, grid)
-    nu = div2_coef_nd * (c.REARTH * dp_) ** 2 / dt
-    ddiv_x = (jnp.roll(div, -1, axis=-1) - div) / \
-        (c.REARTH * jnp.where(cose[:, None] > 0, cose[:, None], 1.0) * dl)
-    du = du + dt * nu * ddiv_x
+    damp = jnp.zeros_like(div)
+    if div_taper is not None:
+        # per-level taper: (km,) -> (km,1,1); div2_coef_nd is the interior
+        # floor, the taper supplies the model-top sponge
+        c2 = jnp.maximum(div2_coef_nd, jnp.asarray(div_taper, div.dtype))
+        c2 = c2[:, None, None]
+    else:
+        c2 = div2_coef_nd
+    if div2_on:
+        nu = c2 * (c.REARTH * dp_) ** 2 / dt
+        damp = damp + nu * div
+    if div4_coef_nd > 0.0:
+        # ∇² of the corner divergence (corner rows 1..jm-1 are interior)
+        rdx2 = 1.0 / (c.REARTH * cose_sf * dl) ** 2
+        rdy2 = 1.0 / (c.REARTH * dp_) ** 2
+        lap_div = (jnp.roll(div, -1, axis=-1) - 2.0 * div +
+                   jnp.roll(div, 1, axis=-1)) * rdx2
+        lap_div = lap_div + wset_interior(
+            jnp.zeros_like(div),
+            (_rolly(div, -1) - 2.0 * div + _rolly(div, 1)) * rdy2)
+        lap_div = wset_interior(jnp.zeros_like(div), lap_div)
+        # biharmonic coefficient follows the LOCAL grid scale
+        # L(j) = a·min(Δφ, cosφ_e·Δλ): explicit ∇⁴ at a uniform Δy⁴
+        # strength is unconditionally unstable near the poles where
+        # Δx ≪ Δy (the 1/cos⁴ amplification outruns the polar filter —
+        # measured NaN within 3 steps at 31 rows)
+        l4 = (c.REARTH * jnp.minimum(dp_, cose_sf * dl)) ** 4
+        nu4 = (div4_coef_nd / dt) * l4
+        damp = damp - nu4 * lap_div
+    ddiv_x = (jnp.roll(damp, -1, axis=-1) - damp) / \
+        (c.REARTH * cose_sf * dl)
+    du = du + dt * ddiv_x
     ddiv_y = wset_interior(jnp.zeros_like(v),
-                           (_rolly(div, -1) - div) / (c.REARTH * dp_))
-    dv = dv + dt * nu * ddiv_y
+                           (_rolly(damp, -1) - damp) / (c.REARTH * dp_))
+    dv = dv + dt * ddiv_y
 
     if del2_velocity > 0.0:
         # del2 velocity damping (the div24del2flag=42 / del2coef path,

@@ -222,11 +222,11 @@ def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
 # ---------------------------------------------------------------------------
 
 def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
-               uc_ref, cosp_ref, cose_ref, cosen_ref, f0_ref,
+               uc_ref, cosp_ref, cose_ref, cosen_ref, f0_ref, nu2_ref,
                fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
                un_ref, vn_ref,
-               *, dt, dl, dp_, iord, jord, ke_method, nu, del2_velocity,
-               dyn_filter, acap, jm, im, band=None):
+               *, dt, dl, dp_, iord, jord, ke_method, div2_on, nu4,
+               del2_velocity, dyn_filter, acap, jm, im, band=None):
     u, v = u_ref[0], v_ref[0]
     pt_new, pkz, phi_m = ptn_ref[0], pkz_ref[0], phim_ref[0]
     crx, cry, uc = crx_ref[0], cry_ref[0], uc_ref[0]
@@ -295,17 +295,35 @@ def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
     dv = -fx_z - dt * (dy_en - c.CPAIR * pi_v * dy_th)
     dv = wset_row(wset_row(dv, 0, 0.0), -1, 0.0)
 
-    # del2 divergence damping (divergence at SW corners from the OLD winds)
+    # divergence damping (divergence at SW corners from the OLD winds):
+    # del2 with a per-level coefficient row (nu2_ref, the model-top sponge
+    # taper) and/or del4 (biharmonic) — same operator family as the
+    # reference's cdx/cdy + cdx4/cdy4 tables (dynamics_vars.F90:205-208)
     u_w = _rollx(u, 1)
     vterm = v * cosp[:, None]
     div = (u - u_w) / (c.REARTH * cose_s * dl) + \
         (vterm - _rolly(vterm, 1)) / (c.REARTH * cose_s * dp_)
     div = wset_interior(jnp.zeros_like(u), div)
-    ddiv_x = (_rollx(div, -1) - div) / (c.REARTH * cose_s * dl)
-    du = du + dt * nu * ddiv_x
+    damp = jnp.zeros_like(div)
+    if div2_on:
+        damp = damp + nu2_ref[0][:, None] * div
+    if nu4 > 0.0:
+        rdx2d = 1.0 / (c.REARTH * cose_s * dl) ** 2
+        rdy2d = 1.0 / (c.REARTH * dp_) ** 2
+        lap_div = (_rollx(div, -1) - 2.0 * div + _rollx(div, 1)) * rdx2d
+        lap_div = lap_div + wset_interior(
+            jnp.zeros_like(div),
+            (_rolly(div, -1) - 2.0 * div + _rolly(div, 1)) * rdy2d)
+        lap_div = wset_interior(jnp.zeros_like(div), lap_div)
+        # local-grid-scale coefficient L(j)⁴ (see cd_core.cd_step: uniform
+        # Δy⁴ strength is polar-unstable); nu4 here is div4_coef_nd/dt
+        l4 = (c.REARTH * jnp.minimum(dp_, cose_s * dl)) ** 4
+        damp = damp - (nu4 * l4) * lap_div
+    ddiv_x = (_rollx(damp, -1) - damp) / (c.REARTH * cose_s * dl)
+    du = du + dt * ddiv_x
     ddiv_y = wset_interior(jnp.zeros_like(v),
-                           (_rolly(div, -1) - div) / (c.REARTH * dp_))
-    dv = dv + dt * nu * ddiv_y
+                           (_rolly(damp, -1) - damp) / (c.REARTH * dp_))
+    dv = dv + dt * ddiv_y
 
     if del2_velocity > 0.0:
         rdx2 = 1.0 / (c.REARTH * cose_s * dl) ** 2
@@ -341,16 +359,18 @@ def _specs(km, jm, im, nf, dtype):
     slab = pl.BlockSpec((1, jm, im), lambda k: (k, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    lvec = pl.BlockSpec((1, jm), lambda k: (k, 0), memory_space=pltpu.VMEM)
     m_f = pl.BlockSpec((im, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_g = pl.BlockSpec((nf, im), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_r = pl.BlockSpec((jm, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
-    return slab, vec, m_f, m_g, m_r
+    return slab, vec, lvec, m_f, m_g, m_r
 
 
 def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
                   iord: int, jord: int, div2_coef_nd: float,
                   dyn_filter: bool, ke_method: str, del2_velocity: float,
-                  interpret: bool = False):
+                  interpret: bool = False, div2_on: bool = True,
+                  div4_coef_nd: float = 0.0, div_taper=None):
     """Fused-Pallas cd_step (c_sw_pgf=True, filter_dm/csw_dm=False path).
     Same returns as cd_core.cd_step."""
     from jax.experimental import pallas as pl
@@ -363,7 +383,15 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     nf = im // 2 + 1
     dl, dp_ = grid.dl, grid.dp
     dt5 = 0.5 * dt
-    nu = div2_coef_nd * (c.REARTH * dp_) ** 2 / dt
+    # per-level del2 coefficient rows (model-top sponge taper; uniform when
+    # div_taper is None) and the static del4 coefficient
+    if div_taper is not None:
+        c2_k = jnp.maximum(div2_coef_nd, jnp.asarray(div_taper, dtype))
+    else:
+        c2_k = jnp.full((km,), div2_coef_nd, dtype)
+    nu2_rows = jnp.ones((km, jm), dtype) * \
+        (c2_k * (c.REARTH * dp_) ** 2 / dt)[:, None]
+    nu4 = div4_coef_nd / dt      # kernel multiplies by the local L(j)⁴
 
     plan = band_plan(jm, im)
 
@@ -371,17 +399,18 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
         """Run one fused kernel whole-slab or j-banded. `make_kern(jml,
         band)` builds the kernel for a jml-row slab with the per-slab FFSL
         restriction; `kinds` tags each input: 's' (km, jm, im) slab,
-        'v' (1, jm) row vector, 'r' (jm, nf) filter response rows,
-        'F'/'G' full DFT factor matrices."""
+        'v' (1, jm) row vector, 'l' (km, jm) per-level row vector,
+        'r' (jm, nf) filter response rows, 'F'/'G' full DFT factor
+        matrices."""
         def one(slo, shi, bnd):
             jml = shi - slo
-            slab_l, vec_l, m_f_l, m_g_l, m_r_l = _specs(km, jml, im, nf,
-                                                        dtype)
-            spec_of = {'s': slab_l, 'v': vec_l, 'r': m_r_l,
+            slab_l, vec_l, lvec_l, m_f_l, m_g_l, m_r_l = _specs(
+                km, jml, im, nf, dtype)
+            spec_of = {'s': slab_l, 'v': vec_l, 'l': lvec_l, 'r': m_r_l,
                        'F': m_f_l, 'G': m_g_l}
             sliced = []
             for a, k in zip(ins, kinds):
-                if k in ('s', 'v'):
+                if k in ('s', 'v', 'l'):
                     sliced.append(a[:, slo:shi])
                 elif k == 'r':
                     sliced.append(a[slo:shi])
@@ -473,14 +502,14 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     u_new, v_new = banded(
         lambda jml, bnd: partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_,
                                  iord=iord, jord=jord, ke_method=ke_method,
-                                 nu=float(nu),
+                                 div2_on=bool(div2_on), nu4=float(nu4),
                                  del2_velocity=float(del2_velocity),
                                  dyn_filter=dyn_filter,
                                  acap=float(grid.acap), jm=jml, im=im,
                                  band=bnd),
         (u, v, pt_new, pkz, phi_m, crx, cry, uc, cosp_r, cose_r, cosen_r,
-         f0_r, fc_m, fs_m, gc_m, gs_m, rspc, rspe),
-        "ssssssssvvvvFFGGrr", 2, nb_ffsl=band1)
+         f0_r, nu2_rows, fc_m, fs_m, gc_m, gs_m, rspc, rspe),
+        "ssssssssvvvvlFFGGrr", 2, nb_ffsl=band1)
 
     new_state = state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new)
     diags = dict(cx=crx, cy=cry, mfx=mfx, mfy=mfy, pe=pe, pk=pk, pkz=pkz,

@@ -247,6 +247,27 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     dt = ndt / (nsplit * n2 * nv)
     ptop = coord.ptop
 
+    # div24del2flag mapping (fv_div24del2flag, dyn_comp.F90:190-192):
+    # 2 = del2 div, 4 = del4 div, 24 = both, 42 = del4 div + del2 velocity;
+    # repo extension 22 = del2 div + del2 velocity (see FVConfig).
+    flag = cfg.div24del2flag
+    if flag not in (2, 4, 22, 24, 42):
+        raise ValueError(f"div24del2flag must be one of 2/4/24/42 "
+                         f"(or repo extension 22), got {flag}")
+    div2_on = flag in (2, 22, 24)
+    div4_nd = cfg.div4_coef_nd if flag in (4, 24, 42) else 0.0
+    del2_vel = cfg.del2coef if flag in (22, 42) else 0.0
+    if div2_on and cfg.div_damp_top_taper:
+        # reference sponge profile tau/128 with tau = max(1, 8(1+tanh
+        # ln(ptop/p))), evaluated at the hybrid reference mid-pressures
+        pref = coord.ak + coord.bk * coord.ps0
+        pmid_ref = 0.5 * (pref[1:] + pref[:-1])
+        tau = jnp.maximum(1.0, 8.0 * (1.0 + jnp.tanh(
+            jnp.log(ptop / pmid_ref))))
+        div_taper = tau / 128.0
+    else:
+        div_taper = None
+
     def tracer_cycle(st, _):
         dp0 = st.delp
         zx = jnp.zeros_like(st.delp)
@@ -263,9 +284,10 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               filter_dm=cfg.filter_dm,
                               filter_csw_dm=cfg.filter_csw_dm,
                               ke_method=cfg.ke_method,
-                              del2_velocity=(cfg.del2coef
-                                             if cfg.div24del2flag == 42
-                                             else 0.0),
+                              div2_coef_nd=cfg.div2_coef_nd,
+                              div2_on=div2_on, div4_coef_nd=div4_nd,
+                              div_taper=div_taper,
+                              del2_velocity=del2_vel,
                               use_pallas=use_pallas, mesh=mesh)
             if cfg.am_fixer:
                 # global AM restoration per small step (dyn_comp.F90:1952-2069)

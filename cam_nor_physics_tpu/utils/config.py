@@ -37,16 +37,27 @@ class FVConfig:
     conserve: bool = False    # total-energy conserving vertical remap
     filtcw: int = 0           # filter C-grid winds
     fft_flt: int = 1          # 0 = FFT/algebraic filter, 1 = FFT filter
-    # 2 = 2nd-order div damping, 4 = 4th, 42 = div damping + del2 velocity
-    # damping. Default 42 here (the reference defaults to 2): this dycore's
-    # explicit forward-backward coupling needs the background del2 velocity
-    # diffusion — validated at 1.9°x2.5° Held-Suarez: without it the
-    # spun-up jet destabilizes. 6e5 (vs the reference's 3e5) is what holds
-    # 20-day HS at the reference's own nsplit=4 operating point; measured
-    # ladder: ns=4/del2=3e5 dies day ~11 (subtropical jet mode),
-    # ns=4/del2=6e5 + c_sw_pgf stable through day 20+.
-    div24del2flag: int = 42
+    # Divergence/velocity damping selector (fv_div24del2flag,
+    # /root/reference/fv/dyn_comp.F90:190-192): 2 = 2nd-order divergence
+    # damping, 4 = 4th-order (biharmonic) divergence damping, 24 = both,
+    # 42 = 4th-order divergence + del2 velocity damping. Repo extension
+    # 22 = 2nd-order divergence + del2 velocity damping — the round-1
+    # validated operating point for THIS solver's explicit forward-backward
+    # coupling (1.9°x2.5° Held-Suarez: ns=4/del2=3e5 dies day ~11
+    # (subtropical jet mode), ns=4/del2=6e5 + c_sw_pgf stable day 20+),
+    # kept as the default until the reference flags are revalidated here.
+    div24del2flag: int = 22
     del2coef: float = 6.0e5   # strength of 2nd-order velocity damping
+    # Nondimensional damping strengths (coef · Δy²/dt resp. coef · Δy⁴/dt).
+    # The reference's del2 strength is tau/(128·dt) with the model-top
+    # sponge tau = max(1, 8(1+tanh(ln(ptop/p)))) (upstream cd_core tables,
+    # allocated at /root/reference/fv/dynamics_vars.F90:940-952): interior
+    # 1/128 ≈ 0.0078 rising to 1/16 at the top. 0.08 is this solver's
+    # validated interior floor; div_damp_top_taper adds the sponge profile
+    # via max(floor, sponge).
+    div2_coef_nd: float = 0.08
+    div4_coef_nd: float = 0.02
+    div_damp_top_taper: bool = True
     # Full C-grid half step (c_sw role): advance delp/pt a half step on the
     # C grid and kick the advective winds with Coriolis + the PGF of the
     # half-advanced state, with the increments polar-filtered (filtcw

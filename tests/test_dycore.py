@@ -152,3 +152,59 @@ class TestTeMap:
         st3 = te_map(st2, coord, grid, coord.ptop, consv=True)
         e1 = tot_energy(st3)
         np.testing.assert_allclose(e1, e0, rtol=1e-10)
+
+
+class TestDivergenceDamping:
+    """div24del2flag family (fv_div24del2flag, dyn_comp.F90:190-192):
+    2 = del2 div, 4 = del4 div, 24 = both, 42 = del4 + del2 velocity;
+    repo extension 22 = del2 + del2 velocity (round-1 operating point)."""
+
+    @pytest.mark.parametrize("flag", [2, 4, 22, 24, 42])
+    def test_flag_stable(self, setup, flag):
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0, nq=1)
+        cfg = FVConfig(div24del2flag=flag, use_pallas=False)
+        step = jax.jit(lambda s: dyn_run(s, grid, coord, phis, cfg, 1800.0))
+        for _ in range(4):
+            st = step(st)
+        for f in ("u", "v", "pt", "delp"):
+            assert bool(jnp.all(jnp.isfinite(getattr(st, f)))), (flag, f)
+        assert float(jnp.max(jnp.abs(st.u))) < 300.0
+
+    def test_bad_flag_raises(self, setup):
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0, nq=1)
+        cfg = FVConfig(div24del2flag=3, use_pallas=False)
+        with pytest.raises(ValueError, match="div24del2flag"):
+            dyn_run(st, grid, coord, phis, cfg, 1800.0)
+
+    def test_div4_damps_checkerboard_divergence(self, setup):
+        """A 2Δx checkerboard divergence anomaly must decay faster with
+        del4 active than with damping off (scale selectivity)."""
+        grid, coord, phis = setup
+        jm, im = 46, 72
+        st0 = isothermal_rest_state(grid, coord)
+        cb = 5.0 * ((-1.0) ** jnp.arange(im))[None, None, :] * \
+            jnp.ones((10, jm, im))
+        st0 = st0.replace(u=st0.u + cb)      # 2Δx divergence in δx(u)
+
+        def urms_after(div4):
+            st1, _ = cd_step(st0, grid, coord.ptop, phis, 120.0,
+                             div2_on=False, div4_coef_nd=div4,
+                             dyn_filter=False, use_pallas=False)
+            mid = st1.u[:, 10:-10, :]        # away from the polar rows
+            return float(jnp.sqrt(jnp.mean(mid ** 2)))
+
+        assert urms_after(0.02) < 0.98 * urms_after(0.0)
+
+    def test_top_taper_profile(self):
+        """The sponge taper max(1, 8(1+tanh ln(ptop/p)))/128 dominates the
+        floor only above the switch pressure and is monotone with height."""
+        coord = hybrid_coefficients(26)
+        pref = np.asarray(coord.ak + coord.bk * coord.ps0)
+        pmid = 0.5 * (pref[1:] + pref[:-1])
+        tau = np.maximum(1.0, 8.0 * (1.0 + np.tanh(
+            np.log(coord.ptop / pmid)))) / 128.0
+        assert tau[0] > tau[-1]
+        assert abs(tau[-1] - 1.0 / 128.0) < 1e-12
+        assert tau[0] <= 1.0 / 16.0 + 1e-12
