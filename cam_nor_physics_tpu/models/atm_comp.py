@@ -22,7 +22,8 @@ from flax import struct
 
 from ..utils.config import FVConfig, PhysConfig, ZMConfig
 from .coupling.camsrfexch import CamIn, CamOut
-from .coupling.dp_coupling import d_p_coupling, p_d_coupling
+from .coupling.dp_coupling import (d_p_coupling, d_p_coupling_diags,
+                                   p_d_coupling)
 from .fv.cd_core import DynState
 from .fv.dyn_comp import dyn_run
 from .fv.grid import FVGrid, make_grid
@@ -145,6 +146,25 @@ def atm_step(model: AtmModel, state: AtmState, cam_in: CamIn,
 
     diags = dict(o1.diagnostics)
     diags.update(o2.diagnostics)
-    new = AtmState(dyn=dyn, phys=phys, pbuf=o2.pbuf, phis=state.phis,
+    pbuf = o2.pbuf
+
+    # diagnostic side of d_p_coupling (dp_coupling.F90:274-320): GW
+    # frontogenesis sources + QBO zonal mean into the pbuf, TEM circulation
+    # diagnostics into the history payload
+    pc = model.phys_cfg
+    cdiag = d_p_coupling_diags(
+        dyn, g, coord.ptop, omega=dyn_diags["omega"],
+        use_gw_front=pc.use_gw_front, qbo_use_forcing=pc.qbo_use_forcing,
+        do_circulation_diags=pc.do_circulation_diags)
+    ctem = cdiag.pop("ctem", None)
+    if cdiag:
+        pbuf = pbuf.update(**cdiag)
+    if ctem is not None:
+        diags.update(ctem)
+    if model.fv_cfg.am_diag:
+        diags.update({k: v for k, v in dyn_diags.items()
+                      if k.startswith("AM_")})
+
+    new = AtmState(dyn=dyn, phys=phys, pbuf=pbuf, phis=state.phis,
                    nstep=state.nstep + 1)
     return new, o2.cam_out, diags

@@ -128,6 +128,82 @@ def d_p_coupling(state: DynState, grid: FVGrid, phis, ptop: float,
     return check_energy_timestep_init(pstate, registry)   # (:655)
 
 
+def gws_src_fnct(ua, va, t3, pmid, grid: FVGrid):
+    """Frontogenesis function and angle for the gravity-wave frontal source
+    (gws_src_fnct role, /root/reference/fv/dp_coupling.F90:313-316; consumed
+    via the FRONTGF/FRONTGA pbuf fields registered at dyn_comp.F90:469-474).
+
+    The kinematic 2-D frontogenesis function on the A grid (Charron &
+    Manzini 2002, the formulation CAM's gw_front uses):
+
+        F = -[ (θx)²·ux + θxθy·(vx + uy) + (θy)²·vy ]
+
+    with spherical-metric derivatives; frontga is the gradient angle
+    atan2(θy, θx). Pole rows are zeroed (no unique direction on the cap).
+    Inputs (km, jm, im) cell-centered; returns (frontgf, frontga).
+    """
+    cosp = jnp.asarray(grid.cosp)
+    safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
+    rdx = 1.0 / (2.0 * c.REARTH * safe_cosp * grid.dl)
+    rdy = 1.0 / (2.0 * c.REARTH * grid.dp)
+
+    theta = t3 * (1.0e5 / pmid) ** c.CAPPA
+
+    def ddx(a):
+        return (jnp.roll(a, -1, axis=-1) - jnp.roll(a, 1, axis=-1)) * rdx
+
+    def ddy(a):
+        # centered in the interior; pole rows zeroed below
+        return (_rolly(a, -1) - _rolly(a, 1)) * rdy
+
+    tx, ty = ddx(theta), ddy(theta)
+    ux, uy = ddx(ua), ddy(ua)
+    vx, vy = ddx(va), ddy(va)
+    frontgf = -(tx * tx * ux + tx * ty * (vx + uy) + ty * ty * vy)
+    frontga = jnp.arctan2(ty, tx + jnp.where(tx == 0.0, 1e-30, 0.0))
+    for row in (0, -1):
+        frontgf = wset_row(frontgf, row, 0.0)
+        frontga = wset_row(frontga, row, 0.0)
+    return frontgf, frontga
+
+
+def zonal_mean_3d(a):
+    """Zonal mean of a (km, jm, im) field broadcast back over x
+    (zonal_mean_3D role, dp_coupling.F90:318-320 — the QBO forcing's UZM).
+    Chip-local when x is unsharded; lowers to a psum otherwise."""
+    return jnp.broadcast_to(jnp.mean(a, axis=-1, keepdims=True), a.shape)
+
+
+def d_p_coupling_diags(state: DynState, grid: FVGrid, ptop: float,
+                       omega=None, *, use_gw_front: bool = False,
+                       qbo_use_forcing: bool = False,
+                       do_circulation_diags: bool = False) -> dict:
+    """Diagnostic side of d_p_coupling (dp_coupling.F90:274-320): the
+    gravity-wave frontogenesis sources, the QBO zonal-mean wind, and the
+    TEM circulation diagnostics. Returns column-layout (ncol, km) arrays
+    for the pbuf payloads (FRONTGF/FRONTGA/UZM) and zonal-mean (npl, jm)
+    arrays under "ctem"."""
+    out = {}
+    if not (use_gw_front or qbo_use_forcing or do_circulation_diags):
+        return out
+    pe, pk, pkz, peln = pressure_vars(state.delp, ptop)
+    ua, va = d2a_winds(state.u, state.v)
+    qv = state.q[0]
+    t3 = state.pt * pkz / (1.0 + c.ZVIR * qv)
+    pmid = state.delp / (peln[1:] - peln[:-1])
+    if use_gw_front:
+        fgf, fga = gws_src_fnct(ua, va, t3, pmid, grid)
+        out["FRONTGF"] = _to_cols(fgf)
+        out["FRONTGA"] = _to_cols(fga)
+    if qbo_use_forcing:
+        out["UZM"] = _to_cols(zonal_mean_3d(ua))
+    if do_circulation_diags:
+        from ..fv.ctem import ctem_diags
+        om = omega if omega is not None else jnp.zeros_like(t3)
+        out["ctem"] = ctem_diags(ua, va, om, t3, pmid)
+    return out
+
+
 def p_d_coupling(state: DynState, pstate: PhysicsState, grid: FVGrid,
                  ptop: float, dt: float,
                  registry: ConstituentRegistry) -> DynState:

@@ -177,32 +177,71 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
     return state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new, q=q_new)
 
 
-def axial_angular_momentum(state: DynState, grid: FVGrid):
-    """Global axial (relative) angular momentum integral
+def axial_angular_momentum(state: DynState, grid: FVGrid,
+                           per_level: bool = False):
+    """Axial (relative) angular momentum integral
     (the par_vecsum/shr_reprosum payload of the AM fixer,
     dyn_comp.F90:1952-2069): M = sum u·cosφ·dm over the sphere, with dm
     proportional to delp·cell-area. Deterministic on TPU (fixed reduction
     order — SURVEY §2.3 P11), so no reprosum machinery is needed.
-    """
+    `per_level` returns the (km,) level-wise integrals (the reference's
+    dons(k), :1984-1990)."""
     cose = jnp.asarray(grid.cose)[None, :, None]
     # u is edge-staggered: weight rows by the edge-centered area measure
     w = cose * grid.dl * grid.dp
-    return jnp.sum(state.u * cose * state.delp * w)
+    integrand = state.u * cose * state.delp * w
+    if per_level:
+        return jnp.sum(integrand, axis=(-2, -1))
+    return jnp.sum(integrand)
 
 
-def am_fixer(state: DynState, grid: FVGrid, am0):
-    """Restore the pre-step global axial AM by a solid-rotation-like wind
-    increment u -= (ΔM/me0)·cosφ (dyn_comp.F90:2030-2069; the cose-weighted
-    correction of the reference with the optional taper omitted —
-    documented simplification, taper affects only the vertical shape)."""
-    am1 = axial_angular_momentum(state, grid)
+def am_taper(coord: HybridCoord, tpr_h: float, tpr_w: float, km: int,
+             high_order_top: bool):
+    """AM-fixer pressure taper (dyn_comp.F90:1268-1272, 1960-1982):
+    taper(k) = 1/(1 + (ptapk/avgpk(k))^xdlt2) with ptap = tpr_h − tpr_w/2,
+    ptapk = ptap^κ, xdlt2 = 2/(κ·ln((ptap+tpr_w/2)/(ptap−tpr_w/2))); the
+    reference's avgpk (global cose-weighted mean p^κ) is evaluated on the
+    static hybrid reference pressures. Levels 1..km/8 are zeroed unless
+    high_order_top (:1979-1982)."""
+    ptap = tpr_h - 0.5 * tpr_w
+    ptapk = ptap ** c.CAPPA
+    xdlt2 = 2.0 / (jnp.log((ptap + 0.5 * tpr_w) /
+                           (ptap - 0.5 * tpr_w)) * c.CAPPA)
+    pref = coord.ak + coord.bk * coord.ps0
+    avgpk = (0.5 * (pref[1:] + pref[:-1])) ** c.CAPPA
+    taper = 1.0 / (1.0 + (ptapk / avgpk) ** xdlt2)
+    if not high_order_top:
+        kmtp = km // 8
+        taper = jnp.where(jnp.arange(km) < kmtp, 0.0, taper)
+    return taper
+
+
+def am_fixer(state: DynState, grid: FVGrid, am0, taper=None,
+             lbl: bool = False):
+    """Restore the pre-step axial AM by a cosφ-shaped wind increment
+    (dyn_comp.F90:1994-2051). `am0` is the pre-step AM: global scalar, or
+    (km,) per-level when `lbl` (the am_fix_lbl level-by-level fixer).
+    `taper` is the (km,) pressure taper (am_taper; the reference forces
+    tapering on for the global fixer, :1268-1272). Returns
+    (new_state, du_fix) with du_fix the applied (km,) increment
+    coefficients (the du_fix_s diagnostic, :2043-2046)."""
     cose = jnp.asarray(grid.cose)[None, :, None]
     w = cose * grid.dl * grid.dp
-    me0 = jnp.sum(cose * cose * state.delp * w)          # ∫cos²φ dm measure
-    du = -(am1 - am0) / me0 * cose
-    u_new = state.u + du
-    u_new = u_new * (jnp.asarray(grid.cose)[None, :, None] > 0)
-    return state.replace(u=u_new)
+    km = state.km
+    tpr = jnp.ones((km,), state.u.dtype) if taper is None else taper
+    don_k = axial_angular_momentum(state, grid, per_level=True) - am0
+    dod_k = jnp.sum(cose * cose * state.delp * w, axis=(-2, -1))
+    if lbl:
+        du_k = -(don_k / dod_k) * tpr                    # (:1994-2002)
+    else:
+        # global fixer: taper weights the level integrals, then one global
+        # ratio shaped by taper(k)·cosφ (:2023-2046)
+        am1 = jnp.sum(don_k * tpr)
+        me0 = jnp.maximum(jnp.sum(dod_k * tpr), 1e-30)
+        du_k = -(am1 / me0) * tpr
+    du = du_k[:, None, None] * cose
+    u_new = (state.u + du) * (cose > 0)
+    return state.replace(u=u_new), du_k
 
 
 def benergy(state: DynState, grid: FVGrid, ptop: float):
@@ -268,14 +307,29 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     else:
         div_taper = None
 
-    def tracer_cycle(st, _):
+    # AM-fixer taper + am_diag accumulators (du_fix_s / du3s roles,
+    # dyn_comp.F90:2043-2057; consumed by the fv_diag_am_calc equivalent).
+    # duf is a scalar dummy when am_diag is off so the scan carry keeps a
+    # uniform structure at zero cost.
+    if cfg.am_fixer and (cfg.am_fix_taper or not cfg.am_fix_lbl):
+        fix_taper = am_taper(coord, cfg.am_fix_tpr_h, cfg.am_fix_tpr_w,
+                             state.km, cfg.high_order_top)
+    else:
+        fix_taper = None
+    duf_init = jnp.zeros((state.km,), state.u.dtype) if cfg.am_diag \
+        else jnp.zeros((), state.u.dtype)
+    u_in = state.u
+
+    def tracer_cycle(carry, _):
+        st, duf0 = carry
         dp0 = st.delp
         zx = jnp.zeros_like(st.delp)
         acc0 = dict(cx=zx, cy=zx, mfx=zx, mfy=zx)
 
         def small_step(carry, _):
-            st_i, acc = carry
-            am0 = axial_angular_momentum(st_i, grid) if cfg.am_fixer else None
+            st_i, acc, duf = carry
+            am0 = (axial_angular_momentum(st_i, grid, per_level=True)
+                   if cfg.am_fixer else None)
             st_i, d = cd_step(st_i, grid, ptop, phis, dt,
                               iord=cfg.iord, jord=cfg.jord,
                               dyn_filter=cfg.fft_flt >= 0,
@@ -290,35 +344,56 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               del2_velocity=del2_vel,
                               use_pallas=use_pallas, mesh=mesh)
             if cfg.am_fixer:
-                # global AM restoration per small step (dyn_comp.F90:1952-2069)
-                st_i = am_fixer(st_i, grid, am0)
+                # AM restoration per small step (dyn_comp.F90:1952-2069),
+                # tapered (the reference forces tapering for the global
+                # fixer) and per-level when am_fix_lbl
+                st_i, du_k = am_fixer(st_i, grid, am0, taper=fix_taper,
+                                      lbl=cfg.am_fix_lbl)
+                duf = duf + du_k if cfg.am_diag else duf
             acc = dict(cx=acc["cx"] + d["cx"], cy=acc["cy"] + d["cy"],
                        mfx=acc["mfx"] + d["mfx"], mfy=acc["mfy"] + d["mfy"])
-            return (st_i, acc), None
+            return (st_i, acc, duf), None
 
-        (st, acc), _ = jax.lax.scan(small_step, (st, acc0), None,
-                                    length=nsplit)
+        (st, acc, duf), _ = jax.lax.scan(small_step, (st, acc0, duf0),
+                                         None, length=nsplit)
         q_new, _dp_chk = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
                                 acc["mfy"], grid, cfg.iord, cfg.jord,
                                 use_pallas=use_pallas, mesh=mesh)
-        return st.replace(q=q_new), None
+        return (st.replace(q=q_new), duf), None
 
-    def remap_cycle(st, _):
+    def remap_cycle(carry, _):
+        st, duf0 = carry
         # omega diagnostic (the reference's omga accumulation +
         # compute_vdot_gradp role, dyn_comp.F90:2071-2098): between remaps
         # the hybrid layers are material surfaces, so the Lagrangian
         # mid-pressure change over the cycle IS ω = Dp/Dt at midpoints.
         pe0 = pressure_vars(st.delp, ptop)[0]
         pmid0 = 0.5 * (pe0[1:] + pe0[:-1])
-        st, _ = jax.lax.scan(tracer_cycle, st, None, length=n2)
+        (st, duf), _ = jax.lax.scan(tracer_cycle, (st, duf0), None,
+                                    length=n2)
         pe1 = pressure_vars(st.delp, ptop)[0]
         pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
         omega = (pmid1 - pmid0) * (nv / ndt)
         st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve,
                     use_pallas=use_pallas)
-        return st, omega
+        return (st, duf), omega
 
-    state, omegas = jax.lax.scan(remap_cycle, state, None, length=nv)
+    (state, duf_s), omegas = jax.lax.scan(remap_cycle, (state, duf_init),
+                                          None, length=nv)
     if return_diags:
-        return state, {"omega": omegas[-1]}
+        diags = {"omega": omegas[-1]}
+        if cfg.am_diag:
+            # am_diag payload (dp_coupling.F90:281-310 / fv_diag_am_calc):
+            # total dynamics wind increment, the fixer's per-level
+            # coefficients, and the AM integrals of each
+            du3s = state.u - u_in
+            cose = jnp.asarray(grid.cose)[None, :, None]
+            w = cose * grid.dl * grid.dp
+            diags["AM_DU3S"] = jnp.sum(du3s * cose * state.delp * w)
+            diags["AM_DUFIX"] = jnp.sum(
+                duf_s[:, None, None] * cose * cose * state.delp * w)
+            diags["AM_TOTAL"] = axial_angular_momentum(state, grid)
+            diags["du3s"] = du3s
+            diags["du_fix_s"] = duf_s
+        return state, diags
     return state

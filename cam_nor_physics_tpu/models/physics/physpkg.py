@@ -47,7 +47,24 @@ def physpkg_pbuf_specs(ncol: int, pver: int) -> dict:
     specs = dict(zm_pbuf_specs(ncol, pver))
     specs.update({
         "TEOUT": ((ncol,), "global"),        # physpkg.F90:231
-        "DTCORE": ((ncol, pver), "global"),  # dynamics T tendency diag
+        # explicit validity flag for the energy fixer's TEOUT payload: 0
+        # until tphysac has stored a real value (replaces the fragile
+        # all-zero sentinel; a half-initialized pbuf with stale TEOUT must
+        # not fire the fixer)
+        "TEOUT_VALID": ((1,), "global"),
+        # dynamics-tendency diagnostics (physpkg.F90:1046-1049, 2470-2477):
+        # tphysac stores end-of-physics T/q/u/v; next step's tphysbc
+        # differences them against the post-dynamics state
+        "DTCORE": ((ncol, pver), "global"),
+        "DQCORE": ((ncol, pver), "global"),
+        "DUCORE": ((ncol, pver), "global"),
+        "DVCORE": ((ncol, pver), "global"),
+        # gravity-wave frontogenesis sources + QBO zonal-mean wind,
+        # computed in d_p_coupling (dyn_comp.F90:469-476 registration;
+        # dp_coupling.F90:313-320 fill)
+        "FRONTGF": ((ncol, pver), "global"),
+        "FRONTGA": ((ncol, pver), "global"),
+        "UZM": ((ncol, pver), "global"),
         "QINI": ((ncol, pver), "physpkg"),
         "CLDLIQINI": ((ncol, pver), "physpkg"),
         "CLDICEINI": ((ncol, pver), "physpkg"),
@@ -116,9 +133,10 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     teout_prev = pbuf.get("TEOUT") if nstep > 0 else None
     if teout_prev is not None:
         heat = check_energy_fix(state, registry, teout_prev) / ztodt
-        # an all-zero TEOUT means the pbuf was never filled (cold start
-        # mid-sequence); the fixer must not fire against it
-        heat = jnp.where(jnp.any(teout_prev != 0.0), heat, 0.0)
+        # the fixer fires only against a TEOUT that tphysac actually
+        # stored (explicit validity flag; an uninitialized or stale pbuf
+        # payload must not drive the fixer)
+        heat = heat * pbuf.get("TEOUT_VALID")[0]
     else:
         heat = jnp.zeros_like(state.t)
     ptend = ptend_init("chkenergyfix", ncol, pver, pcnst, ls=True,
@@ -128,6 +146,17 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
                                      flx_sen=jnp.sum(heat * state.pdel,
                                                      axis=-1) / c.GRAVIT)
     diags["EFIX"] = jnp.sum(heat * state.pdel, axis=-1) / c.GRAVIT
+
+    # ---- T/q/u/v tendencies due to dynamics (physpkg.F90:2770-2781):
+    # difference the post-dynamics state against the values tphysac stored
+    # at the end of the previous physics step ----
+    if nstep > 0:
+        valid = pbuf.get("TEOUT_VALID")[0]
+        diags["DTCORE"] = valid * (state.t - pbuf.get("DTCORE")) / ztodt
+        diags["DQCORE"] = valid * (state.q[:, :, 0] -
+                                   pbuf.get("DQCORE")) / ztodt
+        diags["UTEND_CORE"] = valid * (state.u - pbuf.get("DUCORE")) / ztodt
+        diags["VTEND_CORE"] = valid * (state.v - pbuf.get("DVCORE")) / ztodt
 
     _snap(diags, phys_cfg, 'chkenergyfix_after', state)
     _snap(diags, phys_cfg, 'dadadj_before', state)
@@ -291,7 +320,12 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     _snap(diags, phys_cfg, 'dme_adjust_after', state)
     # ---- save teout for next step's energy fixer (physpkg.F90:2394) ----
     te, _ = column_energy(state, registry)
-    pbuf = pbuf.set("TEOUT", te)
+    pbuf = pbuf.update(
+        TEOUT=te, TEOUT_VALID=jnp.ones((1,), dtype),
+        # store end-of-physics state for next step's dynamics-tendency
+        # diagnostics (physpkg.F90:2470-2477)
+        DTCORE=state.t, DQCORE=state.q[:, :, 0],
+        DUCORE=state.u, DVCORE=state.v)
 
     cam_out = cam_export(state, pbuf.get("PREC_DP"), pbuf.get("SNOW_DP"))
     if "FLWDS" in diags:

@@ -239,6 +239,11 @@ class PhysConfig:
     use_gw_oro: bool = True
     use_gw_front: bool = False
     use_gw_convect: bool = False
+    # TEM circulation diagnostics in d_p_coupling (do_circulation_diags,
+    # /root/reference/fv/dp_coupling.F90:274-279)
+    do_circulation_diags: bool = False
+    # QBO zonal-mean wind forcing input (qbo_use_forcing, :318-320)
+    qbo_use_forcing: bool = False
     use_hetfrz_classnuc: bool = False
     waccmx_opt: str = "off"
     fv_am_correction: bool = False  # set by the dycore (dyn_comp.F90:374)

@@ -63,3 +63,45 @@ class TestAtmStep:
         state2, _, _ = step0(state)
         m1 = dry_mass(state2.dyn)
         np.testing.assert_allclose(m1, m0, rtol=5e-7)
+
+
+class TestCouplingDiagWiring:
+    """The d_p_coupling diagnostic hooks ride the coupled step: FRONTGF/
+    FRONTGA/UZM land in the pbuf, ctem + AM + DTCORE in the diags dict."""
+
+    def test_diag_flags_through_atm_step(self):
+        from dataclasses import replace as dc_replace
+
+        from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+        from cam_nor_physics_tpu.utils.config import PhysConfig
+
+        model = AtmModel.create(
+            48, 24, 10, dt=1800.0,
+            fv_cfg=FVConfig(nsplit=2, nspltrac=1, am_fixer=True,
+                            am_diag=True),
+            phys_cfg=PhysConfig(use_gw_front=True, qbo_use_forcing=True,
+                                do_circulation_diags=True))
+        st_dyn = hs_initial_state(model.grid, model.coord, pert=1.0,
+                                  nq=model.registry.pcnst)
+        st_dyn = st_dyn.replace(q=jnp.full_like(st_dyn.q, 1e-4))
+        state = atm_init(model, st_dyn, jnp.zeros((24, 48)))
+        ncol = 24 * 48
+        cam_in = CamIn.zeros(ncol, model.registry.pcnst)
+
+        step = jax.jit(lambda s: atm_step(model, s, cam_in))
+        state, _, diags = step(state)
+        state, _, diags = step(state)
+
+        for name in ("FRONTGF", "FRONTGA", "UZM"):
+            v = state.pbuf.get(name)
+            assert v.shape == (ncol, model.grid.km)
+            assert bool(jnp.isfinite(v).all())
+        assert float(jnp.abs(state.pbuf.get("UZM")).max()) > 0.0
+        for name in ("U2d", "VTH2d", "AM_DU3S", "AM_DUFIX", "AM_TOTAL"):
+            assert name in diags, name
+        # dynamics-tendency diagnostics present after the first stored step
+        for name in ("DTCORE", "DQCORE", "UTEND_CORE", "VTEND_CORE"):
+            assert name in diags, name
+            assert bool(jnp.isfinite(diags[name]).all())
+        # DTCORE reflects a real (nonzero) dynamics+coupling tendency
+        assert float(jnp.abs(diags["DTCORE"]).max()) > 0.0

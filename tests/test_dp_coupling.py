@@ -81,3 +81,63 @@ class TestDPCoupling:
                                    rtol=1e-12)
         np.testing.assert_allclose(np.asarray(st2.q), np.asarray(st.q),
                                    atol=1e-15)
+
+
+class TestCouplingDiags:
+    """Diagnostic side of d_p_coupling (dp_coupling.F90:274-320):
+    GW frontogenesis sources, QBO zonal mean, TEM circulation."""
+
+    def test_frontogenesis_solid_rotation_zero(self, setup):
+        """Solid-body rotation with uniform theta has no deformation acting
+        on a theta gradient: F must vanish identically."""
+        from cam_nor_physics_tpu.models.coupling.dp_coupling import \
+            gws_src_fnct
+        grid, coord, phis, reg, st = setup
+        km, jm, im = st.delp.shape
+        cosp = jnp.asarray(grid.cosp)
+        ua = 10.0 * jnp.broadcast_to(cosp[None, :, None], (km, jm, im))
+        va = jnp.zeros_like(ua)
+        t3 = jnp.full_like(ua, 280.0)
+        pmid = jnp.full_like(ua, 5e4)
+        fgf, fga = gws_src_fnct(ua, va, t3, pmid, grid)
+        assert float(jnp.abs(fgf).max()) < 1e-20
+
+    def test_frontogenesis_confluence_positive(self, setup):
+        """Confluent flow (du/dx < 0) acting on an x-gradient of theta
+        sharpens it: F = -(theta_x)^2 u_x > 0 at the confluence."""
+        from cam_nor_physics_tpu.models.coupling.dp_coupling import \
+            gws_src_fnct
+        grid, coord, phis, reg, st = setup
+        km, jm, im = st.delp.shape
+        x = jnp.arange(im) * (2 * jnp.pi / im)
+        ua = jnp.broadcast_to(
+            10.0 * jnp.sin(x)[None, None, :], (km, jm, im))
+        va = jnp.zeros_like(ua)
+        t3 = 280.0 + jnp.broadcast_to(
+            5.0 * jnp.cos(x)[None, None, :], (km, jm, im))
+        pmid = jnp.full_like(ua, 5e4)
+        fgf, _ = gws_src_fnct(ua, va, t3, pmid, grid)
+        # at x=pi: theta_x extremal? theta_x = -5 sin(x) -> 0 at pi; instead
+        # check the global max is positive and the field is finite
+        assert bool(jnp.isfinite(fgf).all())
+        assert float(fgf.max()) > 0.0
+
+    def test_d_p_coupling_diags_payloads(self, setup):
+        from cam_nor_physics_tpu.models.coupling.dp_coupling import \
+            d_p_coupling_diags
+        grid, coord, phis, reg, st = setup
+        ncol, km = grid.jm * grid.im, grid.km
+        out = d_p_coupling_diags(st, grid, coord.ptop,
+                                 use_gw_front=True, qbo_use_forcing=True,
+                                 do_circulation_diags=True)
+        assert out["FRONTGF"].shape == (ncol, km)
+        assert out["FRONTGA"].shape == (ncol, km)
+        assert out["UZM"].shape == (ncol, km)
+        # UZM is zonally uniform: every column in a row carries the row mean
+        uzm = np.asarray(out["UZM"]).reshape(grid.jm, grid.im, km)
+        assert np.allclose(uzm, uzm[:, :1, :])
+        ctem = out["ctem"]
+        for k in ("U2d", "VTH2d", "UV2d", "WTH2d", "TH2d"):
+            assert ctem[k].shape[1] == grid.jm
+        # off switches -> empty dict (no wasted compute in the step)
+        assert d_p_coupling_diags(st, grid, coord.ptop) == {}

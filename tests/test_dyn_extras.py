@@ -28,15 +28,38 @@ def setup():
 class TestAMFixer:
     def test_fixer_restores_am(self, setup):
         grid, coord, st = setup
-        am0 = axial_angular_momentum(st, grid)
+        am0 = axial_angular_momentum(st, grid, per_level=True)
         # perturb u: add a wind anomaly that changes AM
         st2 = st.replace(u=st.u + 0.5)
         am_bad = float(axial_angular_momentum(st2, grid))
-        scale = abs(am_bad - float(am0))
+        am_tot = float(jnp.sum(am0))
+        scale = abs(am_bad - am_tot)
         assert scale > 0.0
-        st3 = am_fixer(st2, grid, am0)
+        st3, du_k = am_fixer(st2, grid, am0)     # untapered: exact restore
         am_fixed = float(axial_angular_momentum(st3, grid))
-        assert abs(am_fixed - float(am0)) < 1e-12 * scale
+        assert abs(am_fixed - am_tot) < 1e-12 * scale
+        assert du_k.shape == (st.km,)
+
+    def test_fixer_lbl_restores_each_level(self, setup):
+        grid, coord, st = setup
+        am0 = axial_angular_momentum(st, grid, per_level=True)
+        st2 = st.replace(u=st.u + 0.5)
+        st3, _ = am_fixer(st2, grid, am0, lbl=True)
+        am_fixed = axial_angular_momentum(st3, grid, per_level=True)
+        scale = np.abs(np.asarray(
+            axial_angular_momentum(st2, grid, per_level=True) - am0))
+        np.testing.assert_allclose(np.asarray(am_fixed), np.asarray(am0),
+                                   atol=float(scale.max()) * 1e-12)
+
+    def test_taper_shape(self, setup):
+        from cam_nor_physics_tpu.models.fv.dyn_comp import am_taper
+        coord = hybrid_coefficients(26)
+        tpr = np.asarray(am_taper(coord, 95e2, 10e2, 26,
+                                  high_order_top=False))
+        assert tpr.shape == (26,)
+        assert np.all(tpr[: 26 // 8] == 0.0)     # top exclusion (kmtp)
+        assert tpr[-1] > 0.99                    # full strength at surface
+        assert np.all(np.diff(tpr[26 // 8:]) >= -1e-12)  # monotone ramp
 
     def test_dyn_run_with_fixer_conserves_am(self, setup):
         grid, coord, st = setup
@@ -45,7 +68,11 @@ class TestAMFixer:
         st = st.replace(u=st.u + 20.0 * cose)
         phis = jnp.zeros((24, 48))
         am0 = float(axial_angular_momentum(st, grid))
-        cfg_fix = FVConfig(nsplit=2, nspltrac=1, am_fixer=True)
+        # tiny taper-onset pressure -> taper ~ 1 at every level, so the
+        # global fixer restores the full-column AM (the default 95 hPa
+        # onset leaves the tapered-out top levels uncorrected by design)
+        cfg_fix = FVConfig(nsplit=2, nspltrac=1, am_fixer=True,
+                           am_fix_tpr_h=1.0, am_fix_tpr_w=0.5)
         cfg_nof = FVConfig(nsplit=2, nspltrac=1, am_fixer=False)
         am_fix = float(axial_angular_momentum(
             dyn_run(st, grid, coord, phis, cfg_fix, 1800.0), grid))

@@ -91,7 +91,8 @@ class TestPhyspkg:
             column_energy
         te0, _ = column_energy(st, reg)
         target = te0 - 5.0e5          # J/m2 deficit
-        pbuf2 = pbuf.set("TEOUT", target)
+        pbuf2 = pbuf.set("TEOUT", target).set(
+            "TEOUT_VALID", jnp.ones((1,), target.dtype))
         o1 = phys_run1(pcfg, zcfg, reg, st, pbuf2, cam_in, 1800.0, nstep=1)
         err = np.abs(np.asarray(o1.diagnostics["EFIX"]) * 1800.0 - (-5.0e5))
         assert float(err.max()) < 1.0
