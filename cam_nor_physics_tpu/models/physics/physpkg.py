@@ -41,9 +41,10 @@ from .zm_conv_intr import zm_conv_tend, zm_conv_tend_2
 from ...ops.fill import qneg3, qneg4
 
 
-def physpkg_pbuf_specs(ncol: int, pver: int) -> dict:
+def physpkg_pbuf_specs(ncol: int, pver: int, nmodes: int = 1) -> dict:
     """Full pbuf registration: ZM set + driver-level persistent fields
-    (phys_register, physpkg.F90:100-352)."""
+    (phys_register, physpkg.F90:100-352). nmodes sizes the per-mode
+    aerosol wateruptake stacks (len(phys_cfg.aero_modes))."""
     specs = dict(zm_pbuf_specs(ncol, pver))
     specs.update({
         "TEOUT": ((ncol,), "global"),        # physpkg.F90:231
@@ -69,10 +70,14 @@ def physpkg_pbuf_specs(ncol: int, pver: int) -> dict:
         "CLDLIQINI": ((ncol, pver), "physpkg"),
         "CLDICEINI": ((ncol, pver), "physpkg"),
         "RLIQBC": ((ncol,), "physpkg"),      # physpkg.F90:2894
-        # aerosol water uptake state for modal optics (pbuf DGNUMWET /
-        # QAERWAT, modal_aer_opt.F90 usage; filled by the wateruptake slot)
-        "DGNUMWET": ((ncol, pver), "global"),
-        "QAERWAT": ((ncol, pver), "global"),
+        # aerosol water uptake state for modal optics: per-mode stacks, as
+        # the reference's (pcols, pver, nmodes) pbuf fields
+        # (modal_aer_opt.F90:652-663 pbuf_get_field DGNUMWET/QAERWAT; filled
+        # by the calcsize + wateruptake equivalents at physpkg.F90:2899-2930)
+        "DGNUMDRY": ((ncol, pver, nmodes), "global"),
+        "DGNUMWET": ((ncol, pver, nmodes), "global"),
+        "QAERWAT": ((ncol, pver, nmodes), "global"),
+        "WETDENS_AP": ((ncol, pver, nmodes), "global"),
     })
     return specs
 
@@ -194,17 +199,46 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     # nstep-0 calcsize/wateruptake + optics branch, skipped for oslo) ----
     if (phys_cfg.prog_modal_aero and not phys_cfg.use_oslo_aero
             and phys_cfg.aero_modes):
-        from .modal_aer_opt import modal_aero_lw, modal_aero_sw
-        mass = state.pdel / c.GRAVIT
-        dgnumwet = pbuf.get("DGNUMWET")
-        qaerwat = pbuf.get("QAERWAT")
-        for mode in phys_cfg.aero_modes:
+        from .modal_aer_opt import modal_aero_optics_all
+        from .modal_aero_wateruptake import (modal_aero_calcsize,
+                                             modal_aero_wateruptake)
+        from ...ops.saturation import qsat_water
+        modes = phys_cfg.aero_modes
+        mass = state.pdeldry / c.GRAVIT          # dry layer mass (:545)
+        # calcsize + wateruptake fill the per-mode DGNUMWET/QAERWAT stacks
+        # (modal_aero_calcsize_diag + modal_aero_wateruptake_dr,
+        # physpkg.F90:2906-2913 / modal_aer_opt.F90:697-704)
+        es, qs = qsat_water(state.t, state.pmid)
+        rh = jnp.clip(state.q[:, :, 0] / jnp.maximum(qs, 1.0e-12), 0.0, 1.0)
+        specmmr_by_mode, dg_dry, dg_wet, qw, wdens = [], [], [], [], []
+        for mode in modes:
             specmmr = [state.q[:, :, registry.index(n)]
                        for n in mode.species_names]
-            sw = modal_aero_sw(mode, specmmr, dgnumwet, qaerwat, mass)
-            diags[f"AODVIS_{mode.name}"] = sw["AODVIS"]
-            diags[f"AODABS_{mode.name}"] = sw["AODABS"]
-            diags[f"BURDEN_{mode.name}"] = sw["burden"]
+            specmmr_by_mode.append(specmmr)
+            num = (state.q[:, :, registry.index(mode.num_name)]
+                   if mode.num_name else None)
+            dgnum, naer, _ = modal_aero_calcsize(
+                specmmr, mode.species_density, mode.sigma_logr,
+                mode.dgnum, mode.dgnumlo, mode.dgnumhi, num)
+            hygro = (mode.species_hygro if mode.species_hygro
+                     else (0.5,) * len(specmmr))
+            wu = modal_aero_wateruptake(
+                specmmr, mode.species_density, hygro, mode.sigma_logr,
+                dgnum, naer, rh, mode.rhcrystal, mode.rhdeliques)
+            dg_dry.append(dgnum)
+            dg_wet.append(wu["dgnumwet"])
+            qw.append(wu["qaerwat"])
+            wdens.append(wu["wetdens"])
+        dgnumwet_m = jnp.stack(dg_wet, axis=-1)
+        qaerwat_m = jnp.stack(qw, axis=-1)
+        pbuf = pbuf.update(DGNUMDRY=jnp.stack(dg_dry, axis=-1),
+                           DGNUMWET=dgnumwet_m, QAERWAT=qaerwat_m,
+                           WETDENS_AP=jnp.stack(wdens, axis=-1))
+        sw_tot, lw_tau, aero_diags = modal_aero_optics_all(
+            modes, specmmr_by_mode, dgnumwet_m, qaerwat_m, mass)
+        diags.update(aero_diags)
+        diags["AER_TAU_SW"] = sw_tot["tau"]
+        diags["AER_TAU_LW"] = lw_tau
 
     # ---- export to surface models (physpkg.F90:2933-2940) ----
     cam_out = cam_export(state, prec_dp, snow_dp)

@@ -100,15 +100,26 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     # heating folded into the convective heating
     heat = out.heat
     dlf_out, dif_out = out.dlf, jnp.zeros_like(out.dlf)
+    rprd_out = out.rprd
     if cfg.microp:
         from .zm_microphysics import zm_mphy
-        mp = zm_mphy(out.ql, state.t, out.du, None, out.dlf, ztodt)
+        # two-moment plume microphysics re-routes the cldprp ql budget's
+        # condensate source (dlf + rprd) through activation / freezing /
+        # autoconversion / snow conversion (zm_mphy call inside cldprp,
+        # zm_conv.F90:3826-3851); frz heating scattered as in :1521
+        mp = zm_mphy(state.t, state.pmid, out.dp, out.mu, out.du,
+                     out.dlf, out.rprd, landfrac, out.jt, out.maxg)
         heat = heat + mp.frz
         dlf_out, dif_out = mp.dlf, mp.dif
+        rprd_out = mp.rprd + mp.sprd     # total precip production for evap
         pbuf = pbuf.update(DNLFZM=mp.dnlf, DNIFZM=mp.dnif,
                            DP_CLDLIQ=mp.qliq, DP_CLDICE=mp.qice)
         diags["DNLFZM"] = mp.dnlf
         diags["DNIFZM"] = mp.dnif
+        diags["ZMSPRD"] = mp.sprd
+        diags["ZMFRZ"] = mp.frz / c.CPAIR
+        diags["ZMNLIQ"] = mp.qnl
+        diags["ZMNICE"] = mp.qni
 
     lq = (True,) + (False,) * (pcnst - 1)
     ptend_conv = ptend_init("zm_convr", ncol, pver, pcnst, ls=True, lq=lq,
@@ -146,7 +157,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
             dq_tran = dq_tran.at[:, :, m].set(dq_sub[:, :, j])
     else:
         ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
-                          state1.q[:, :, 0], landfrac, out.rprd, cld, ztodt,
+                          state1.q[:, :, 0], landfrac, rprd_out, cld, ztodt,
                           out.prec)
     ptend_evap = ptend_init("zm_conv_evap", ncol, pver, pcnst, ls=True, lq=lq,
                             dtype=dtype)
@@ -223,7 +234,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         ZM_MU=out.mu, ZM_EU=out.eu, ZM_DU=out.du, ZM_MD=out.md, ZM_ED=out.ed,
         ZM_DP=out.dp, ZM_DSUBCLD=out.dsubcld,
         ZM_JT=out.jt.astype(dtype), ZM_MAXG=out.maxg.astype(dtype),
-        ZM_IDEEP=maskf, RPRDDP=out.rprd, ICWMRDP=out.ql,
+        ZM_IDEEP=maskf, RPRDDP=rprd_out, ICWMRDP=out.ql,
         NEVAPR_DPCU=ev["tend_q"], PREC_DP=ev["prec"], SNOW_DP=ev["snow"],
         DP_FLXPRC=ev["flxprec"], DP_FLXSNW=ev["flxsnow"],
         DLFZM=dlf_out, DIFZM=dif_out, CMFMC_DP=mcon_kg)

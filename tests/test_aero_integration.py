@@ -44,11 +44,11 @@ def test_aod_diagnostics_emitted_through_tphysbc():
                     table=make_synthetic_table())
     pcfg = PhysConfig(aero_modes=(mode,))
     pbuf = pbuf_register(physpkg_pbuf_specs(ncol, pver))
+    # DGNUMWET/QAERWAT are filled internally by the calcsize + wateruptake
+    # pipeline (physpkg.F90:2906-2913), not seeded here
     pbuf = pbuf.update(CLD=jnp.full((ncol, pver), 0.1),
                        PBLH=jnp.full((ncol,), 800.0),
-                       TPERT=jnp.full((ncol,), 0.3),
-                       DGNUMWET=jnp.full((ncol, pver), 0.2e-6),
-                       QAERWAT=jnp.full((ncol, pver), 1e-9))
+                       TPERT=jnp.full((ncol,), 0.3))
     cam_in = CamIn.zeros(ncol, pcnst).replace(landfrac=jnp.ones((ncol,)))
     o1 = jax.jit(lambda s, pb: phys_run1(pcfg, ZMConfig(), reg, s, pb,
                                          cam_in, 1800.0, nstep=0))(st, pbuf)

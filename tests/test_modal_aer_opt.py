@@ -41,20 +41,29 @@ class TestSizeParameters:
     def test_chebyshev_recurrence_and_range(self):
         tbl = make_synthetic_table()
         d = jnp.asarray([[0.2e-6, 1.0e-6, 30.0e-6, 1.0e-9]])
-        cheb = modal_size_parameters(d, tbl.rmmin, tbl.rmmax, 1.8)
+        radsurf, logradsurf, cheb = modal_size_parameters(
+            d, tbl.rmmin, tbl.rmmax, 1.8)
         assert cheb.shape == (1, 4, NCOEF)
         # T0 == 1; |Tn| <= 1 on the clipped domain
         np.testing.assert_allclose(np.asarray(cheb[..., 0]), 1.0)
         assert float(jnp.abs(cheb).max()) <= 1.0 + 1e-12
+        # surface radius = d/2 exp(2 ln^2 sigma); log is unclipped
+        np.testing.assert_allclose(
+            np.asarray(radsurf),
+            np.asarray(d) / 2 * np.exp(2 * np.log(1.8) ** 2), rtol=1e-12)
+        assert float(logradsurf[0, 2]) > np.log(tbl.rmmax)
 
     def test_bilinear_weights_partition_of_unity(self):
-        grid = np.linspace(1.3, 1.7, 7)
-        x = jnp.asarray([1.29, 1.31, 1.5, 1.69, 1.8])
+        nband = 3
+        grid = np.tile(np.linspace(1.3, 1.7, 7)[:, None], (1, nband))
+        x = jnp.broadcast_to(
+            jnp.asarray([1.29, 1.31, 1.5, 1.69, 1.8])[None, :, None],
+            (2, 5, nband))
         w = _bilinear_cell(grid, x)
         np.testing.assert_allclose(np.asarray(w.sum(axis=-1)), 1.0,
                                    rtol=1e-12)
         # interpolation of the grid itself reproduces clipped x
-        xi = jnp.einsum('...n,n->...', w, jnp.asarray(grid))
+        xi = jnp.einsum('cpbn,bn->cpb', w, jnp.asarray(grid.T))
         np.testing.assert_allclose(np.asarray(xi),
                                    np.clip(np.asarray(x), 1.3, 1.7),
                                    rtol=1e-12)
@@ -74,16 +83,16 @@ class TestSWLW:
         assert (np.abs(np.asarray(out["tau_w_f"])) <=
                 np.abs(np.asarray(out["tau_w_g"])) + 1e-12).all()
 
-    def test_sw_scales_with_burden(self, mode, fields):
+    def test_sw_scales_with_wet_volume(self, mode, fields):
         specmmr, dgnumwet, qaerwat, mass = fields
         o1 = modal_aero_sw(mode, specmmr, dgnumwet, qaerwat, mass)
+        # doubling species mass AND water doubles the wet volume at fixed
+        # bulk refractive index and fixed radius, so tau doubles exactly
+        # (tau = exp(chebsum(m)) * wetvol * rhoh2o * mass, :869-896)
         o2 = modal_aero_sw(mode, [2.0 * s for s in specmmr], dgnumwet,
-                           qaerwat, mass)
-        # doubling species mass doubles dry burden; tau scales accordingly
-        # (refractive index shifts slightly through water dilution, so 2x
-    # within a few percent)
-        r = np.asarray(o2["tau"]).sum() / np.asarray(o1["tau"]).sum()
-        assert 1.8 < r < 2.2
+                           2.0 * qaerwat, mass)
+        np.testing.assert_allclose(np.asarray(o2["tau"]),
+                                   2.0 * np.asarray(o1["tau"]), rtol=1e-10)
 
     def test_lw_nonnegative(self, mode, fields):
         specmmr, dgnumwet, qaerwat, mass = fields
