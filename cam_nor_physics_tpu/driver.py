@@ -104,6 +104,24 @@ def latest_checkpoint(out_dir: str) -> str | None:
     return paths[-1] if paths else None
 
 
+def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
+                      hist, ckpt_writer) -> None:
+    """Structured abort record (the endrun replacement, SURVEY §5.3): flush
+    IO workers so no tape/checkpoint is truncated, then write ABORT.json
+    with the failure reason and a pointer to the last good checkpoint —
+    the recovery contract is restart-from-checkpoint (SURVEY §5.4)."""
+    import json
+    if hist:
+        hist.close()
+    if ckpt_writer:
+        ckpt_writer.flush()
+        ckpt_writer.close()
+    record = {"reason": str(err), "failed_step": nstep,
+              "last_good_checkpoint": latest_checkpoint(out_dir)}
+    with open(os.path.join(out_dir, "ABORT.json"), "w") as f:
+        json.dump(record, f, indent=1)
+
+
 def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
         out_dir: str = "output", hist_every: int = 0, ckpt_every: int = 0,
         check_every: int = 10, resume_from: str | None = None):
@@ -172,7 +190,11 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
         if check_every and (i + 1) % check_every == 0:
             with timer.region("sentinels"):
-                _check_state(state, i + 1)
+                try:
+                    _check_state(state, i + 1)
+                except BlowupError as err:
+                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer)
+                    raise
 
     if hist:
         hist.close()
@@ -259,7 +281,11 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
 
         if check_every and (i + 1) % check_every == 0:
             with timer.region("sentinels"):
-                _check_state(state, i + 1)
+                try:
+                    _check_state(state, i + 1)
+                except BlowupError as err:
+                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer)
+                    raise
 
     if hist:
         hist.close()

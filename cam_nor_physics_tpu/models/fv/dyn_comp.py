@@ -95,8 +95,12 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
     Remaps pt (mass-weighted), tracers, and u/v (on edge-averaged pressure
     thickness). Total air mass per column is preserved exactly (ps from the
-    Lagrangian pe). consv=True additionally restores column total energy by
-    a uniform pt correction (energy-conserving remap role).
+    Lagrangian pe). consv=True conserves column total energy in the
+    reference formulation (upstream te_map, called at dyn_comp.F90:2699-2740):
+    the layer total energy te = KE + M (Montgomery streamfunction,
+    M = Phi_below + cp*pt*pk_below — the exact layer mean of cp*Tv + Phi
+    for layer-constant pt) is remapped as a conserved quantity and pt is
+    recovered from it bottom-up on the new coordinate.
     """
     km, jm, im = state.delp.shape
     nq = state.q.shape[0]
@@ -104,11 +108,36 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
     ps = pe[-1]                                   # (jm, im)
     pe_tgt = jnp.moveaxis(coord.pint(ps), -1, 0)  # (km+1, jm, im)
 
+    from .cd_core import d2a_winds
+
+    def layer_te(delp_, pt_, u_, v_, pk_):
+        """Layer total energy KE + M. Within a layer of constant (scaled
+        virtual potential) temperature, hydrostatic balance gives
+        dPhi = -cp*pt*d(p^kappa), so cp*Tv + Phi == Phi_edge_below +
+        cp*pt*pk_edge_below exactly — the Montgomery streamfunction form.
+        The surface geopotential is taken as 0: it adds the same constant
+        per unit mass before and after the remap (column mass is exactly
+        preserved) and cancels in the recovery."""
+        ua, va = d2a_winds(u_, v_)
+        ke = 0.5 * (ua ** 2 + va ** 2)
+        contrib = c.CPAIR * pt_ * (pk_[1:] - pk_[:-1])   # Phi_k - Phi_k+1
+        # Phi at edge k = sum_{k'>=k} contrib  (edge km = surface = 0)
+        phi_edge = jnp.cumsum(contrib[::-1], axis=0)[::-1]
+        phi_below = phi_edge - contrib                   # edge k+1
+        return ke + phi_below + c.CPAIR * pt_ * pk_[1:]
+
     ncol = jm * im
 
     # winds: remap on pressure profiles averaged to their staggered positions
     def south_shift(a):                   # a[:, j-1], row 0 -> row 0
         return wset_row(_rolly(a, 1), 0, a)
+
+    # center-interface fields to remap: pt, tracers, and (consv) the layer
+    # total energy as an additional conserved scalar
+    cen_fields = [state.pt] + [state.q[m] for m in range(nq)]
+    if consv:
+        cen_fields.append(layer_te(state.delp, state.pt, state.u, state.v,
+                                   pk))
 
     from ...ops.remap_pallas import te_map_remap_pallas, use_pallas_remap
     if use_pallas and use_pallas_remap(ncol):
@@ -121,11 +150,9 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
             r2(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1),
             r2(0.5 * (pe + jnp.roll(pe, 1, axis=-1)), km + 1),
             r2(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1),
-            [r2(state.pt, km)] + [r2(state.q[m], km) for m in range(nq)],
+            [r2(f, km) for f in cen_fields],
             r2(state.u, km), r2(state.v, km), kord)
-        pt_new = cen[0].reshape((km, jm, im))
-        q_new = jnp.stack([cen[1 + m].reshape((km, jm, im))
-                           for m in range(nq)], axis=0)
+        cen = [f.reshape((km, jm, im)) for f in cen]
         u_new = u2.reshape((km, jm, im))
         v_new = v2.reshape((km, jm, im))
     else:
@@ -140,12 +167,9 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
         # pt + all tracers share the center interfaces: one multi-field
         # remap (search masks computed once — SURVEY §2.3 P6)
-        fields = jnp.stack([flat(state.pt, km)] +
-                           [flat(state.q[m], km) for m in range(nq)])
-        remapped = ppm_remap_multi(pe_s, fields, pe_t, kord)
-        pt_new = unflat(remapped[0], km)
-        q_new = jnp.stack([unflat(remapped[1 + m], km) for m in range(nq)],
-                          axis=0)
+        remapped = ppm_remap_multi(
+            pe_s, jnp.stack([flat(f, km) for f in cen_fields]), pe_t, kord)
+        cen = [unflat(remapped[m], km) for m in range(len(cen_fields))]
 
         pe_su = flat(0.5 * (pe + south_shift(pe)), km + 1)
         pe_tu = flat(0.5 * (pe_tgt + south_shift(pe_tgt)), km + 1)
@@ -154,27 +178,57 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
         pe_tv = flat(0.5 * (pe_tgt + jnp.roll(pe_tgt, 1, axis=-1)), km + 1)
         v_new = unflat(ppm_remap(pe_sv, flat(state.v, km), pe_tv, kord), km)
 
+    pt_new = cen[0]
+    q_new = jnp.stack(cen[1:1 + nq], axis=0)
     delp_new = pe_tgt[1:] - pe_tgt[:-1]
 
     if consv:
-        # restore column total energy: cp*Tv + K integrated over dp
-        def col_energy(st_delp, st_pt, st_u, st_v, pk_i, peln_i):
-            pkz_l = (pk_i[1:] - pk_i[:-1]) / (c.CAPPA *
-                                              (peln_i[1:] - peln_i[:-1]))
-            tv = st_pt * pkz_l
-            from .cd_core import d2a_winds
-            ua, va = d2a_winds(st_u, st_v)
-            ke = 0.5 * (ua ** 2 + va ** 2)
-            return jnp.sum(st_delp * (c.CPAIR * tv + ke), axis=0)
+        # recover pt from the remapped total energy bottom-up (the upstream
+        # te_map's recovery loop): on the new coordinate,
+        #   te_k = ke_k + Phi_{k+1} + cp*pt_k*pk_{k+1}
+        # with Phi built hydrostatically from the surface; PPM conserves
+        # the column integral of te exactly, so total energy is conserved
+        # to roundoff.
+        te_new = cen[1 + nq]
+        pk_t = pe_tgt ** c.CAPPA
+        ua, va = d2a_winds(u_new, v_new)
+        ke_new = 0.5 * (ua ** 2 + va ** 2)
 
-        te0 = col_energy(state.delp, state.pt, state.u, state.v, pk, peln)
-        pe2, pk2, pkz2, peln2 = pressure_vars(delp_new, ptop)
-        te1 = col_energy(delp_new, pt_new, u_new, v_new, pk2, peln2)
-        # uniform additive pt correction closing the energy budget
-        corr = (te0 - te1) / (c.CPAIR * jnp.sum(delp_new * pkz2, axis=0))
-        pt_new = pt_new + corr[None]
+        def recover(phi_below, xs):
+            te_k, ke_k, pk_bot, pk_top = xs
+            pt_k = (te_k - ke_k - phi_below) / (c.CPAIR * pk_bot)
+            phi_above = phi_below + c.CPAIR * pt_k * (pk_bot - pk_top)
+            return phi_above, pt_k
+
+        _, pt_rev = jax.lax.scan(
+            recover, jnp.zeros((jm, im), state.pt.dtype),
+            (te_new[::-1], ke_new[::-1], pk_t[1:][::-1], pk_t[:-1][::-1]))
+        pt_new = pt_rev[::-1]
 
     return state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new, q=q_new)
+
+
+def compute_vdot_gradp(state: DynState, grid: FVGrid, ptop: float):
+    """Horizontal pressure-advection term v·∇p of the omega diagnostic
+    (compute_vdot_gradp, dyn_comp.F90:2071-2098): the Lagrangian midpoint
+    pressure change at a fixed grid point is the local tendency ∂p/∂t of
+    the material layer, so ω = Dp/Dt = ∂p/∂t + v·∇p needs this advective
+    term added. Centered spherical-metric differences on A-grid winds;
+    pole rows carry no unique horizontal direction and are zeroed (the
+    reference's cap treatment)."""
+    from .cd_core import d2a_winds
+    pe = pressure_vars(state.delp, ptop)[0]
+    pmid = 0.5 * (pe[1:] + pe[:-1])
+    ua, va = d2a_winds(state.u, state.v)
+    cosp = jnp.asarray(grid.cosp)
+    safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[None, :, None]
+    dpdx = (jnp.roll(pmid, -1, axis=-1) - jnp.roll(pmid, 1, axis=-1)) / \
+        (2.0 * c.REARTH * safe_cosp * grid.dl)
+    dpdy = (_rolly(pmid, -1) - _rolly(pmid, 1)) / \
+        (2.0 * c.REARTH * grid.dp)
+    vgp = ua * dpdx + va * dpdy
+    vgp = wset_row(vgp, 0, 0.0)
+    return wset_row(vgp, -1, 0.0)
 
 
 def axial_angular_momentum(state: DynState, grid: FVGrid,
@@ -373,7 +427,10 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                                     length=n2)
         pe1 = pressure_vars(st.delp, ptop)[0]
         pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
-        omega = (pmid1 - pmid0) * (nv / ndt)
+        # ω = ∂p/∂t (material-layer midpoint change at fixed grid point)
+        # + v·∇p (compute_vdot_gradp, dyn_comp.F90:2071-2098)
+        omega = (pmid1 - pmid0) * (nv / ndt) + \
+            compute_vdot_gradp(st, grid, ptop)
         st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve,
                     use_pallas=use_pallas)
         return (st, duf), omega

@@ -138,20 +138,66 @@ class TestTeMap:
         st2 = st.replace(delp=delp2)
 
         def tot_energy(s):
+            """Exact column total energy KE + cp*Tv + Phi integrated over
+            dp, in the layer-constant-pt (Montgomery) form the remap
+            conserves (upstream te_map; dyn_comp.F90:2699-2740)."""
             pe, pk, pkz, peln = pressure_vars(s.delp, coord.ptop)
-            tv = s.pt * pkz
+            from cam_nor_physics_tpu.utils import constants as c
             ua, va = d2a_winds(s.u, s.v)
             ke = 0.5 * (ua ** 2 + va ** 2)
-            from cam_nor_physics_tpu.utils import constants as c
+            contrib = c.CPAIR * s.pt * (pk[1:] - pk[:-1])
+            phi_edge = jnp.cumsum(contrib[::-1], axis=0)[::-1]
+            te = ke + (phi_edge - contrib) + c.CPAIR * s.pt * pk[1:]
             w = np.asarray(grid.cosp).copy()
             w[0] = w[-1] = grid.acap / grid.im
-            return float((jnp.asarray(w)[None, :, None] * s.delp *
-                          (c.CPAIR * tv + ke)).sum())
+            return float((jnp.asarray(w)[None, :, None] * s.delp * te).sum())
 
         e0 = tot_energy(st2)
         st3 = te_map(st2, coord, grid, coord.ptop, consv=True)
         e1 = tot_energy(st3)
-        np.testing.assert_allclose(e1, e0, rtol=1e-10)
+        np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+class TestVdotGradp:
+    """ω pressure-advection term (compute_vdot_gradp, dyn_comp.F90:2071-2098)."""
+
+    def test_zonal_advection_of_zonal_gradient(self, setup):
+        from cam_nor_physics_tpu.models.fv.dyn_comp import compute_vdot_gradp
+        from cam_nor_physics_tpu.utils import constants as c
+        grid, coord, phis = setup
+        st = isothermal_rest_state(grid, coord)
+        # impose a zonal wavenumber-1 surface-pressure signal and a uniform
+        # westerly: v·∇p must equal u ∂p/∂x analytically (discrete centered)
+        lam = 2.0 * np.pi * np.arange(grid.im) / grid.im
+        dps = 100.0 * np.sin(lam)                      # Pa
+        delp = st.delp * (1.0 + jnp.asarray(dps)[None, None, :] / 1.0e5)
+        u0 = 10.0
+        st = st.replace(delp=delp, u=jnp.full_like(st.u, u0))
+        vgp = compute_vdot_gradp(st, grid, coord.ptop)
+        pe = pressure_vars(st.delp, coord.ptop)[0]
+        pmid = 0.5 * (pe[1:] + pe[:-1])
+        dpdx = (jnp.roll(pmid, -1, -1) - jnp.roll(pmid, 1, -1)) / \
+            (2.0 * c.REARTH * jnp.asarray(grid.cosp)[None, :, None] * grid.dl)
+        expect = u0 * dpdx
+        np.testing.assert_allclose(np.asarray(vgp[:, 1:-1]),
+                                   np.asarray(expect[:, 1:-1]), rtol=1e-10)
+        # pole rows carry no horizontal direction
+        assert float(jnp.abs(vgp[:, 0]).max()) == 0.0
+        assert float(jnp.abs(vgp[:, -1]).max()) == 0.0
+
+    def test_omega_includes_advection(self, setup):
+        """dyn_run's omega diagnostic is not the pure local tendency:
+        advecting a zonal pressure pattern with zero net mass change yields
+        nonzero ω through v·∇p."""
+        from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run
+        grid, coord, phis = setup
+        st = hs_initial_state(grid, coord, pert=1.0)
+        cfg = FVConfig(nsplit=4, nspltrac=2, nspltvrm=1)
+        _, diags = dyn_run(st, grid, coord, phis, cfg, ndt=1800.0,
+                           return_diags=True)
+        om = np.asarray(diags["omega"])
+        assert np.isfinite(om).all()
+        assert np.abs(om).max() > 0.0
 
 
 class TestDivergenceDamping:
