@@ -31,6 +31,16 @@ from .utils.timing import PhaseTimer
 UMAX_GUARD = 300.0        # m/s wind sanity bound (dyn_comp.F90:996-997)
 
 
+def _grid_area(grid, dtype):
+    """Per-column cell area (m2), flattened (jm*im,) — GRIDAREA payload."""
+    from .utils import constants as c
+    cosp = np.asarray(grid.cosp)
+    area = (c.REARTH ** 2 * grid.dl * grid.dp) * np.maximum(cosp, 0.0)
+    return jnp.asarray(np.broadcast_to(area[:, None],
+                                       (grid.jm, grid.im)).reshape(-1),
+                       dtype)
+
+
 class BlowupError(RuntimeError):
     """Model state failed the finite/range sentinels (the structured
     replacement for the reference's collective endrun abort)."""
@@ -169,7 +179,9 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
         if hist:
             payload = dict(diags)
-            payload.update(diag_phys_writeout(state.phys))
+            payload.update(diag_phys_writeout(
+                state.phys, nstep=state.nstep,
+                area=_grid_area(model.grid, state.phys.t.dtype)))
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
             payload.update(_dyn_payload(state))
@@ -259,7 +271,9 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
 
         if hist:
             payload = dict(diags)
-            payload.update(diag_phys_writeout(state.phys))
+            payload.update(diag_phys_writeout(
+                state.phys, nstep=state.nstep,
+                area=_grid_area(model.grid, state.phys.t.dtype)))
             payload.update(diag_surf(cam_in, cam_out))
             payload.update(diag_export(cam_out))
             payload.update(_dyn_payload(state))

@@ -148,6 +148,11 @@ def atm_step(model: AtmModel, state: AtmState, cam_in: CamIn,
     diags.update(o2.diagnostics)
     pbuf = o2.pbuf
 
+    # before/after-physics snapshots + total physics tendencies (the
+    # TBP/TAP families, cam_diagnostics.F90:246-298, 2696)
+    from .physics.cam_diagnostics import diag_phys_tend_writeout
+    diags.update(diag_phys_tend_writeout(state.phys, o2.state, model.dt))
+
     # diagnostic side of d_p_coupling (dp_coupling.F90:274-320): GW
     # frontogenesis sources + QBO zonal mean into the pbuf, TEM circulation
     # diagnostics into the history payload

@@ -194,9 +194,13 @@ def cd_step(state: DynState, grid: FVGrid, ptop: float, phis, dt: float,
             return vort_flux3d(*a, **kw, prefer_pallas=use_pallas)
     if (use_pallas and not sharded and not filter_dm
             and not filter_csw_dm):
-        from .cd_pallas import cd_step_fused, use_fused_cd
+        from .cd_pallas import (cd_step_fused, fused_lowering_ok,
+                                use_fused_cd)
         if use_fused_cd(grid, dyn_filter, c_sw_pgf, ke_method, filter_impl,
-                        return_debug):
+                        return_debug) and fused_lowering_ok(
+                            state, grid, ptop, phis, dt, iord, jord,
+                            div2_coef_nd, dyn_filter, ke_method,
+                            del2_velocity, div2_on, div4_coef_nd, div_taper):
             # 4-kernel fused path (cd_pallas.py): same formulas; the polar
             # filter runs as an in-kernel DFT matmul (== rfft to roundoff)
             return cd_step_fused(state, grid, ptop, phis, dt, iord, jord,

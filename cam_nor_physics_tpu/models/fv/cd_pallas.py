@@ -44,6 +44,58 @@ from ...utils import constants as c
 from .grid import FVGrid
 
 
+_LOWER_OK_CACHE: dict = {}
+
+
+def fused_lowering_ok(state, grid, ptop, phis, dt, iord, jord, div2_coef_nd,
+                      dyn_filter, ke_method, del2_velocity, div2_on,
+                      div4_coef_nd, div_taper) -> bool:
+    """Fail-safe gate: try-lower the fused step ONCE per (shape, flags,
+    backend) and fall back to the XLA path instead of crashing the run if
+    Mosaic rejects a kernel (the round-2 failure mode: every CPU test runs
+    interpret=True, which skips Mosaic lowering entirely, so a TPU-only
+    lowering break otherwise surfaces first inside the production step).
+
+    Cheap after the first call (dict hit); the first call costs one
+    jit-lower (no compile) on abstract inputs."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "?"
+    if backend != "tpu":
+        return True          # interpret/CPU paths never hit Mosaic lowering
+    km, jm, im = state.delp.shape
+    key = (backend, km, jm, im, str(state.delp.dtype), iord, jord,
+           bool(dyn_filter), ke_method, float(del2_velocity), bool(div2_on),
+           float(div4_coef_nd), div_taper is not None)
+    hit = _LOWER_OK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        sds = lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+
+        def run(st, gr, pt_, ph, tp_):
+            return cd_step_fused(st, gr, pt_, ph, dt, iord, jord,
+                                 div2_coef_nd, dyn_filter, ke_method,
+                                 del2_velocity, div2_on=div2_on,
+                                 div4_coef_nd=div4_coef_nd, div_taper=tp_)
+
+        # grid/state/ptop leaves may be tracers of an enclosing jit —
+        # abstract everything to ShapeDtypeStructs so this nested lower is
+        # standalone (no captured tracers)
+        jax.jit(run).lower(
+            *jax.tree.map(sds, (state, grid, ptop, phis, div_taper)))
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any lowering failure => XLA path
+        import warnings
+        warnings.warn(
+            f"fused cd_step failed TPU lowering ({type(e).__name__}: {e}); "
+            "falling back to the XLA path", stacklevel=2)
+        ok = False
+    _LOWER_OK_CACHE[key] = ok
+    return ok
+
+
 def use_fused_cd(grid, dyn_filter: bool, c_sw_pgf: bool, ke_method: str,
                  filter_impl: str, return_debug: bool) -> bool:
     if return_debug or not c_sw_pgf:
@@ -306,7 +358,7 @@ def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
     div = wset_interior(jnp.zeros_like(u), div)
     damp = jnp.zeros_like(div)
     if div2_on:
-        damp = damp + nu2_ref[0][:, None] * div
+        damp = damp + nu2_ref[0, 0][:, None] * div
     if nu4 > 0.0:
         rdx2d = 1.0 / (c.REARTH * cose_s * dl) ** 2
         rdy2d = 1.0 / (c.REARTH * dp_) ** 2
@@ -359,7 +411,12 @@ def _specs(km, jm, im, nf, dtype):
     slab = pl.BlockSpec((1, jm, im), lambda k: (k, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
-    lvec = pl.BlockSpec((1, jm), lambda k: (k, 0), memory_space=pltpu.VMEM)
+    # per-level rows ride as (km, 1, jm) so the block's last two dims (1, jm)
+    # EQUAL the array dims — a (1, jm) block over (km, jm) violates Mosaic's
+    # "divisible by 8 / equal to array dim" rule on the sublane axis (the
+    # round-2 BENCH_r02 rc=1 regression)
+    lvec = pl.BlockSpec((1, 1, jm), lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
     m_f = pl.BlockSpec((im, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_g = pl.BlockSpec((nf, im), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_r = pl.BlockSpec((jm, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
@@ -389,8 +446,8 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
         c2_k = jnp.maximum(div2_coef_nd, jnp.asarray(div_taper, dtype))
     else:
         c2_k = jnp.full((km,), div2_coef_nd, dtype)
-    nu2_rows = jnp.ones((km, jm), dtype) * \
-        (c2_k * (c.REARTH * dp_) ** 2 / dt)[:, None]
+    nu2_rows = jnp.ones((km, 1, jm), dtype) * \
+        (c2_k * (c.REARTH * dp_) ** 2 / dt)[:, None, None]
     nu4 = div4_coef_nd / dt      # kernel multiplies by the local L(j)⁴
 
     plan = band_plan(jm, im)
@@ -399,7 +456,7 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
         """Run one fused kernel whole-slab or j-banded. `make_kern(jml,
         band)` builds the kernel for a jml-row slab with the per-slab FFSL
         restriction; `kinds` tags each input: 's' (km, jm, im) slab,
-        'v' (1, jm) row vector, 'l' (km, jm) per-level row vector,
+        'v' (1, jm) row vector, 'l' (km, 1, jm) per-level row vector,
         'r' (jm, nf) filter response rows, 'F'/'G' full DFT factor
         matrices."""
         def one(slo, shi, bnd):
@@ -410,8 +467,10 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
                        'F': m_f_l, 'G': m_g_l}
             sliced = []
             for a, k in zip(ins, kinds):
-                if k in ('s', 'v', 'l'):
+                if k in ('s', 'v'):
                     sliced.append(a[:, slo:shi])
+                elif k == 'l':          # (km, 1, jm): j is the LAST axis
+                    sliced.append(a[:, :, slo:shi])
                 elif k == 'r':
                     sliced.append(a[slo:shi])
                 else:

@@ -110,7 +110,7 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
     from .cd_core import d2a_winds
 
-    def layer_te(delp_, pt_, u_, v_, pk_):
+    def layer_te(pt_, u_, v_, pk_):
         """Layer total energy KE + M. Within a layer of constant (scaled
         virtual potential) temperature, hydrostatic balance gives
         dPhi = -cp*pt*d(p^kappa), so cp*Tv + Phi == Phi_edge_below +
@@ -136,8 +136,7 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
     # total energy as an additional conserved scalar
     cen_fields = [state.pt] + [state.q[m] for m in range(nq)]
     if consv:
-        cen_fields.append(layer_te(state.delp, state.pt, state.u, state.v,
-                                   pk))
+        cen_fields.append(layer_te(state.pt, state.u, state.v, pk))
 
     from ...ops.remap_pallas import te_map_remap_pallas, use_pallas_remap
     if use_pallas and use_pallas_remap(ncol):
@@ -298,6 +297,29 @@ def am_fixer(state: DynState, grid: FVGrid, am0, taper=None,
     return state.replace(u=u_new), du_k
 
 
+def mountain_torque(state: DynState, phis, grid: FVGrid, ptop: float):
+    """Discrete axial mountain (pressure) torque, in the AM units of
+    axial_angular_momentum per second.
+
+    Leibniz on the column-integrated zonal PGF gives
+    ∫−∂Φ/∂x dp = −∂x∫Φ dp + Φs·∂x ps; the first term telescopes zonally,
+    so the only physical net torque is Σ Φs·δx(ps) — the resolved form
+    drag. This is the AM source the continuous equations permit between
+    physics updates; am_correction closes the discrete budget against it
+    (reference flag: fv_am_correction, /root/reference/fv/dyn_comp.F90:197,
+    362; the in-step terms live in upstream cd_core, not shipped — see
+    VALIDATION.md for the deviation statement)."""
+    pe, _, _, _ = pressure_vars(state.delp, ptop)
+    ps = pe[-1]                                    # (jm, im)
+    cosp = jnp.asarray(grid.cosp)[:, None]
+    dpsdx = (jnp.roll(ps, -1, axis=-1) - jnp.roll(ps, 1, axis=-1)) * 0.5 / \
+        (c.REARTH * jnp.where(cosp > 0, cosp, 1.0) * grid.dl)
+    # force per unit mass ∝ phis·δx(ps)/delp on the bottom layer; in AM
+    # units: Σ F·cosφ·delp·(cosφ dl dp) with the delp cancelling
+    w_c = cosp * grid.dl * grid.dp
+    return jnp.sum(phis * dpsdx * cosp * w_c * (cosp > 0))
+
+
 def benergy(state: DynState, grid: FVGrid, ptop: float):
     """Global total-energy integral before dynamics (upstream benergy
     contract, dyn_comp.F90:1327-1329): area-weighted sum of
@@ -327,6 +349,13 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     full C half step is on), so overriding one without the other is only
     for experiments.
     """
+    if cfg.high_altitude:
+        # κ advected as an extra tracer with pt correction
+        # (/root/reference/fv/dyn_comp.F90:2371-2489) — WACCM-X territory,
+        # not implemented: fail loudly rather than silently ignore the flag
+        raise NotImplementedError(
+            "FVConfig.high_altitude (variable-kappa advection, "
+            "dyn_comp.F90:2371-2489) is not implemented")
     if c_sw_pgf is None:
         c_sw_pgf = cfg.c_sw_pgf
     if cfg.use_pallas == "auto":
@@ -374,16 +403,35 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         else jnp.zeros((), state.u.dtype)
     u_in = state.u
 
+    def _floor_count(delp_new, delp_old):
+        # thickness-floor activation telemetry (VALIDATION.md deviation
+        # list): the 0.05·dp floors in the C/D transport steps and trac2d
+        # clamp delp_new AT exactly 0.05·delp_old, so counting near-equality
+        # post hoc covers the XLA and fused-Pallas paths identically without
+        # extra kernel outputs. Healthy trajectories must count 0
+        # (tests/test_floor_telemetry.py asserts it).
+        return jnp.sum(delp_new <= 0.05 * delp_old * (1.0 + 1e-10)
+                       ).astype(jnp.int32)
+
     def tracer_cycle(carry, _):
-        st, duf0 = carry
+        st, duf0, nfl0 = carry
         dp0 = st.delp
         zx = jnp.zeros_like(st.delp)
         acc0 = dict(cx=zx, cy=zx, mfx=zx, mfy=zx)
 
         def small_step(carry, _):
-            st_i, acc, duf = carry
+            st_i, acc, duf, nfl = carry
+            delp_before = st_i.delp
             am0 = (axial_angular_momentum(st_i, grid, per_level=True)
-                   if cfg.am_fixer else None)
+                   if cfg.am_fixer or cfg.am_correction else None)
+            # am_correction (fv_am_correction, dyn_comp.F90:197/362): the
+            # reference threads don/dod SW-equation correction terms through
+            # upstream cd_core (not shipped); the TPU-native equivalent
+            # closes the discrete in-step AM budget against the resolved
+            # mountain torque — the only AM source the continuous equations
+            # permit between physics updates (see mountain_torque)
+            tq = (mountain_torque(st_i, phis, grid, ptop)
+                  if cfg.am_correction else None)
             st_i, d = cd_step(st_i, grid, ptop, phis, dt,
                               iord=cfg.iord, jord=cfg.jord,
                               dyn_filter=cfg.fft_flt >= 0,
@@ -397,7 +445,19 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                               div_taper=div_taper,
                               del2_velocity=del2_vel,
                               use_pallas=use_pallas, mesh=mesh)
-            if cfg.am_fixer:
+            if cfg.am_correction:
+                # in-step budget closure: AM_after = AM_before + dt·torque
+                # exactly; the torque enters through the surface layer. When
+                # the fixer is also on, one torque-adjusted projection
+                # serves both roles (a subsequent plain fixer would wrongly
+                # undo the physical mountain torque).
+                am_tgt = am0.at[-1].add(dt * tq)
+                st_i, du_k = am_fixer(
+                    st_i, grid, am_tgt,
+                    taper=fix_taper if cfg.am_fixer else None,
+                    lbl=cfg.am_fixer and cfg.am_fix_lbl)
+                duf = duf + du_k if cfg.am_diag else duf
+            elif cfg.am_fixer:
                 # AM restoration per small step (dyn_comp.F90:1952-2069),
                 # tapered (the reference forces tapering for the global
                 # fixer) and per-level when am_fix_lbl
@@ -406,25 +466,27 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
                 duf = duf + du_k if cfg.am_diag else duf
             acc = dict(cx=acc["cx"] + d["cx"], cy=acc["cy"] + d["cy"],
                        mfx=acc["mfx"] + d["mfx"], mfy=acc["mfy"] + d["mfy"])
-            return (st_i, acc, duf), None
+            nfl = nfl + _floor_count(st_i.delp, delp_before)
+            return (st_i, acc, duf, nfl), None
 
-        (st, acc, duf), _ = jax.lax.scan(small_step, (st, acc0, duf0),
-                                         None, length=nsplit)
-        q_new, _dp_chk = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
-                                acc["mfy"], grid, cfg.iord, cfg.jord,
-                                use_pallas=use_pallas, mesh=mesh)
-        return (st.replace(q=q_new), duf), None
+        (st, acc, duf, nfl), _ = jax.lax.scan(
+            small_step, (st, acc0, duf0, nfl0), None, length=nsplit)
+        q_new, dp_tr = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
+                              acc["mfy"], grid, cfg.iord, cfg.jord,
+                              use_pallas=use_pallas, mesh=mesh)
+        nfl = nfl + _floor_count(dp_tr, dp0)
+        return (st.replace(q=q_new), duf, nfl), None
 
     def remap_cycle(carry, _):
-        st, duf0 = carry
+        st, duf0, nfl0 = carry
         # omega diagnostic (the reference's omga accumulation +
         # compute_vdot_gradp role, dyn_comp.F90:2071-2098): between remaps
         # the hybrid layers are material surfaces, so the Lagrangian
         # mid-pressure change over the cycle IS ω = Dp/Dt at midpoints.
         pe0 = pressure_vars(st.delp, ptop)[0]
         pmid0 = 0.5 * (pe0[1:] + pe0[:-1])
-        (st, duf), _ = jax.lax.scan(tracer_cycle, (st, duf0), None,
-                                    length=n2)
+        (st, duf, nfl), _ = jax.lax.scan(tracer_cycle, (st, duf0, nfl0),
+                                         None, length=n2)
         pe1 = pressure_vars(st.delp, ptop)[0]
         pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
         # ω = ∂p/∂t (material-layer midpoint change at fixed grid point)
@@ -433,12 +495,13 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             compute_vdot_gradp(st, grid, ptop)
         st = te_map(st, coord, grid, ptop, kord=cfg.kord, consv=cfg.conserve,
                     use_pallas=use_pallas)
-        return (st, duf), omega
+        return (st, duf, nfl), omega
 
-    (state, duf_s), omegas = jax.lax.scan(remap_cycle, (state, duf_init),
-                                          None, length=nv)
+    (state, duf_s, n_floor), omegas = jax.lax.scan(
+        remap_cycle, (state, duf_init, jnp.zeros((), jnp.int32)), None,
+        length=nv)
     if return_diags:
-        diags = {"omega": omegas[-1]}
+        diags = {"omega": omegas[-1], "floor_activations": n_floor}
         if cfg.am_diag:
             # am_diag payload (dp_coupling.F90:281-310 / fv_diag_am_calc):
             # total dynamics wind increment, the fixer's per-level

@@ -26,6 +26,9 @@ class PhysicsBuffer:
     def get(self, name: str):
         return self.fields[name]
 
+    def has(self, name: str) -> bool:
+        return name in self.fields
+
     def set(self, name: str, value) -> "PhysicsBuffer":
         if name not in self.fields:
             raise KeyError(f"pbuf field {name!r} not registered")

@@ -78,6 +78,9 @@ def physpkg_pbuf_specs(ncol: int, pver: int, nmodes: int = 1) -> dict:
         "DGNUMWET": ((ncol, pver, nmodes), "global"),
         "QAERWAT": ((ncol, pver, nmodes), "global"),
         "WETDENS_AP": ((ncol, pver, nmodes), "global"),
+        # per-mode aerosol number (1/kg) from calcsize — feeds the ZM
+        # convective-microphysics activation (zm_aero_t number role)
+        "NAER": ((ncol, pver, nmodes), "global"),
     })
     return specs
 
@@ -151,6 +154,8 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
                                      flx_sen=jnp.sum(heat * state.pdel,
                                                      axis=-1) / c.GRAVIT)
     diags["EFIX"] = jnp.sum(heat * state.pdel, axis=-1) / c.GRAVIT
+    # TFIX: the fixer's (column-uniform) T tendency (cam_diagnostics TFIX)
+    diags["TFIX"] = heat[:, -1] / c.CPAIR
 
     # ---- T/q/u/v tendencies due to dynamics (physpkg.F90:2770-2781):
     # difference the post-dynamics state against the values tphysac stored
@@ -178,8 +183,20 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     # ---- DEEP CONVECTION (physpkg.F90:2813-2868 -> zm_conv_tend) ----
     pblh = pbuf.get("PBLH")
     tpert = pbuf.get("TPERT")
+    aero = None
+    if (zm_cfg.microp and phys_cfg.prog_modal_aero
+            and not phys_cfg.use_oslo_aero and phys_cfg.aero_modes):
+        # modal aerosol state for in-plume activation (zm_aero_init role,
+        # zm_conv_intr.F90:1032-1410): last step's NAER/DGNUMWET stacks
+        # (explicit coupling; filled by the calcsize branch below)
+        modes = phys_cfg.aero_modes
+        hyg = tuple(
+            float(sum(m.species_hygro) / len(m.species_hygro))
+            if m.species_hygro else 0.1 for m in modes)
+        aero = dict(num=pbuf.get("NAER"), dgnum=pbuf.get("DGNUMWET"),
+                    hygro=hyg)
     zm_out = zm_conv_tend(zm_cfg, registry, state, pbuf, pblh, tpert,
-                          cam_in.landfrac, ztodt)
+                          cam_in.landfrac, ztodt, aero=aero)
     state, pbuf = zm_out.state1, zm_out.pbuf
     diags.update(zm_out.diagnostics)
     prec_dp = pbuf.get("PREC_DP")
@@ -210,7 +227,8 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
         # physpkg.F90:2906-2913 / modal_aer_opt.F90:697-704)
         es, qs = qsat_water(state.t, state.pmid)
         rh = jnp.clip(state.q[:, :, 0] / jnp.maximum(qs, 1.0e-12), 0.0, 1.0)
-        specmmr_by_mode, dg_dry, dg_wet, qw, wdens = [], [], [], [], []
+        specmmr_by_mode, dg_dry, dg_wet, qw, wdens, naer_m = \
+            [], [], [], [], [], []
         for mode in modes:
             specmmr = [state.q[:, :, registry.index(n)]
                        for n in mode.species_names]
@@ -220,8 +238,17 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
             dgnum, naer, _ = modal_aero_calcsize(
                 specmmr, mode.species_density, mode.sigma_logr,
                 mode.dgnum, mode.dgnumlo, mode.dgnumhi, num)
-            hygro = (mode.species_hygro if mode.species_hygro
-                     else (0.5,) * len(specmmr))
+            if mode.species_hygro:
+                hygro = mode.species_hygro
+            else:
+                # weakly-hygroscopic default (dust/BC-like); 0.5 here would
+                # overstate water uptake and hence DGNUMWET/QAERWAT/AOD
+                import warnings
+                warnings.warn(
+                    f"aerosol mode '{mode.name}' has no species_hygro; "
+                    "defaulting hygroscopicity to 0.1 per species",
+                    stacklevel=2)
+                hygro = (0.1,) * len(specmmr)
             wu = modal_aero_wateruptake(
                 specmmr, mode.species_density, hygro, mode.sigma_logr,
                 dgnum, naer, rh, mode.rhcrystal, mode.rhdeliques)
@@ -229,11 +256,13 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
             dg_wet.append(wu["dgnumwet"])
             qw.append(wu["qaerwat"])
             wdens.append(wu["wetdens"])
+            naer_m.append(naer)
         dgnumwet_m = jnp.stack(dg_wet, axis=-1)
         qaerwat_m = jnp.stack(qw, axis=-1)
         pbuf = pbuf.update(DGNUMDRY=jnp.stack(dg_dry, axis=-1),
                            DGNUMWET=dgnumwet_m, QAERWAT=qaerwat_m,
-                           WETDENS_AP=jnp.stack(wdens, axis=-1))
+                           WETDENS_AP=jnp.stack(wdens, axis=-1),
+                           NAER=jnp.stack(naer_m, axis=-1))
         sw_tot, lw_tau, aero_diags = modal_aero_optics_all(
             modes, specmmr_by_mode, dgnumwet_m, qaerwat_m, mass)
         diags.update(aero_diags)
@@ -306,7 +335,16 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
 
     # ---- convective tracer transport pass 2 (physpkg.F90:1988) ----
     ptend = zm_conv_tend_2(registry, state, pbuf, ztodt)
+    # pre-clip prediction for the clipping-tendency diagnostics
+    # (diag_clip_tend_writeout, cam_diagnostics.F90:1975-2018): the
+    # difference between the raw q + ptend·dt prediction and the
+    # qmin-clamped result of physics_update
+    q_preclip = state.q + ptend.q * ztodt
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    from .cam_diagnostics import diag_clip_tend_writeout
+    diags.update(diag_clip_tend_writeout(
+        q_preclip, state.q, ztodt, 0, registry.index("CLDLIQ"),
+        registry.index("CLDICE")))
 
     # ---- radiation slot (physpkg.F90:2030-2051) ----
     if phys_cfg.radiation_scheme == "gray":
@@ -349,9 +387,20 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     # adjust layer masses for the vapor change since step start (THT variant)
     state = set_dry_to_wet(state, registry)
     qini = pbuf.get("QINI")
+    t_pre_dme = state.t
     state = physics_dme_adjust(state, qini, registry, variant="tht")
+    # dme-adjust T tendency + column internal-energy tendency
+    # (PTTEND_DME / IETEND_DME, cam_diagnostics.F90:288-291)
+    diags["PTTEND_DME"] = (state.t - t_pre_dme) / ztodt
+    diags["IETEND_DME"] = jnp.sum(
+        c.CPAIR * (state.t - t_pre_dme) * state.pdel,
+        axis=-1) / (c.GRAVIT * ztodt)
 
     _snap(diags, phys_cfg, 'dme_adjust_after', state)
+    # pbuf physics variables on IC tapes (diag_physvar_ic,
+    # cam_diagnostics.F90:2368-2500)
+    from .cam_diagnostics import diag_physvar_ic
+    diags.update(diag_physvar_ic(pbuf))
     # ---- save teout for next step's energy fixer (physpkg.F90:2394) ----
     te, _ = column_energy(state, registry)
     pbuf = pbuf.update(

@@ -292,6 +292,8 @@ class BuoyanOut:
     lcl: jnp.ndarray       # int level indices (ncol,)
     lel: jnp.ndarray
     mx: jnp.ndarray        # launch level
+    buoy: jnp.ndarray      # parcel buoyancy tpv - tv + tiedke_add (ncol, pver)
+    pl: jnp.ndarray        # parcel LCL pressure (ncol,) hPa
 
 
 def _parcel_dilute(cfg: ZMConfig, msg: int, klaunch, p, z, t, q,
@@ -692,10 +694,18 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
     cin = jnp.zeros((ncol,), dtype)
     lel = jnp.full((ncol,), pver - 1, jnp.int32)
     best = jnp.full((ncol,), -jnp.inf, dtype)
+    dflt = jnp.full((ncol,), pver - 1, jnp.int32)
     for n in range(1, cfg.num_cin + 1):
-        sel = crossing & (jnp.abs(order - n) < 0.5)
-        lel_n, found_n = _first_true_from_top(sel, jnp.full((ncol,), pver - 1,
-                                                            jnp.int32))
+        if n < cfg.num_cin:
+            sel = crossing & (jnp.abs(order - n) < 0.5)
+            lel_n, found_n = _first_true_from_top(sel, dflt)
+        else:
+            # the reference's knt = min(num_cin, knt+1) bookkeeping
+            # (zm_conv.F90:4779): once knt saturates, every later (lower)
+            # crossing overwrites slot num_cin — so the last slot holds the
+            # LAST crossing, not the n-th
+            sel = crossing & (order > n - 0.5)
+            lel_n, found_n = _first_true_from_bottom(sel, dflt)
         seg = (karr <= _c(mx)) & (karr > _c(lel_n)) & _col(plge600)
         cape_n = _lsum(jnp.where(seg, RGAS * buoy * dlnp, 0.0))
         cin_n = _lsum(jnp.where(seg, -RGAS * jnp.minimum(buoy, 0.0) * dlnp,
@@ -708,7 +718,8 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
 
     cape = jnp.maximum(cape, 0.0)
     return BuoyanOut(tp=tp, qstp=qstp, tl=tl, cape=cape, cin=cin,
-                     lcl=lcl.astype(jnp.int32), lel=lel, mx=mx.astype(jnp.int32))
+                     lcl=lcl.astype(jnp.int32), lel=lel,
+                     mx=mx.astype(jnp.int32), buoy=buoy, pl=pl)
 
 
 # =============================================================================

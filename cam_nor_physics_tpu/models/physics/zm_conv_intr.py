@@ -49,10 +49,13 @@ class ZMTendOut:
 
 def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
                  state: PhysicsState, pbuf: PhysicsBuffer,
-                 pblh, tpert, landfrac, ztodt: float, msg: int = 0
-                 ) -> ZMTendOut:
+                 pblh, tpert, landfrac, ztodt: float, msg: int = 0,
+                 aero: dict | None = None) -> ZMTendOut:
     """Deep-convection tendency driver (zm_conv_tend,
-    /root/reference/physics/zm_conv_intr.F90:390-951), microp off."""
+    /root/reference/physics/zm_conv_intr.F90:390-951). `aero` is the modal
+    aerosol bundle for in-plume activation when microp is on
+    (zm_aero_init role, :1032-1410); None falls back to the land/ocean
+    activation constants."""
     ncol, pver, pcnst = state.ncol, state.pver, state.pcnst
     dtype = state.t.dtype
     diags = {}
@@ -101,6 +104,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     heat = out.heat
     dlf_out, dif_out = out.dlf, jnp.zeros_like(out.dlf)
     rprd_out = out.rprd
+    prec_evap = out.prec
     if cfg.microp:
         from .zm_microphysics import zm_mphy
         # two-moment plume microphysics re-routes the cldprp ql budget's
@@ -108,10 +112,18 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         # autoconversion / snow conversion (zm_mphy call inside cldprp,
         # zm_conv.F90:3826-3851); frz heating scattered as in :1521
         mp = zm_mphy(state.t, state.pmid, out.dp, out.mu, out.du,
-                     out.dlf, out.rprd, landfrac, out.jt, out.maxg)
+                     out.dlf, out.rprd, landfrac, out.jt, out.maxg,
+                     aero=aero)
         heat = heat + mp.frz
         dlf_out, dif_out = mp.dlf, mp.dif
         rprd_out = mp.rprd + mp.sprd     # total precip production for evap
+        # the (prec - evpvint) evaporation cap in zm_conv_evap must limit
+        # the SAME flux whose production profile it is handed: rebuild the
+        # column precip rate from rprd_out (kg/kg/s -> m/s) instead of the
+        # phase-blind out.prec, whose integral differs once microphysics
+        # re-routes condensate (advisor r2 finding)
+        prec_evap = jnp.sum(rprd_out * state.pdel,
+                            axis=1) / (c.GRAVIT * 1000.0)
         pbuf = pbuf.update(DNLFZM=mp.dnlf, DNIFZM=mp.dnif,
                            DP_CLDLIQ=mp.qliq, DP_CLDICE=mp.qice)
         diags["DNLFZM"] = mp.dnlf
@@ -158,7 +170,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     else:
         ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
                           state1.q[:, :, 0], landfrac, rprd_out, cld, ztodt,
-                          out.prec)
+                          prec_evap)
     ptend_evap = ptend_init("zm_conv_evap", ncol, pver, pcnst, ls=True, lq=lq,
                             dtype=dtype)
     ptend_evap = ptend_evap.replace(

@@ -76,6 +76,13 @@ def qsat_water(t, p):
     return es, svp_to_qsat(es, p)
 
 
+def qsat_ice(t, p):
+    """(es, qs) over ice only — upstream `qsat_ice` equivalent."""
+    es = svp_ice(t)
+    es = jnp.minimum(es, p)
+    return es, svp_to_qsat(es, p)
+
+
 def qsat_hpa(t, p_hpa):
     """hPa-interface wrapper used by the ZM plume code.
 

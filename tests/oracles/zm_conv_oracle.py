@@ -20,9 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 
-# physical constants as zm_convi sets them (zm_conv.F90:129-176 via shr_const)
+# physical constants as zm_convi sets them (zm_conv.F90:129-176 via
+# shr_const: rdair = rgas/mwdair = 8314.46759.../28.966)
 CP = 1004.64
-RD = 287.042
+RD = 287.0423113650487
 RL = 2.501e6
 GRAV = 9.80616
 EPS1 = 0.6219705862045155     # epsilo = rh2o/rair ratio form used by zm
@@ -180,42 +181,129 @@ def q1q2_oracle(q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
     return dqdt, dsdt, dl
 
 
-def cape_cin_oracle(buoy, pmid, lel, lcl, mx, msg, num_cin):
-    """The CAPE/CIN accumulation over up-to-num_cin buoyancy segments
-    (buoyan_dilute, zm_conv.F90:4749-4816): from the launch level upward,
-    alternate positive-area (CAPE) and negative-area (CIN) segments in
-    hydrostatic-log-pressure form, keeping the deepest CAPE. buoy is the
-    parcel buoyancy tpv - tv + tiedke_add on midpoints (0-based, k=0 top).
-    Returns (cape, cin, lel_chosen) per column."""
+def cape_cin_oracle(buoy, pf, plge600, lcl, mx, msg, num_cin):
+    """CAPE/CIN accumulation (buoyan_dilute, zm_conv.F90:4772-4816),
+    statement-order transliteration. buoy is the finished parcel buoyancy
+    tpv - tv + tiedke_add on midpoints (0 outside the plume), pf interface
+    pressures (ncol, pver+1) in hPa, lcl/mx 0-based level indices, plge600
+    the pl >= plclmin trigger mask. Returns (cape, cin, lel) per column;
+    lel defaults to pver-1 where nothing is found (as the caller
+    initializes it)."""
     ncol, pver = buoy.shape
+    # neutral-buoyancy crossings, lelten bookkeeping (:4773-4782): Fortran
+    # k = msg+2..pver maps to 0-based msg+1..pver-2 under k < lcl <= pver-1
+    knt = np.zeros(ncol, dtype=int)
+    lelten = np.full((ncol, num_cin), pver - 1, dtype=int)
+    for k in range(msg + 1, pver):
+        for i in range(ncol):
+            if k < lcl[i] and plge600[i]:
+                if buoy[i, k + 1] > 0.0 and buoy[i, k] <= 0.0:
+                    knt[i] = min(num_cin, knt[i] + 1)
+                    lelten[i, knt[i] - 1] = k
+    # capeten/cinten per tentative EL (:4784-4795)
+    capeten = np.zeros((ncol, num_cin))
+    cinten = np.zeros((ncol, num_cin))
+    for n in range(num_cin):
+        for k in range(msg, pver):
+            for i in range(ncol):
+                if plge600[i] and k <= mx[i] and k > lelten[i, n]:
+                    dlnp = np.log(pf[i, k + 1] / pf[i, k])
+                    capeten[i, n] += RD * buoy[i, k] * dlnp
+                    cinten[i, n] -= RD * min(buoy[i, k], 0.0) * dlnp
+    # keep the maximum tentative cape (:4801-4810)
     cape = np.zeros(ncol)
     cin = np.zeros(ncol)
-    lel_out = mx.copy()
-    for i in range(ncol):
-        best = 0.0
-        # scan candidate LFC/EL pairs: a segment starts where buoy turns
-        # positive going up (the reference's plge/plfc bookkeeping)
-        n_seg = 0
-        k = mx[i]
-        while k > msg and n_seg < num_cin:
-            # descend negative (CIN) stretch
-            cin_seg = 0.0
-            while k > msg and buoy[i, k] <= 0.0:
-                dlnp = np.log(pmid[i, k] / pmid[i, k - 1])
-                cin_seg += RD * (-min(buoy[i, k], 0.0)) * dlnp
-                k -= 1
-            cape_seg = 0.0
-            lel_seg = k
-            while k > msg and buoy[i, k] > 0.0:
-                dlnp = np.log(pmid[i, k] / pmid[i, k - 1])
-                cape_seg += RD * buoy[i, k] * dlnp
-                lel_seg = k - 1
-                k -= 1
-            if cape_seg > max(best, 0.0):
-                best = cape_seg
-                cape[i] = cape_seg
-                cin[i] = cin_seg
-                lel_out[i] = lel_seg
-            n_seg += 1
-        cape[i] = max(cape[i], 0.0)
-    return cape, cin, lel_out
+    lel = np.full(ncol, pver - 1, dtype=int)
+    for n in range(num_cin):
+        for i in range(ncol):
+            if capeten[i, n] > cape[i]:
+                cape[i] = capeten[i, n]
+                cin[i] = cinten[i, n]
+                lel[i] = lelten[i, n]
+    return np.maximum(cape, 0.0), cin, lel
+
+
+def zm_conv_evap_oracle(t, pmid, pdel, q, qs, fsnow_conv, prdprec, cldfrc,
+                        deltat, prec_in, ke, ke_lnd, landfrac, zm_org,
+                        tht_tweaks=True):
+    """zm_conv_evap (zm_conv.F90:1712-1972), old_snow + tht path,
+    statement-order transliteration. qs/fsnow_conv are precomputed inputs
+    (the upstream qsat / cldfrc_fice products); prec_in in m/s.
+    Returns a dict mirroring the repo routine's outputs."""
+    TMELT = 273.15
+    GRAVIT = 9.80616
+    LATVAP = 2.501e6
+    LATICE = 3.337e5
+    ncol, pver = t.shape
+
+    prec = prec_in * 1000.0
+    flxprec = np.zeros((ncol, pver + 1))
+    flxsnow = np.zeros((ncol, pver + 1))
+    evpvint = np.zeros(ncol)
+    ntprprd = np.zeros((ncol, pver))
+    ntsnprd = np.zeros((ncol, pver))
+    tend_s = np.zeros((ncol, pver))
+    tend_q = np.zeros((ncol, pver))
+    tend_s_snwprd = np.zeros((ncol, pver))
+    tend_s_snwevmlt = np.zeros((ncol, pver))
+
+    for k in range(pver):
+        for i in range(ncol):
+            # melt snow falling into layer (old_snow)
+            if t[i, k] > TMELT:
+                flxsntm = 0.0
+                snowmlt = flxsnow[i, k] * GRAVIT / pdel[i, k]
+            else:
+                flxsntm = flxsnow[i, k]
+                snowmlt = 0.0
+
+            if tht_tweaks:
+                evplimit = max(
+                    1.0 - q[i, k] / (1.0 + q[i, k]) / qs[i, k], 0.0)
+            else:
+                evplimit = max(1.0 - q[i, k] / qs[i, k], 0.0)
+
+            kemask = (ke * (1.0 - landfrac[i]) + ke_lnd * landfrac[i]
+                      if zm_org else ke)
+            evpprec = kemask * (1.0 - cldfrc[i, k]) * evplimit * \
+                np.sqrt(flxprec[i, k])
+            # supersaturation cap: the tht path COMMENTS OUT the qs-q cap
+            # (zm_conv.F90:1877-1880), keeping only the flux-based limits
+            evplimit = flxprec[i, k] * GRAVIT / pdel[i, k]
+            evplimit = min(evplimit,
+                           (prec[i] - evpvint[i]) * GRAVIT / pdel[i, k])
+            evpprec = min(evplimit, evpprec)
+
+            if flxprec[i, k] > 0.0:
+                work1 = min(max(0.0, flxsntm / flxprec[i, k]), 1.0)
+                evpsnow = evpprec * work1
+            else:
+                evpsnow = 0.0
+
+            evpvint[i] += evpprec * pdel[i, k] / GRAVIT
+            ntprprd[i, k] = prdprec[i, k] - evpprec
+
+            if flxprec[i, k] > 0.0:
+                work1b = min(max(0.0, flxsnow[i, k] / flxprec[i, k]), 1.0)
+            else:
+                work1b = 0.0
+            work2 = max(fsnow_conv[i, k], work1b)
+            if snowmlt > 0.0:
+                work2 = 0.0
+            ntsnprd[i, k] = prdprec[i, k] * work2 - evpsnow - snowmlt
+            tend_s_snwprd[i, k] = prdprec[i, k] * work2 * LATICE
+            tend_s_snwevmlt[i, k] = -(evpsnow + snowmlt) * LATICE
+
+            flxprec[i, k + 1] = max(
+                flxprec[i, k] + ntprprd[i, k] * pdel[i, k] / GRAVIT, 0.0)
+            flxsnow[i, k + 1] = max(
+                flxsnow[i, k] + ntsnprd[i, k] * pdel[i, k] / GRAVIT, 0.0)
+
+            tend_s[i, k] = -evpprec * LATVAP + ntsnprd[i, k] * LATICE
+            tend_q[i, k] = evpprec
+
+    return dict(tend_s=tend_s, tend_q=tend_q, tend_s_snwprd=tend_s_snwprd,
+                tend_s_snwevmlt=tend_s_snwevmlt, ntprprd=ntprprd,
+                ntsnprd=ntsnprd, flxprec=flxprec, flxsnow=flxsnow,
+                prec=flxprec[:, pver] / 1000.0,
+                snow=flxsnow[:, pver] / 1000.0)

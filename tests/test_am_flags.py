@@ -1,0 +1,122 @@
+"""Every AM-related FVConfig flag is real or loud (VERDICT r2 item 4).
+
+am_correction closes the in-step AM budget against the resolved mountain
+torque (dyn_comp.py::mountain_torque / small_step); high_altitude raises
+NotImplementedError instead of silently no-opping.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.fv.dyn_comp import (
+    axial_angular_momentum, dyn_run, mountain_torque)
+from cam_nor_physics_tpu.models.fv.grid import make_grid
+from cam_nor_physics_tpu.models.fv.held_suarez import hs_initial_state
+from cam_nor_physics_tpu.models.fv.vertical import hybrid_coefficients
+from cam_nor_physics_tpu.utils.config import FVConfig
+
+IM, JM, KM = 48, 32, 8
+DT = 900.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = make_grid(IM, JM, KM)
+    coord = hybrid_coefficients(KM)
+    state = hs_initial_state(grid, coord, pert=1.0, dtype=jnp.float64)
+    phis = jnp.zeros((JM, IM), jnp.float64)
+    return grid, coord, state, phis
+
+
+def test_high_altitude_raises(setup):
+    grid, coord, state, phis = setup
+    cfg = FVConfig(high_altitude=True)
+    with pytest.raises(NotImplementedError):
+        dyn_run(state, grid, coord, phis, cfg, DT)
+
+
+def test_am_correction_changes_behavior(setup):
+    grid, coord, state, phis = setup
+    base = dyn_run(state, grid, coord, phis, FVConfig(), DT)
+    corr = dyn_run(state, grid, coord, phis, FVConfig(am_correction=True),
+                   DT)
+    assert not np.allclose(np.asarray(base.u), np.asarray(corr.u))
+    # and only the winds are touched (the projection is a u increment)
+    np.testing.assert_array_equal(np.asarray(base.delp),
+                                  np.asarray(corr.delp))
+
+
+def test_am_correction_closes_budget_flat(setup):
+    """phis = 0: zero mountain torque, so the corrected step must conserve
+    global axial AM to the vertical-remap roundoff; the uncorrected drift
+    is orders of magnitude larger."""
+    grid, coord, state, phis = setup
+    am0 = float(axial_angular_momentum(state, grid))
+
+    drift, scale = {}, {}
+    for flag in (False, True):
+        cfg = FVConfig(am_correction=flag)
+        st = state
+        for _ in range(3):
+            st = dyn_run(st, grid, coord, phis, cfg, DT)
+        drift[flag] = abs(float(axial_angular_momentum(st, grid)) - am0)
+        # |AM| scale of the evolved flow (the initial state is at rest, so
+        # am0 itself is 0 and useless as a denominator)
+        cose = jnp.asarray(grid.cose)[None, :, None]
+        w = cose * grid.dl * grid.dp
+        scale[flag] = float(jnp.sum(jnp.abs(st.u) * cose * st.delp * w))
+
+    assert drift[True] < 0.05 * drift[False], \
+        f"corrected drift {drift[True]:.3e} vs raw {drift[False]:.3e}"
+    # the projection closes each small step exactly; the residual is the
+    # te_map wind remap's AM roundoff (u remaps on edge-averaged pe while
+    # the AM weight uses center delp) — ~1e-5 relative per step
+    assert drift[True] < 1e-4 * scale[True]
+
+
+def test_am_correction_budget_with_topography(setup):
+    """With topography the target is AM0 + dt·Σtorque, not AM0: the
+    physical form drag must survive the correction."""
+    grid, coord, state, phis0 = setup
+    lat = np.linspace(-np.pi / 2, np.pi / 2, JM)
+    lon = np.linspace(0, 2 * np.pi, IM, endpoint=False)
+    phis = jnp.asarray(
+        1500.0 * 9.80616 * np.exp(-((lat[:, None] - 0.7) / 0.3) ** 2)
+        * (1.0 + np.cos(lon)[None, :]))
+    # spin up over topography first: the HS initial ps is uniform, so the
+    # pre-step torque of the raw initial state is identically zero
+    st0 = state
+    for _ in range(2):
+        st0 = dyn_run(st0, grid, coord, phis, FVConfig(), DT)
+    am0 = float(axial_angular_momentum(st0, grid))
+    tq = float(mountain_torque(st0, phis, grid, coord.ptop))
+    assert tq != 0.0
+
+    # one small step (nsplit=nspltrac=nv=1): with the correction,
+    # ΔAM == dt·torque(pre-step) by construction up to the te_map wind
+    # remap's AM roundoff; without it the mismatch is much larger
+    mism = {}
+    for flag in (False, True):
+        cfg = FVConfig(am_correction=flag, nsplit=1, nspltrac=1)
+        st = dyn_run(st0, grid, coord, phis, cfg, DT)
+        am1 = float(axial_angular_momentum(st, grid))
+        mism[flag] = abs((am1 - am0) - DT * tq)
+    assert mism[True] < 0.25 * mism[False], \
+        f"corrected mismatch {mism[True]:.3e} vs raw {mism[False]:.3e}"
+
+
+def test_am_flags_all_consumed():
+    """Guard against future dead flags: every am_* / high_* FVConfig field
+    must appear somewhere in the dycore sources."""
+    import pathlib
+
+    import cam_nor_physics_tpu.models.fv as fv
+    src = ""
+    for p in pathlib.Path(fv.__path__[0]).glob("*.py"):
+        src += p.read_text()
+    for f in dataclasses.fields(FVConfig):
+        if f.name.startswith(("am_", "high_")):
+            assert f.name in src, f"FVConfig.{f.name} is consumed nowhere"

@@ -1,0 +1,162 @@
+"""OFFLINE_DYN met-data + SCAM IOP file ingestion (VERDICT r2 item 6).
+
+Round-trip contracts: write a synthetic NetCDF met/IOP file, read it back,
+drive the model from the file, and match the directly-forced run
+(reference anchors: OFFLINE_DYN /root/reference/fv/dyn_comp.F90:500-502,
+1274-1281; BFB_CAM_SCAM_IOP physpkg.F90:1069, 1137-1141).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+from cam_nor_physics_tpu.models.fv.metdata import (MetData,
+                                                   load_metdata_netcdf,
+                                                   met_state_at,
+                                                   offline_dyn_run,
+                                                   save_metdata_netcdf)
+from cam_nor_physics_tpu.models.fv.vertical import hybrid_coefficients
+from cam_nor_physics_tpu.models.physics.constituents import default_registry
+from cam_nor_physics_tpu.models.physics.state import make_state_from_profiles
+from cam_nor_physics_tpu.models.scam import (IopData, ScamForcing,
+                                             iop_forcing_at, load_iop_netcdf,
+                                             save_iop_netcdf, scam_init_pbuf,
+                                             scam_run_iop, scam_step)
+from cam_nor_physics_tpu.utils import constants as c
+from cam_nor_physics_tpu.utils.config import PhysConfig, ZMConfig
+
+KM, JM, IM = 8, 10, 12
+
+
+def _met_fields(ntime=3, seed=0):
+    rng = np.random.default_rng(seed)
+    coord = hybrid_coefficients(KM)
+    times = np.arange(ntime) * 1800.0
+    u = 10.0 + rng.standard_normal((ntime, KM, JM, IM))
+    v = rng.standard_normal((ntime, KM, JM, IM))
+    t = 260.0 + 10.0 * rng.standard_normal((ntime, KM, JM, IM))
+    ps = 1.0e5 + 100.0 * rng.standard_normal((ntime, JM, IM))
+    q = np.maximum(1e-3 + 1e-4 * rng.standard_normal((ntime, KM, JM, IM)),
+                   1e-6)
+    return coord, times, u, v, t, ps, q
+
+
+class TestMetdataNetcdf:
+    def test_round_trip(self, tmp_path):
+        coord, times, u, v, t, ps, q = _met_fields()
+        path = str(tmp_path / "met.nc")
+        save_metdata_netcdf(path, times, u, v, t, ps, [q, 0.5 * q])
+        met = load_metdata_netcdf(path, coord)
+
+        # winds come back bitwise; delp reconstructs the hybrid column mass
+        np.testing.assert_allclose(np.asarray(met.u), u, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(met.v), v, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(met.q[:, 1]), 0.5 * q,
+                                   rtol=1e-12)
+        ak, bk = np.asarray(coord.ak), np.asarray(coord.bk)
+        np.testing.assert_allclose(
+            np.asarray(met.delp).sum(axis=1),
+            (ak[-1] + bk[-1] * ps) - ak[0], rtol=1e-10)
+
+        # pt converts back to T through pkz: Tv = pt*pkz, T = Tv/(1+zvir q)
+        pe = ak[None, :, None, None] + bk[None, :, None, None] * ps[:, None]
+        peln = np.log(pe)
+        pk = pe ** c.CAPPA
+        pkz = (pk[:, 1:] - pk[:, :-1]) / (c.CAPPA *
+                                          (peln[:, 1:] - peln[:, :-1]))
+        t_back = np.asarray(met.pt) * pkz / (1.0 + c.ZVIR * q)
+        np.testing.assert_allclose(t_back, t, rtol=1e-12)
+
+    def test_offline_run_tracks_met(self, tmp_path):
+        coord, times, u, v, t, ps, q = _met_fields()
+        path = str(tmp_path / "met.nc")
+        save_metdata_netcdf(path, times, u, v, t, ps, [q])
+        met = load_metdata_netcdf(path, coord)
+
+        # start from the t=0 met state; offline stepping with full
+        # overwrite must land exactly on the interpolated met fields
+        st = met_state_at(met, 0.0)
+        st1 = offline_dyn_run(st, met, 0.0, 900.0)       # half-interval
+        tgt = met_state_at(met, 900.0)
+        np.testing.assert_allclose(np.asarray(st1.u), np.asarray(tgt.u),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(st1.pt), np.asarray(tgt.pt),
+                                   rtol=1e-12)
+        # relaxation mode moves halfway
+        st_half = offline_dyn_run(st, met, 0.0, 900.0, met_rlx=0.5)
+        np.testing.assert_allclose(
+            np.asarray(st_half.u),
+            np.asarray(st.u) + 0.5 * (np.asarray(tgt.u) - np.asarray(st.u)),
+            rtol=1e-12)
+
+
+def _column_state(ncol=4, pver=26):
+    reg = default_registry()
+    eta = np.linspace(0.003, 1.0, pver + 1) ** 1.2
+    pint = jnp.asarray(eta[None, :] * 1.0e5 * np.ones((ncol, 1)))
+    pmid = 0.5 * (pint[:, 1:] + pint[:, :-1])
+    t = jnp.maximum(300.0 * (pmid / 1.0e5) ** 0.19, 195.0)
+    t = t.at[:, -1].add(2.0)
+    q0 = 0.017 * (pmid / pmid[:, -1:]) ** 2.5 + 1e-6
+    q = jnp.zeros((ncol, pver, reg.pcnst)).at[:, :, 0].set(q0)
+    st = make_state_from_profiles(
+        pint, t, jnp.zeros((ncol, pver)), jnp.zeros((ncol, pver)), q,
+        jnp.zeros((ncol,)))
+    cam_in = CamIn.zeros(ncol, reg.pcnst).replace(
+        landfrac=jnp.ones((ncol,)))
+    return reg, st, cam_in
+
+
+class TestIopNetcdf:
+    def test_round_trip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        ntime, pver = 4, 26
+        tsec = np.arange(ntime) * 1800.0
+        divT = 1e-5 * rng.standard_normal((ntime, pver))
+        divq = 1e-9 * rng.standard_normal((ntime, pver))
+        omega = 0.1 * rng.standard_normal((ntime, pver))
+        shflx = 20.0 + rng.standard_normal(ntime)
+        lhflx = 80.0 + rng.standard_normal(ntime)
+        path = str(tmp_path / "iop.nc")
+        save_iop_netcdf(path, tsec, divT, divq, omega, shflx, lhflx)
+        iop = load_iop_netcdf(path)
+        np.testing.assert_allclose(np.asarray(iop.divT), divT, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(iop.lhflx), lhflx, rtol=1e-12)
+        # forcing interpolation: halfway between records 0 and 1
+        f = iop_forcing_at(iop, 900.0, ncol=3)
+        np.testing.assert_allclose(
+            np.asarray(f.dtdt_ls)[0], 0.5 * (divT[0] + divT[1]), rtol=1e-12)
+
+    def test_iop_run_matches_direct_forcing(self, tmp_path):
+        """Constant-in-time IOP file == directly-forced scam_step loop."""
+        reg, st, cam_in = _column_state()
+        ncol, pver = st.ncol, st.pver
+        dqdt = np.zeros((1, pver))
+        dqdt[:, -5:] = 2e-8
+        tsec = np.array([0.0, 86400.0])
+        divT = np.zeros((2, pver))
+        divq = np.repeat(dqdt, 2, axis=0)
+        omega = np.zeros((2, pver))
+        path = str(tmp_path / "iop_const.nc")
+        save_iop_netcdf(path, tsec, divT, divq, omega,
+                        np.zeros(2), np.zeros(2))
+        iop = load_iop_netcdf(path)
+
+        st_iop, _, series = scam_run_iop(PhysConfig(), ZMConfig(), reg, st,
+                                         cam_in, iop, 1800.0, nsteps=3)
+
+        # direct loop with the identical constant forcing
+        forcing = ScamForcing.zeros(ncol, pver).replace(
+            dqdt_ls=jnp.broadcast_to(jnp.asarray(dqdt), (ncol, pver)))
+        pbuf = scam_init_pbuf(ncol, pver, st.t.dtype)
+        st_dir = st
+        for i in range(3):
+            st_dir, pbuf, _, _ = scam_step(PhysConfig(), ZMConfig(), reg,
+                                           st_dir, pbuf, cam_in, forcing,
+                                           1800.0, nstep=i)
+        np.testing.assert_allclose(np.asarray(st_iop.t),
+                                   np.asarray(st_dir.t), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_iop.q),
+                                   np.asarray(st_dir.q), rtol=1e-12)
+        assert bool(jnp.isfinite(st_iop.t).all())
