@@ -81,6 +81,38 @@ def _roofline_report(jitted, args, t_meas, name, dtype):
           file=sys.stderr)
 
 
+_PALLAS_PROBE = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+
+def _k(x_ref, o_ref):
+    o_ref[...] = x_ref[...] * 2.0
+
+f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
+np.asarray(jax.jit(f)(jnp.ones((8, 128), jnp.float32)))
+print("PALLAS_EXEC_OK")
+"""
+
+
+def pallas_exec_ok(timeout: float = 120.0) -> bool:
+    """Probe Mosaic custom-call EXECUTION in a subprocess.
+
+    The axon tunnel has been observed (round 3) in a state where plain XLA
+    programs execute but any program containing a Pallas custom call hangs
+    forever on its first execution — a hang the in-process code cannot
+    recover from (the value fetch blocks in C). Probing in a subprocess
+    with a timeout lets the bench fall back to the XLA path
+    (CAM_FORCE_XLA=1) instead of hanging the round's only perf recording.
+    """
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", _PALLAS_PROBE],
+                           timeout=timeout, capture_output=True, text=True)
+        return "PALLAS_EXEC_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     dtype = jnp.float32
@@ -98,6 +130,14 @@ def main():
     else:
         # enough chained iterations to amortize async-pipeline ramp-up
         im, jm, km, iters = 144, 96, 26, 40
+
+    if jax.default_backend() == "tpu" and \
+            os.environ.get("CAM_FORCE_XLA") != "1":
+        if not pallas_exec_ok():
+            print("WARNING: Mosaic custom-call execution probe hung/failed "
+                  "on this TPU tunnel — benchmarking the XLA path "
+                  "(CAM_FORCE_XLA=1)", file=sys.stderr)
+            os.environ["CAM_FORCE_XLA"] = "1"
 
     from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run
     from cam_nor_physics_tpu.models.fv.grid import make_grid

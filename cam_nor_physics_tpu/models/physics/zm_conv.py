@@ -954,8 +954,18 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     q_mx = _take_col(q, jb)
     p_b3 = _above(p)   # p(k-1)
 
+    # default for levels the ascent never writes: the reference's
+    # tiedke-perturbed initialization su = s(mx) + tiedke/(1+cpvir·q)
+    # inside [jt0, jb] (zm_conv.F90:3417-3421; survives at k = jt where
+    # only hu is reset to hmn) and the environment s elsewhere. Values in
+    # the band are multiplied by mu = 0 downstream — this matters only for
+    # field-level reference parity (tests/test_zm_oracle_parity.py).
+    su_dflt = jnp.where((karr >= _c(jt0)) & (karr <= _c(jb)),
+                        _c(_take_col(s, jb)) +
+                        _c(tiedke_msk) / (1.0 + CPVIR * q), s)
+
     xsS = dict(mu=mu, eu=eu, du=du, dz=dz, s=s, q=q, qst=qst, hu=hu,
-               zf=zf_top, p=p, pm1=p_b3, tu0=tu)
+               zf=zf_top, p=p, pm1=p_b3, tu0=tu, su0=su_dflt)
     carryS = dict(su_b=jnp.zeros((ncol,), dtype), qu_b=jnp.zeros((ncol,), dtype),
                   mu_b=jnp.zeros((ncol,), dtype),
                   done=jnp.zeros((ncol,), dtype),   # 0/1 (bool carries are
@@ -978,7 +988,7 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
         _, qstu = qsat_hpa(tu_k, 0.5 * (x["p"] + x["pm1"]))
         sat = inw & (qu_k >= qstu)
 
-        su_out = jnp.where(at_base, su_base, jnp.where(inw, su_k, x["s"]))
+        su_out = jnp.where(at_base, su_base, jnp.where(inw, su_k, x["su0"]))
         qu_out = jnp.where(at_base, q_mx, jnp.where(inw, qu_k, x["q"]))
         tu_out = jnp.where(at_base, tu_base, jnp.where(inw, tu_k, x["tu0"]))
         done = jnp.where(sat, 1.0, cy["done"])
@@ -1101,6 +1111,11 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     zf_jdv = zf_jd
     sd_jd = (hd_jd - (1.0 - DCOL * (sd_jd_t - TFREEZ)) * RL * qd_jd) / \
         ((1.0 + CPVIR * qd_jd) * CP)
+    # the reference OVERWRITES td(jd) after setting sd(jd)
+    # (zm_conv.F90:3947 "BUG FIX 2019 05 24" block): the first descent
+    # step's latent-heat factor uses this updated value, not the
+    # qds-loop td
+    td_jd = sd_jd - GRAV / ((1.0 + CPVIR * qd_jd) * CP) * zf_jdv
 
     qds_b = _below(qds)
     xsE = dict(md=md, md_b=md_b4, ed=ed, dz=dz, q=q, s=s, td=td, qds=qds,
@@ -1110,12 +1125,13 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     def evp_step(cy, x, k):
         at_jd_k = k == jd
         sd_k = jnp.where(at_jd_k, sd_jd, cy["sd_c"])
+        td_k = jnp.where(at_jd_k, td_jd, x["td"])
         inw = (k >= jd) & (k < jb) & active
         qd_k = jnp.where(k == jd, qd_jd, x["qds"])
         evp_k = -x["ed"] * x["q"] + (x["md"] * qd_k - x["md_b"] * x["qds_b"]) / x["dz"]
         evp_k = jnp.where(inw, jnp.maximum(evp_k, 0.0), 0.0)
         mdt = jnp.minimum(x["md_b"], -small)
-        sd_next = ((1.0 - DCOL * (x["td"] - TFREEZ)) * RL /
+        sd_next = ((1.0 - DCOL * (td_k - TFREEZ)) * RL /
                    ((1.0 + CPVIR * qd_k) * CP) * evp_k - x["ed"] * x["s"]) * \
             x["dz"] + x["md"] * sd_k
         sd_next = jnp.where(inw, sd_next / mdt, cy["sd_c"])

@@ -38,6 +38,9 @@ from . import zm_conv as zc
 
 
 def use_pallas_zm(cfg: ZMConfig, dtype, delt) -> bool:
+    import os
+    if os.environ.get("CAM_FORCE_XLA") == "1":
+        return False          # operational kill-switch (see ops.pallas_kernels)
     if cfg.inversion_solver == "brent":
         return False            # while_loop-based; stay on XLA
     if not isinstance(delt, (int, float)):

@@ -41,6 +41,9 @@ _F32 = jnp.float32
 def use_pallas_tail(cfg: ZMConfig, dtype) -> bool:
     """Dispatch gate for the fused tail kernel (ZMConfig.use_pallas_tail:
     'auto' | True | False). Independent of the zm_convr mega-kernel flag."""
+    import os
+    if os.environ.get("CAM_FORCE_XLA") == "1":
+        return False          # operational kill-switch (see ops.pallas_kernels)
     flag = getattr(cfg, "use_pallas_tail", "auto")
     if flag is True:
         return True

@@ -83,7 +83,15 @@ def _tpu_params():
 def use_pallas(slab_cells: int | None = None) -> bool:
     """True when the fused Pallas path applies. With `slab_cells`, also
     require a single whole slab to fit one program (callers that can band
-    pass None and consult band_plan instead)."""
+    pass None and consult band_plan instead).
+
+    CAM_FORCE_XLA=1 is the operational kill-switch: the axon tunnel has
+    been observed to enter a state where Mosaic custom-call EXECUTION
+    hangs while plain XLA programs run (round 3); bench.py probes for
+    that in a subprocess and sets this to keep producing numbers."""
+    import os
+    if os.environ.get("CAM_FORCE_XLA") == "1":
+        return False
     try:
         if slab_cells is not None and slab_cells > _MAX_SLAB_CELLS:
             return False

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 
 def use_pallas_remap(ncol: int) -> bool:
+    import os
+    if os.environ.get("CAM_FORCE_XLA") == "1":
+        return False          # operational kill-switch (see ops.pallas_kernels)
     try:
         return (jax.default_backend() == "tpu"
                 and jax.device_count() == 1)

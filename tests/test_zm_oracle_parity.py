@@ -195,3 +195,77 @@ class TestEvapParity:
             # atol floor: summation-order roundoff on ~1e-16 residuals
             np.testing.assert_allclose(_np(got[key]), want[key], rtol=RTOL,
                                        atol=1e-15, err_msg=key)
+
+
+class TestCldprpParity:
+    def test_plume_properties(self, pipe):
+        """cldprp vs the statement-order oracle (zm_conv.F90:3024-4026,
+        microp-off + tht-thermo path) on the real buoyan_dilute launch
+        levels."""
+        d, cfg = pipe
+        b, cld = d["b"], d["cld"]
+        want = orc.cldprp_oracle(
+            _np(d["q"]), _np(d["t"]), _np(d["p"]), _np(d["z"]), _np(d["s"]),
+            _np(d["zf"]), _np(d["shat"]), _np(d["qhat"]), np.asarray(b.mx),
+            np.asarray(b.lel), _np(jnp.ones_like(b.cape)), MSG,
+            cfg.c0_lnd, cfg.c0_ocn, cfg.tiedke_add, cfg.tiedke_lnd,
+            cfg.entrmn, cfg.alfadet)
+
+        m = d["ideep"]
+        assert m.any()
+        # level indices must agree exactly on triggered columns
+        for name in ("jt", "jlcl", "j0", "jd"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cld, name))[m], want[name][m],
+                err_msg=name)
+        for name in ("mu", "eu", "du", "md", "ed", "mc", "qu", "su", "sd",
+                     "qd", "qst", "hmn", "hsat", "ql", "qcde", "cu", "evp",
+                     "cmeg", "rprd", "pflx"):
+            got = _np(getattr(cld, name))[m]
+            np.testing.assert_allclose(got, want[name][m], rtol=1e-10,
+                                       atol=1e-12, err_msg=name)
+
+
+class TestParcelDiluteParity:
+    def test_parcel_profile(self, pipe):
+        """_parcel_dilute (scan impl, Brent inversion) vs the
+        statement-order oracle (parcel_dilute + ientropy/ienthalpy,
+        zm_conv.F90:4824-5414, tht path). Both sides iterate their Brent
+        loops to the same 1e-3 K tolerance but terminate on slightly
+        different floating paths, so agreement is at the solver tolerance,
+        not machine precision."""
+        d, cfg0 = pipe
+        b = d["b"]
+        cfg = ZMConfig(parcel_impl="scan", inversion_solver="brent")
+        ncol, pver = d["t"].shape
+        klaunch = b.mx
+        tl0 = jnp.take_along_axis(d["t"], klaunch[:, None], 1)[:, 0]
+        ql0 = jnp.take_along_axis(d["q"], klaunch[:, None], 1)[:, 0]
+        pl0 = jnp.take_along_axis(d["p"], klaunch[:, None], 1)[:, 0]
+        dmpdz = jnp.full((ncol, pver), -cfg.tentrm, d["t"].dtype)
+
+        tp, qstp, tpv, tl, pl, lcl = zm._parcel_dilute(
+            cfg, MSG, klaunch, d["p"], d["z"], d["t"], d["q"],
+            jnp.zeros((ncol,), d["t"].dtype), tl0, ql0, pl0, dmpdz)
+
+        want = orc.parcel_dilute_oracle(
+            np.asarray(klaunch), _np(d["p"]), _np(d["z"]), _np(d["t"]),
+            _np(d["q"]), np.zeros(ncol), _np(dmpdz), MSG)
+
+        # compare on the region buoyan_dilute consumes (lel-1 .. launch):
+        # above the plume top the ±10 K Brent bracket around the
+        # level-above guess fails — the reference ABORTS there (endrun,
+        # zm_conv.F90:5401-5410); the repo's NaN-fallback keeps going
+        # (SURVEY §7.1.4), so those levels have no reference value
+        karr = np.arange(pver)
+        in_asc = (karr[None, :] <= np.asarray(klaunch)[:, None]) & \
+            (karr[None, :] >= np.asarray(b.lel)[:, None] - 1)
+        np.testing.assert_allclose(_np(tp)[in_asc], want["tp"][in_asc],
+                                   atol=3e-3, rtol=0)
+        np.testing.assert_allclose(_np(tpv)[in_asc], want["tpv"][in_asc],
+                                   atol=4e-3, rtol=0)
+        np.testing.assert_allclose(_np(qstp)[in_asc], want["qstp"][in_asc],
+                                   atol=2e-6, rtol=0)
+        np.testing.assert_array_equal(np.asarray(lcl), want["lcl"])
+        np.testing.assert_allclose(_np(tl), want["tl"], atol=3e-3, rtol=0)
+        np.testing.assert_allclose(_np(pl), want["pl"], atol=0.5, rtol=0)
