@@ -150,10 +150,10 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
 
     reg = default_registry_atm()
     diag_register(reg)
-    for name in ["OMEGA", "RELHUM", "TMQ", "PRECT", "TS", "US", "VS",
-                 "PRECCMX", "T850", "U250", "Z500", "VT", "VU",
-                 "CLDTOT", "CLDLOW", "CLDHGH"]:
-        reg.add_default(name)
+    from .models.physics.cam_diagnostics import amwg_core_fields
+    for name in amwg_core_fields() + ["US", "VS", "PRECCMX"]:
+        if name in reg.fields:
+            reg.add_default(name)
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None

@@ -244,6 +244,16 @@ _IC_FIELDS = [
 ]
 
 
+def amwg_core_fields() -> list[str]:
+    """The AMWG-core default-tape set (the reference's history_amwg
+    add_default block, cam_diagnostics.F90 diag_init + phys_control
+    history_amwg): every catalog field a standard h0 climate tape carries.
+    The driver add_defaults these (plus the dycore/ZM families registered
+    elsewhere) when history is on."""
+    return [row[0] for row in _CATALOG] + \
+        [name + "&IC" for name, *_ in _IC_FIELDS]
+
+
 def diag_register(reg: HistoryRegistry) -> None:
     """Declare the diagnostic field set (diag_init_dry/moist role,
     cam_diagnostics.F90:195-1304)."""

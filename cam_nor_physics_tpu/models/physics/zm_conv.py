@@ -59,10 +59,10 @@ def _safe_div(a, b, eps=1.0e-300):
 # Trace-time layout-canonicalization hook. Mosaic's TPU layout inference
 # CRASHES (layout.h:320 join check) whenever a rank-1 value produced by a
 # minor-axis REDUCTION meets a rank-1 value of ordinary layout inside a
-# loop region (fori carry or body elementwise). The Pallas mega-kernel
-# (zm_pallas.py) installs a hook that round-trips such values through a
-# VMEM scratch row, forcing the canonical layout; the XLA path leaves it
-# None (identity). Applied at every reduction that yields a per-column
+# loop region (fori carry or body elementwise). A Pallas executor can
+# install a hook that round-trips such values through a VMEM scratch row,
+# forcing the canonical layout (the deleted r2 mega-kernel did; the tail
+# kernel does not need it); the XLA path leaves it None (identity). Applied at every reduction that yields a per-column
 # scalar on the zm_convr path. Carried in a contextvar (NOT a module
 # global) so concurrent/re-entrant traces of the XLA path while a Pallas
 # kernel traces cannot observe each other's state.
@@ -228,7 +228,8 @@ class _XlaScan:
     Steps have signature step(carry, x_row: dict, k) -> (carry, ys_tuple)
     with x_row entries (ncol,) slices at level k; `reverse=True` walks
     bottom-up (k = nk-1 .. 0) with ys stacked at their original level. The
-    Pallas executor (models/physics/zm_pallas.py) runs the identical steps
+    level-major Pallas executor (deleted in r3; see git history) ran the
+    identical steps
     as an in-kernel fori_loop over VMEM scratch."""
 
     def scan(self, step, carry, xs: dict, reverse: bool = False):

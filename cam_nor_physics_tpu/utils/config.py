@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -175,21 +174,11 @@ class ZMConfig:
     # reference-shaped level-recursive form kept for validation.
     parcel_impl: str = "batched"
     precip_sweeps: int = 3     # fixed-point sweeps in the batched adjustment
-    # Fused Pallas mega-kernel for zm_convr (models/physics/zm_pallas.py):
-    # the whole core (both buoyan/cldprp passes, closure, q1q2) runs as one
-    # LEVEL-MAJOR (pver, cols) program per column block — columns in the
-    # lane dimension give full vector registers. Measured 3.9 ms vs 5.9 ms
-    # XLA at 13824x26 f32 (single chip, bc=512); trigger agreement 99.98%
-    # with differences confined to marginal trigger-flip columns
-    # (Mosaic-vs-XLA transcendental ULPs). Because the kernel is NOT
-    # bitwise vs the validated XLA path (marginal trigger flips on ~0.02%
-    # of real-atmosphere columns), the DEFAULT IS OFF: enable explicitly
-    # with use_pallas="auto"/True or the CAM_ZM_PALLAS=1 environment
-    # opt-in. "auto" = on for single-chip TPU float32 with the fixed-count
-    # inversion solver; False forces XLA.
-    use_pallas: bool | str = field(
-        default_factory=lambda: "auto" if os.environ.get(
-            "CAM_ZM_PALLAS", "0") == "1" else False)
+    # The zm_convr core has ONE execution story: the XLA scan path (the
+    # experimental level-major Pallas mega-kernel was deleted in round 3 —
+    # faster but not bitwise; see zm_conv_intr.py). This flag is retained
+    # for config-file compatibility and must stay False.
+    use_pallas: bool | str = False
     # Fused Pallas kernel for the ZM tail (evap + momtran + convtran,
     # models/physics/zm_tail_pallas.py): (pver, cols)-major layout with
     # statically unrolled level recursions. "auto" = on for single-chip TPU

@@ -5,8 +5,6 @@ execute the same tp_core math on VMEM-resident slabs as the vmapped jnp
 formulation; on stress fields (random near-CFL Courants activating every
 FFSL branch) they agree to f32 roundoff (fma/contraction-order ULPs), and
 on real dyn_run fields they measured bitwise-identical over 3 large steps. The ZM mega-kernel
-(models/physics/zm_pallas.py) is equivalent modulo Mosaic-vs-XLA
-transcendental ULPs (validated separately on hardware; see VALIDATION.md).
 
 These tests need a real TPU backend (Mosaic does not target CPU) and skip
 elsewhere — the CPU suite covers the identical jnp fallback everywhere.
@@ -87,58 +85,6 @@ class TestPallasTransport:
 
 
 @tpu
-class TestZMPallas:
-    def test_zm_mega_kernel_statistical(self):
-        """zm_convr Pallas vs XLA: agree to the inversion tolerance on
-        columns whose discrete trigger/top decisions agree. This synthetic
-        sounding is uniformly near-critical, so transcendental ULP
-        differences flip an outsized fraction of columns (~10%); real
-        atmospheres measured ~2.7% (VALIDATION.md)."""
-        from cam_nor_physics_tpu.models.physics.zm_conv import zm_convr
-        from cam_nor_physics_tpu.models.physics.zm_pallas import \
-            zm_convr_pallas
-        from cam_nor_physics_tpu.utils.config import ZMConfig
-
-        dtype = jnp.float32
-        ncol, pver = 2048, 26
-        cfg = ZMConfig()
-        eta = np.linspace(0.003, 1.0, pver + 1) ** 1.2
-        pint = jnp.asarray(np.broadcast_to(eta[None, :] * 1.0e5,
-                                           (ncol, pver + 1)), dtype)
-        pmid = 0.5 * (pint[:, 1:] + pint[:, :-1])
-        rng = np.random.default_rng(0)
-        t = jnp.maximum(300.0 * (pmid / 1.0e5) ** 0.19, 195.0) \
-            .at[:, -1].add(2.0) + jnp.asarray(
-                rng.uniform(-2, 2, (ncol, pver)), dtype)
-        q = (0.017 * (pmid / pmid[:, -1:]) ** 2.5 + 1e-6) \
-            .at[:, -3:].multiply(1.15)
-        dpp = pint[:, 1:] - pint[:, :-1]
-        tv = t * (1 + 0.608 * q)
-        dz = 287.0 * tv * dpp / (pmid * 9.80616)
-        zmid = jnp.cumsum(dz[:, ::-1], axis=1)[:, ::-1] - 0.5 * dz
-        zint = jnp.concatenate([(zmid + 0.5 * dz),
-                                jnp.zeros((ncol, 1), dtype)], axis=1)
-        args = (t, q, pmid, pint, dpp, zmid, jnp.zeros((ncol,), dtype),
-                zint, jnp.full((ncol,), 800.0, dtype),
-                jnp.full((ncol,), 0.3, dtype), jnp.ones((ncol,), dtype),
-                900.0)
-        o1 = jax.jit(lambda: zm_convr(cfg, 2, *args))()
-        o2 = jax.jit(lambda: zm_convr_pallas(cfg, 2, *args))()
-        jt1, jt2 = np.asarray(o1.jt), np.asarray(o2.jt)
-        cape1, cape2 = np.asarray(o1.cape), np.asarray(o2.cape)
-        flip = (jt1 != jt2) | (np.abs(cape1 - cape2) >
-                               0.02 * np.maximum(cape1, 1.0))
-        assert flip.mean() < 0.25, f"{flip.mean():.1%} columns flipped"
-        # climate-relevant statistics must agree tightly: per-column maxima
-        # on a uniformly near-critical synthetic sounding are dominated by
-        # discrete flips the (jt, cape) filter cannot fully isolate
-        for name in ("qtnd", "heat", "prec", "cape"):
-            a = np.asarray(getattr(o1, name))
-            b = np.asarray(getattr(o2, name))
-            scale = max(np.abs(a).mean(), 1e-30)
-            assert abs(a.mean() - b.mean()) / scale < 0.05, name
-
-
 class TestBandedWrappers:
     """J-banded dispatch equivalence, CPU-runnable: interpret-mode
     pallas_call with a monkeypatched VMEM cap forcing >= 2 bands. Verifies

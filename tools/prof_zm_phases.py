@@ -8,7 +8,7 @@ from cam_nor_physics_tpu.models.physics.state import (
 from cam_nor_physics_tpu.models.physics.zm_conv_intr import zm_conv_tend
 from cam_nor_physics_tpu.models.physics.zm_conv import zm_convr, zm_conv_evap
 from cam_nor_physics_tpu.models.physics.zm_transport import convtran, momtran
-from cam_nor_physics_tpu.models.physics.zm_pallas import zm_convr_dispatch
+from cam_nor_physics_tpu.models.physics.zm_conv import zm_convr as zm_convr_dispatch
 from cam_nor_physics_tpu.utils.config import ZMConfig
 
 dtype = jnp.float32
@@ -40,7 +40,7 @@ def series(name, fn, *args):
 out = series("zm_convr(xla)", jax.jit(lambda s: zm_convr(
     cfg, 0, s.t, s.q[:, :, 0], s.pmid, s.pint, s.pdel, s.zm, s.phis, s.zi,
     pblh, tpert, landfrac, 0.5*ztodt)), pstate)
-series("zm_convr(dispatch)", jax.jit(lambda s: zm_convr_dispatch(
+series("zm_convr", jax.jit(lambda s: zm_convr_dispatch(
     cfg, 0, s.t, s.q[:, :, 0], s.pmid, s.pint, s.pdel, s.zm, s.phis, s.zi,
     pblh, tpert, landfrac, 0.5*ztodt)), pstate)
 
