@@ -349,6 +349,12 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
     full C half step is on), so overriding one without the other is only
     for experiments.
     """
+    if cfg.filtcw < 0:
+        # the C-wind polar filter is load-bearing here (see FVConfig.filtcw)
+        raise NotImplementedError(
+            "FVConfig.filtcw < 0 (disable the C-grid wind filter) is not "
+            "supported: the filter is load-bearing for this solver's c_sw "
+            "half step (cd_core.py:289-306)")
     if cfg.high_altitude:
         # κ advected as an extra tracer with pt correction
         # (/root/reference/fv/dyn_comp.F90:2371-2489) — WACCM-X territory,

@@ -34,7 +34,13 @@ class FVConfig:
     jord: int = 4             # N-S scheme order
     kord: int = 4             # vertical remap scheme order
     conserve: bool = False    # total-energy conserving vertical remap
-    filtcw: int = 0           # filter C-grid winds
+    # filter C-grid winds (reference namelist `filtcw`, on only if > 0 with
+    # default 0). DEVIATION: this solver's c_sw half step REQUIRES the
+    # C-increment polar filter (unfiltered near-pole PGF kicks blow up in
+    # ~15 small steps — cd_core.py:289-306), so any filtcw >= 0 keeps it
+    # on; filtcw < 0 (an explicit request to disable) raises
+    # NotImplementedError in dyn_run rather than silently no-opping.
+    filtcw: int = 0
     fft_flt: int = 1          # 0 = FFT/algebraic filter, 1 = FFT filter
     # Divergence/velocity damping selector (fv_div24del2flag,
     # /root/reference/fv/dyn_comp.F90:190-192): 2 = 2nd-order divergence

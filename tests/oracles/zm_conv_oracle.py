@@ -1007,3 +1007,252 @@ def parcel_dilute_oracle(klaunch, p, z, t, q, tpert, dmpdz, msg):
 
     return dict(tp=tp, qstp=qstp, tpv=tpv, tmix=tmix, qsmix=qsmix,
                 qtmix=qtmix, tl=tl, pl=pl, lcl=lcl)
+
+
+def convtran_oracle(doconvtran, q, mu, md, du, eu, ed, dp, dsubcld, jt, mx,
+                    fracis, dpdry, dry_mask, dt, msg=0):
+    """convtran (zm_conv.F90:1976-2311), microp-off path, statement-order.
+    All columns treated as gathered (ideep = identity); q (ncol, pver,
+    ncnst); doconvtran/dry_mask per-tracer bools (m=0 never transported,
+    matching `do m = 2, ncnst`). Returns dqdt."""
+    ncol, pver, ncnst = q.shape
+    small = 1.0e-36
+    mbsth = 1.0e-15
+    dqdt = np.zeros_like(q)
+    ktm = int(min(jt))
+    kbm = int(min(mx))
+
+    for m in range(1, ncnst):
+        if not doconvtran[m]:
+            continue
+        if dry_mask[m]:
+            dptmp = dpdry.copy()
+            dutmp = du * dp / dpdry
+            eutmp = eu * dp / dpdry
+            edtmp = ed * dp / dpdry
+        else:
+            dptmp, dutmp, eutmp, edtmp = dp, du, eu, ed
+        const = q[:, :, m]
+        fisg = fracis[:, :, m]
+
+        chat = np.zeros((ncol, pver))
+        conu = np.zeros((ncol, pver))
+        cond = np.zeros((ncol, pver))
+        dcondt = np.zeros((ncol, pver))
+        for k in range(pver):
+            km1 = max(0, k - 1)
+            for i in range(ncol):
+                minc = min(const[i, km1], const[i, k])
+                maxc = max(const[i, km1], const[i, k])
+                if minc < 0:
+                    cdifr = 0.0
+                else:
+                    cdifr = abs(const[i, k] - const[i, km1]) / \
+                        max(maxc, small)
+                if cdifr > 1.0e-6:
+                    cabv = max(const[i, km1], maxc * 1e-12)
+                    cbel = max(const[i, k], maxc * 1e-12)
+                    chat[i, k] = np.log(cabv / cbel) / (cabv - cbel) * \
+                        cabv * cbel
+                else:
+                    chat[i, k] = 0.5 * (const[i, k] + const[i, km1])
+                conu[i, k] = chat[i, k]
+                cond[i, k] = chat[i, k]
+
+        # boundary levels (:2152-2163); F k=2 -> 0-based 1
+        for i in range(ncol):
+            kk = pver - 1
+            mupdudp = mu[i, kk] + dutmp[i, kk] * dptmp[i, kk]
+            if mupdudp > mbsth:
+                conu[i, kk] = (eutmp[i, kk] * fisg[i, kk] * const[i, kk] *
+                               dptmp[i, kk]) / mupdudp
+            if md[i, 1] < -mbsth:
+                cond[i, 1] = (-edtmp[i, 0] * fisg[i, 0] * const[i, 0] *
+                              dptmp[i, 0]) / md[i, 1]
+        # updraft bottom->top (:2166-2175)
+        for kk in range(pver - 2, -1, -1):
+            kkp1 = min(pver - 1, kk + 1)
+            for i in range(ncol):
+                mupdudp = mu[i, kk] + dutmp[i, kk] * dptmp[i, kk]
+                if mupdudp > mbsth:
+                    conu[i, kk] = (mu[i, kkp1] * conu[i, kkp1] +
+                                   eutmp[i, kk] * fisg[i, kk] *
+                                   const[i, kk] * dptmp[i, kk]) / mupdudp
+        # downdraft top->bottom (:2178-2186); F k=3..pver -> 0-based 2..
+        for k in range(2, pver):
+            km1 = max(0, k - 1)
+            for i in range(ncol):
+                if md[i, k] < -mbsth:
+                    cond[i, k] = (md[i, km1] * cond[i, km1] -
+                                  edtmp[i, km1] * fisg[i, km1] *
+                                  const[i, km1] * dptmp[i, km1]) / md[i, k]
+
+        # interior tendencies, version-3 limited fluxes (:2189-2221)
+        for k in range(ktm, pver):
+            km1 = max(0, k - 1)
+            kp1 = min(pver - 1, k + 1)
+            for i in range(ncol):
+                fluxin = mu[i, kp1] * conu[i, kp1] + \
+                    mu[i, k] * min(chat[i, k], const[i, km1]) - \
+                    (md[i, k] * cond[i, k] +
+                     md[i, kp1] * min(chat[i, kp1], const[i, kp1]))
+                fluxout = mu[i, k] * conu[i, k] + \
+                    mu[i, kp1] * min(chat[i, kp1], const[i, k]) - \
+                    (md[i, kp1] * cond[i, kp1] +
+                     md[i, k] * min(chat[i, k], const[i, k]))
+                netflux = fluxin - fluxout
+                if abs(netflux) < max(fluxin, fluxout) * 1e-12:
+                    netflux = 0.0
+                dcondt[i, k] = netflux / dptmp[i, k]
+        # cloud-base layer (:2225-2257)
+        for k in range(kbm, pver):
+            km1 = max(0, k - 1)
+            for i in range(ncol):
+                if k == mx[i]:
+                    fluxin = mu[i, k] * min(chat[i, k], const[i, km1]) - \
+                        md[i, k] * cond[i, k]
+                    fluxout = mu[i, k] * conu[i, k] - \
+                        md[i, k] * min(chat[i, k], const[i, k])
+                    netflux = fluxin - fluxout
+                    if abs(netflux) < max(fluxin, fluxout) * 1e-12:
+                        netflux = 0.0
+                    dcondt[i, k] = netflux / dptmp[i, k]
+                elif k > mx[i]:
+                    dcondt[i, k] = 0.0
+        dqdt[:, :, m] = dcondt
+    return dqdt
+
+
+def momtran_oracle(u, v, mu, md, du, eu, ed, dp, jt, mx, dt, momcu, momcd):
+    """momtran (zm_conv.F90:2315-2715), statement-order incl. the
+    pressure-gradient terms, the reference's as-written downdraft boundary
+    parenthesization, and the Boville-Bretherton KE-dissipation heating.
+    Returns dict(dudt, dvdt, seten, pguall, pgdall, icwu, icwd)."""
+    ncol, pver = u.shape
+    mbsth = 1.0e-15
+    winds = [u, v]
+    coefs = [momcu, momcd]
+    ktm = int(min(jt))
+    kbm = int(min(mx))
+
+    dqdt = np.zeros((ncol, pver, 2))
+    pguall = np.zeros((ncol, pver, 2))
+    pgdall = np.zeros((ncol, pver, 2))
+    icwu = np.stack([u, v], axis=-1).copy()
+    icwd = np.stack([u, v], axis=-1).copy()
+    mflux = np.zeros((ncol, pver + 1, 2))
+    wind0 = np.zeros((ncol, pver, 2))
+    windf = np.zeros((ncol, pver, 2))
+    seten = np.zeros((ncol, pver))
+
+    for m in range(2):
+        const = winds[m].copy()
+        wind0[:, :, m] = const
+        chat = np.zeros((ncol, pver))
+        conu = np.zeros((ncol, pver))
+        cond = np.zeros((ncol, pver))
+        dcondt = np.zeros((ncol, pver))
+        for k in range(pver):
+            km1 = max(0, k - 1)
+            chat[:, k] = 0.5 * (const[:, k] + const[:, km1])
+        conu[:] = chat
+        cond[:] = chat
+
+        pgu = np.zeros((ncol, pver))
+        pgd = np.zeros((ncol, pver))
+        for k in range(1, pver - 1):
+            km1 = max(0, k - 1)
+            kp1 = min(pver - 1, k + 1)
+            for i in range(ncol):
+                mududp = mu[i, k] * (const[i, k] - const[i, km1]) / \
+                    dp[i, km1] + mu[i, kp1] * \
+                    (const[i, kp1] - const[i, k]) / dp[i, k]
+                pgu[i, k] = -momcu * 0.5 * mududp
+                mddudp = md[i, k] * (const[i, k] - const[i, km1]) / \
+                    dp[i, km1] + md[i, kp1] * \
+                    (const[i, kp1] - const[i, k]) / dp[i, k]
+                pgd[i, k] = -momcd * 0.5 * mddudp
+        k = pver - 1
+        km1 = k - 1
+        for i in range(ncol):
+            mududp = mu[i, k] * (const[i, k] - const[i, km1]) / dp[i, km1]
+            pgu[i, k] = -momcu * mududp
+            mddudp = md[i, k] * (const[i, k] - const[i, km1]) / dp[i, km1]
+            pgd[i, k] = -momcd * mddudp
+
+        # boundary levels; NOTE the reference's as-written parenthesization
+        # of the downdraft init: only the pgd term is divided by md
+        # (zm_conv.F90:2520-2523)
+        for i in range(ncol):
+            kk = pver - 1
+            mupdudp = mu[i, kk] + du[i, kk] * dp[i, kk]
+            if mupdudp > mbsth:
+                conu[i, kk] = (eu[i, kk] * const[i, kk] * dp[i, kk] +
+                               pgu[i, kk] * dp[i, kk]) / mupdudp
+            if md[i, 1] < -mbsth:
+                cond[i, 1] = (-ed[i, 0] * const[i, 0] * dp[i, 0]) - \
+                    pgd[i, 0] * dp[i, 0] / md[i, 1]
+        for kk in range(pver - 2, -1, -1):
+            kkp1 = min(pver - 1, kk + 1)
+            for i in range(ncol):
+                mupdudp = mu[i, kk] + du[i, kk] * dp[i, kk]
+                if mupdudp > mbsth:
+                    conu[i, kk] = (mu[i, kkp1] * conu[i, kkp1] +
+                                   eu[i, kk] * const[i, kk] * dp[i, kk] +
+                                   pgu[i, kk] * dp[i, kk]) / mupdudp
+        for k in range(2, pver):
+            km1 = max(0, k - 1)
+            for i in range(ncol):
+                if md[i, k] < -mbsth:
+                    cond[i, k] = (md[i, km1] * cond[i, km1] -
+                                  ed[i, km1] * const[i, km1] * dp[i, km1] -
+                                  pgd[i, km1] * dp[i, km1]) / md[i, k]
+
+        for k in range(ktm, pver):
+            kp1 = min(pver - 1, k + 1)
+            for i in range(ncol):
+                dcondt[i, k] = (mu[i, kp1] * (conu[i, kp1] - chat[i, kp1]) -
+                                mu[i, k] * (conu[i, k] - chat[i, k]) +
+                                md[i, kp1] * (cond[i, kp1] - chat[i, kp1]) -
+                                md[i, k] * (cond[i, k] - chat[i, k])) / \
+                    dp[i, k]
+        for k in range(kbm, pver):
+            for i in range(ncol):
+                if k == mx[i]:
+                    dcondt[i, k] = (1.0 / dp[i, k]) * \
+                        (-mu[i, k] * (conu[i, k] - chat[i, k]) -
+                         md[i, k] * (cond[i, k] - chat[i, k]))
+        dqdt[:, :, m] = dcondt
+        pguall[:, :, m] = -pgu
+        pgdall[:, :, m] = -pgd
+        icwu[:, :, m] = conu
+        icwd[:, :, m] = cond
+        for k in range(ktm, pver):
+            mflux[:, k, m] = -mu[:, k] * (conu[:, k] - chat[:, k]) - \
+                md[:, k] * (cond[:, k] - chat[:, k])
+        for k in range(ktm, pver):
+            windf[:, k, m] = const[:, k] - \
+                (mflux[:, k + 1, m] - mflux[:, k, m]) * dt / dp[:, k]
+
+    # KE-dissipation heating (:2664-2692)
+    for k in range(ktm, pver):
+        km1 = max(0, k - 1)
+        kp1 = min(pver - 1, k + 1)
+        for i in range(ncol):
+            utop = 0.5 * (wind0[i, k, 0] + wind0[i, km1, 0])
+            vtop = 0.5 * (wind0[i, k, 1] + wind0[i, km1, 1])
+            ubot = 0.5 * (wind0[i, kp1, 0] + wind0[i, k, 0])
+            vbot = 0.5 * (wind0[i, kp1, 1] + wind0[i, k, 1])
+            fket = utop * mflux[i, k, 0] + vtop * mflux[i, k, 1]
+            fkeb = ubot * mflux[i, k + 1, 0] + vbot * mflux[i, k + 1, 1]
+            ketend_cons = (fket - fkeb) / dp[i, k]
+            ketend = ((windf[i, k, 0] ** 2 + windf[i, k, 1] ** 2) -
+                      (wind0[i, k, 0] ** 2 + wind0[i, k, 1] ** 2)) * \
+                0.5 / dt
+            seten[i, k] = ketend_cons - ketend
+
+    return dict(dudt=dqdt[:, :, 0], dvdt=dqdt[:, :, 1], seten=seten,
+                pguall=(pguall[:, :, 0], pguall[:, :, 1]),
+                pgdall=(pgdall[:, :, 0], pgdall[:, :, 1]),
+                icwu=(icwu[:, :, 0], icwu[:, :, 1]),
+                icwd=(icwd[:, :, 0], icwd[:, :, 1]))

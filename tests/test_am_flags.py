@@ -120,3 +120,9 @@ def test_am_flags_all_consumed():
     for f in dataclasses.fields(FVConfig):
         if f.name.startswith(("am_", "high_")):
             assert f.name in src, f"FVConfig.{f.name} is consumed nowhere"
+
+
+def test_filtcw_negative_raises(setup):
+    grid, coord, state, phis = setup
+    with pytest.raises(NotImplementedError):
+        dyn_run(state, grid, coord, phis, FVConfig(filtcw=-1), DT)

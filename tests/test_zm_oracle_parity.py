@@ -269,3 +269,66 @@ class TestParcelDiluteParity:
         np.testing.assert_array_equal(np.asarray(lcl), want["lcl"])
         np.testing.assert_allclose(_np(tl), want["tl"], atol=3e-3, rtol=0)
         np.testing.assert_allclose(_np(pl), want["pl"], atol=0.5, rtol=0)
+
+
+class TestTransportParity:
+    def _fluxes(self, pipe):
+        """mb-scaled plume fluxes from the real pipeline (as zm_conv_intr
+        stores them in the pbuf and hands them to convtran/momtran)."""
+        d, cfg = pipe
+        b, cld = d["b"], d["cld"]
+        fac = d["fac_mb"]
+        mb = 0.003   # representative cloud-base flux (mb/s)
+        return dict(mu=cld.mu * mb, md=cld.md * mb, du=cld.du * fac * mb,
+                    eu=cld.eu * fac * mb, ed=cld.ed * fac * mb,
+                    dp=d["dp"], jt=cld.jt, mx=d["b"].mx)
+
+    def test_convtran(self, pipe):
+        from cam_nor_physics_tpu.models.physics.zm_transport import convtran
+        d, cfg = pipe
+        f = self._fluxes(pipe)
+        ncol, pver = d["t"].shape
+        rng = np.random.default_rng(11)
+        pcnst = 4
+        q = jnp.asarray(np.abs(
+            1e-4 * rng.standard_normal((ncol, pver, pcnst))) + 1e-6)
+        doconv = (False, True, True, True)
+        dry_mask = (False, False, True, False)
+        dpdry = d["dp"] * 0.98
+        fracis = jnp.asarray(
+            np.clip(rng.uniform(0.3, 1.0, (ncol, pver, pcnst)), 0, 1))
+
+        got = convtran(doconv, q, f["mu"], f["md"], f["du"], f["eu"],
+                       f["ed"], f["dp"], f["jt"], f["mx"], 1800.0,
+                       fracis=fracis, dpdry=dpdry, dry_mask=dry_mask)
+        want = orc.convtran_oracle(
+            doconv, _np(q), _np(f["mu"]), _np(f["md"]), _np(f["du"]),
+            _np(f["eu"]), _np(f["ed"]), _np(f["dp"]), _np(d["dsubcld"]),
+            np.asarray(f["jt"]), np.asarray(f["mx"]), _np(fracis),
+            _np(dpdry), dry_mask, 1800.0)
+        np.testing.assert_allclose(_np(got), want, rtol=1e-11, atol=1e-20)
+
+    def test_momtran(self, pipe):
+        from cam_nor_physics_tpu.models.physics.zm_transport import momtran
+        d, cfg = pipe
+        f = self._fluxes(pipe)
+        ncol, pver = d["t"].shape
+        rng = np.random.default_rng(12)
+        u = jnp.asarray(10.0 * rng.standard_normal((ncol, pver)))
+        v = jnp.asarray(8.0 * rng.standard_normal((ncol, pver)))
+
+        got = momtran(u, v, f["mu"], f["md"], f["du"], f["eu"], f["ed"],
+                      f["dp"], f["jt"], f["mx"], 1800.0, cfg.momcu,
+                      cfg.momcd)
+        want = orc.momtran_oracle(
+            _np(u), _np(v), _np(f["mu"]), _np(f["md"]), _np(f["du"]),
+            _np(f["eu"]), _np(f["ed"]), _np(f["dp"]), np.asarray(f["jt"]),
+            np.asarray(f["mx"]), 1800.0, cfg.momcu, cfg.momcd)
+        for key in ("dudt", "dvdt", "seten"):
+            np.testing.assert_allclose(_np(got[key]), want[key], rtol=1e-11,
+                                       atol=1e-16, err_msg=key)
+        for key in ("pguall", "pgdall", "icwu", "icwd"):
+            for c_ in (0, 1):
+                np.testing.assert_allclose(
+                    _np(got[key][c_]), want[key][c_], rtol=1e-11,
+                    atol=1e-16, err_msg=f"{key}[{c_}]")
