@@ -10,6 +10,7 @@ stderr.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -30,18 +31,26 @@ def _fetch(out):
 
 def time_fn(fn, args, iters):
     """Steady-state per-iteration time of the CHAINED loop x(n+1) = f(x(n))
-    — the real driver pattern (same-input repeats let the runtime dedupe).
-    fn must return a tuple matching its positional args."""
-    out = fn(*args)
-    _fetch(out)                          # compile + warm
-    out = fn(*args)
-    _fetch(out)
+    — the real driver pattern. fn must return a tuple matching its
+    positional args. Every call is chained (never the same buffers twice):
+    fn donates its state operands, so x(n) is dead the moment x(n+1)
+    exists and XLA reuses the HBM in place (driver.py::run pattern)."""
+    cur = fn(*args)
+    _fetch(cur)                          # compile + warm
+    cur = fn(*cur)
+    _fetch(cur)
     t0 = time.perf_counter()
-    cur = args
     for _ in range(iters):
         cur = fn(*cur)
     _fetch(cur)
     return (time.perf_counter() - t0) / iters
+
+
+def _host_copy(tree):
+    """Deep host-side snapshot of a pytree (survives later donation)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)) if hasattr(x, "dtype") else x,
+        tree)
 
 
 # v5e per-chip speed-of-light constants (public figures; VPU is an
@@ -156,8 +165,14 @@ def main():
 
     # grid/coord/phis ride as pytree ARGUMENTS: closure-captured arrays
     # become executable constants, which disable the axon runtime's fast
-    # repeat-execution path (tools/find_constants.py)
-    @jax.jit
+    # repeat-execution path (tools/find_constants.py). State buffers are
+    # DONATED where the runtime supports it — the driver's steady-state
+    # pattern (driver.py::run); the axon tunnel rejects donated
+    # executables (utils/runtime.donation_ok).
+    from cam_nor_physics_tpu.utils.runtime import donation_ok
+    don = donation_ok()
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if don else ())
     def dyn_step_g(state, grid, coord, phis):
         state = dyn_run(state, grid, coord, phis, cfg, dt)
         return hs_forcing(state, grid, coord.ptop, dt)
@@ -170,7 +185,11 @@ def main():
     for _ in range(3):
         (state,) = dyn_step(state)
     _fetch(state)
+    aux = (os.environ.get("BENCH_PHASES") == "1"
+           or os.environ.get("BENCH_ROOFLINE") == "1")
+    state_keep = _host_copy(state) if aux else None
     t_dyn = time_fn(dyn_step, (state,), iters)
+    state = state_keep
 
     if os.environ.get("BENCH_PHASES") == "1":
         # per-phase timings mirroring the reference's t_startf regions
@@ -231,7 +250,7 @@ def main():
     tpert = jnp.full((ncol,), 0.3, dtype)
     landfrac = jnp.ones((ncol,), dtype)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if don else ())
     def zm_step_g(s, pb, pblh, tpert, landfrac):
         o = zm_conv_tend(zcfg, reg, s, pb, pblh, tpert, landfrac, dt)
         return o.state1, o.pbuf
@@ -239,7 +258,10 @@ def main():
     def zm_step(s, pb):
         return zm_step_g(s, pb, pblh, tpert, landfrac)
 
+    pstate_keep = _host_copy(pstate) if aux else None
+    pbuf_keep = _host_copy(pbuf) if aux else None
     t_zm = time_fn(zm_step, (pstate, pbuf), iters)
+    pstate, pbuf = pstate_keep, pbuf_keep
 
     if os.environ.get("BENCH_ROOFLINE") == "1":
         _roofline_report(dyn_step_g, (state, grid, coord, phis), t_dyn,

@@ -163,9 +163,12 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     # Steady-state calls donate the state buffers (s(n) is dead once s(n+1)
     # exists — XLA reuses the HBM in place); the first call does NOT donate,
     # so the caller's initial state stays valid (restart tests reuse it).
+    # Donation is skipped on runtimes that reject donated executables
+    # (the axon tunnel — utils/runtime.donation_ok).
+    from .utils.runtime import donation_ok
     step_jit = jax.jit(atm_step, static_argnames=("first_step",))
     step_don = jax.jit(atm_step, static_argnames=("first_step",),
-                       donate_argnums=(1,))
+                       donate_argnums=(1,)) if donation_ok() else step_jit
     step_first = lambda s, ci: step_jit(model, s, ci, first_step=True)
     step_nodon = lambda s, ci: step_jit(model, s, ci)
     step_rest = lambda s, ci: step_don(model, s, ci)
@@ -254,9 +257,10 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
     # model as pytree argument — see run() note; steady-state calls donate
     # state+sst (in-place HBM reuse), i==0 never donates the caller's arrays
+    from .utils.runtime import donation_ok
     _step_jit = jax.jit(_step, static_argnames=("first",))
     _step_don = jax.jit(_step, static_argnames=("first",),
-                        donate_argnums=(1, 2))
+                        donate_argnums=(1, 2)) if donation_ok() else _step_jit
     step_first = lambda s, t: _step_jit(model, s, t, first=True)
     step_nodon = lambda s, t: _step_jit(model, s, t, first=False)
     step_rest = lambda s, t: _step_don(model, s, t, first=False)
