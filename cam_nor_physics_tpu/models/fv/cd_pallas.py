@@ -1,20 +1,30 @@
 """Fused Pallas TPU path for cd_step: 4 kernels per small step.
 
 The XLA lowering of cd_step runs ~95 fusions + 13 custom calls per call
-(measured at 144x96x26); through the axon runtime each kernel carries ~10 us
-of fixed overhead, so the small step is launch-bound, not compute-bound.
-This module fuses every per-level elementwise chain into four per-level
-Pallas programs:
+(measured at 144x96x26); through the axon runtime each kernel carries large
+fixed overhead, so the small step is launch-bound, not compute-bound.
+This module fuses every per-level chain — INCLUDING the k-coupled
+hydrostatic thermodynamics — into four per-level Pallas programs:
 
     K1  c_sw half step: D->A->C winds, C-grid Courants, tp2c/tp2d transport,
-        thickness/pt floors                        -> delp_h, pt_h, uc0, vc0
-    [XLA: pe_h cumsum, pk/pkz, wz_h reverse cumsum — the only k-coupled ops]
-    K2  C-grid PGF kick + polar filter (in-kernel DFT matmul) + D Courants
-                                                   -> uc, crx, cry
-    K3  D-grid tp2c/tp2d transport + floors        -> delp', pt', mfx, mfy
-    [XLA: pe cumsum, pk/pkz/peln, wz reverse cumsum]
-    K4  vector-invariant wind update: vorticity fluxes (ytp/xtp), KE, PGF,
-        div2/del2 damping, polar filter            -> u', v'
+        thickness/pt floors, then the DOWNWARD pressure integration
+        (pe/pk/ln pe carried in VMEM scratch across the sequential TPU
+        grid)                             -> pt_h, uc0, vc0, pkz_h, dgz_h
+    K2  grid REVERSED (k=km-1..0): UPWARD geopotential integration (wz
+        carry, seeded with phis), C-grid PGF kick + polar filter
+        (in-kernel DFT matmul) + D Courants          -> uc, crx, cry
+    K3  D-grid tp2c/tp2d transport + floors + downward pressure pass
+                                  -> delp', pt', mfx, mfy, pkz', dgz'
+    K4  grid REVERSED: upward wz carry -> phi_m in-kernel, vector-invariant
+        wind update: vorticity fluxes (ytp/xtp), KE, PGF, div2/del2
+        damping, polar filter                            -> u', v'
+
+The k-coupled integrations exploit the TPU's SEQUENTIAL grid execution:
+a (rows, im) VMEM scratch persists across grid steps, so the downward
+cumulative pressure and the upward geopotential build level-by-level
+inside the same program that consumes them — no XLA cumsum/pow/log glue
+(which lowered to reduce-window fusions + dozens of extra launches per
+small step) and no (km+1)-slab HBM round trips between kernels.
 
 The polar filter runs inside K2/K4 as a two-sided real-DFT matmul on the MXU
 (HIGHEST precision): filtered = ((A@Fc) * resp) @ Gc + ((A@Fs) * resp) @ Gs,
@@ -23,14 +33,17 @@ roundoff on-chip. The DFT factor matrices ride on FVGrid as pytree leaves so
 the executable stays free of array constants (see grid.py).
 
 Numerics: same formulas as cd_core.cd_step; differences vs the XLA path are
-the DFT-vs-FFT and MXU-vs-VPU roundoff (~1e-6 relative f32). Dispatched by
-cd_step when the fused path supports the requested flags.
+the DFT-vs-FFT, MXU-vs-VPU roundoff, and the carry-vs-cumsum association of
+the pressure sum (sequential carry == cumsum([ptop; delp]) exactly; the XLA
+path's ptop + cumsum(delp) differs by ~1e-6 relative f32 / ~1e-15 f64).
+Dispatched by cd_step when the fused path supports the requested flags.
 
 Reference: cd_core contract at /root/reference/fv/dyn_comp.F90:1926-1941.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -74,17 +87,19 @@ def fused_lowering_ok(state, grid, ptop, phis, dt, iord, jord, div2_coef_nd,
     try:
         sds = lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
 
-        def run(st, gr, pt_, ph, tp_):
-            return cd_step_fused(st, gr, pt_, ph, dt, iord, jord,
+        def run(st, gr, ph, tp_):
+            return cd_step_fused(st, gr, float(ptop), ph, dt, iord, jord,
                                  div2_coef_nd, dyn_filter, ke_method,
                                  del2_velocity, div2_on=div2_on,
                                  div4_coef_nd=div4_coef_nd, div_taper=tp_)
 
-        # grid/state/ptop leaves may be tracers of an enclosing jit —
-        # abstract everything to ShapeDtypeStructs so this nested lower is
-        # standalone (no captured tracers)
+        # grid/state leaves may be tracers of an enclosing jit — abstract
+        # everything to ShapeDtypeStructs so this nested lower is
+        # standalone (no captured tracers). ptop is a static aux scalar
+        # (HybridCoord.ptop) and stays concrete: the in-kernel pressure
+        # carry needs it at trace time.
         jax.jit(run).lower(
-            *jax.tree.map(sds, (state, grid, ptop, phis, div_taper)))
+            *jax.tree.map(sds, (state, grid, phis, div_taper)))
         ok = True
     except Exception as e:  # noqa: BLE001 — any lowering failure => XLA path
         import warnings
@@ -164,9 +179,52 @@ def _tp_pair(va, delp, pt, crx, cry, yfx, cosp, acosp, rcap, iord, jord, jm,
 # K1: c_sw half step
 # ---------------------------------------------------------------------------
 
+def _down_thermo(delp_new, pt_new, pe_s, pk_s, pl_s, ptop):
+    """Downward hydrostatic pressure pass, one level per sequential grid
+    step. Scratch carries (pe, pe^kappa, ln pe) at the layer TOP edge;
+    returns (pkz, dgz) for this layer. Association matches
+    cumsum([ptop; delp]) exactly (see module docstring)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pe_s[...] = jnp.full(pe_s.shape, ptop, pe_s.dtype)
+        pk_s[...] = jnp.full(pk_s.shape, ptop ** c.CAPPA, pk_s.dtype)
+        pl_s[...] = jnp.full(pl_s.shape, math.log(ptop), pl_s.dtype)
+
+    pe_top, pk_top, pl_top = pe_s[...], pk_s[...], pl_s[...]
+    pe_bot = pe_top + delp_new
+    pk_bot = pe_bot ** c.CAPPA
+    pl_bot = jnp.log(pe_bot)
+    pkz = (pk_bot - pk_top) / (c.CAPPA * (pl_bot - pl_top))
+    dgz = c.CPAIR * pt_new * (pk_bot - pk_top)
+    pe_s[...] = pe_bot
+    pk_s[...] = pk_bot
+    pl_s[...] = pl_bot
+    return pkz, dgz
+
+
+def _up_geopotential(dgz, phis, wz_s):
+    """Upward geopotential pass under a REVERSED grid (k=km-1..0): wz
+    carry seeded with the surface geopotential; returns the layer-mean
+    phi_m = 0.5*(wz_top + wz_bot) — identical association to the XLA
+    glue's flip-cumsum."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        wz_s[...] = phis
+
+    wz_bot = wz_s[...]
+    wz_top = wz_bot + dgz
+    wz_s[...] = wz_top
+    return 0.5 * (wz_top + wz_bot)
+
+
 def _k1_kernel(u_ref, v_ref, pt_ref, delp_ref, cosp_ref, acosp_ref, cose_ref,
-               delph_ref, pth_ref, uc0_ref, vc0_ref,
-               *, dt5, dl, dp_, rcap, jm, band=None):
+               pth_ref, uc0_ref, vc0_ref, pkzh_ref, dgzh_ref,
+               pe_s, pk_s, pl_s,
+               *, dt5, dl, dp_, rcap, ptop, jm, band=None):
     u, v = u_ref[0], v_ref[0]
     pt, delp = pt_ref[0], delp_ref[0]
     cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
@@ -191,23 +249,29 @@ def _k1_kernel(u_ref, v_ref, pt_ref, delp_ref, cosp_ref, acosp_ref, cose_ref,
     pt_h = (pt * delp + dpt_c) / delp_h
     pt_h = jnp.maximum(pt_h, 0.1 * pt)
 
-    delph_ref[0] = delp_h
+    pkz_h, dgz_h = _down_thermo(delp_h, pt_h, pe_s, pk_s, pl_s, ptop)
+
     pth_ref[0] = pt_h
     uc0_ref[0] = uc0
     vc0_ref[0] = vc0
+    pkzh_ref[0] = pkz_h
+    dgzh_ref[0] = dgz_h
 
 
 # ---------------------------------------------------------------------------
 # K2: C-grid PGF kick + filter + D Courants
 # ---------------------------------------------------------------------------
 
-def _k2_kernel(enh_ref, pth_ref, pkzh_ref, uc0_ref, vc0_ref,
+def _k2_kernel(pth_ref, pkzh_ref, dgzh_ref, uc0_ref, vc0_ref, phis_ref,
                cosp_ref, f0_ref, fc_ref, cose_ref,
                fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
                uc_ref, crx_ref, cry_ref,
+               wz_s,
                *, dt, dt5, dl, dp_, dyn_filter, jm):
-    en_h, pt_h, pkz_h = enh_ref[0], pth_ref[0], pkzh_ref[0]
+    pt_h, pkz_h = pth_ref[0], pkzh_ref[0]
     uc0, vc0 = uc0_ref[0], vc0_ref[0]
+    phi_h = _up_geopotential(dgzh_ref[0], phis_ref[...], wz_s)
+    en_h = phi_h + c.CPAIR * pt_h * pkz_h
     cosp, f0, fc_e, cose = (cosp_ref[0], f0_ref[0], fc_ref[0], cose_ref[0])
     safe_cosp = jnp.where(cosp > 0, cosp, 1.0)[:, None]
 
@@ -247,8 +311,9 @@ def _k2_kernel(enh_ref, pth_ref, pkzh_ref, uc0_ref, vc0_ref,
 
 def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
                cose_ref,
-               delpn_ref, ptn_ref, mfx_ref, mfy_ref,
-               *, iord, jord, rcap, jm, band=None):
+               delpn_ref, ptn_ref, mfx_ref, mfy_ref, pkz_ref, dgz_ref,
+               pe_s, pk_s, pl_s,
+               *, iord, jord, rcap, ptop, jm, band=None):
     delp, pt = delp_ref[0], pt_ref[0]
     crx, cry = crx_ref[0], cry_ref[0]
     cosp, acosp, cose = cosp_ref[0], acosp_ref[0], cose_ref[0]
@@ -263,24 +328,31 @@ def _k3_kernel(delp_ref, pt_ref, crx_ref, cry_ref, cosp_ref, acosp_ref,
     delp_new = jnp.maximum(delp + ddp, 0.05 * delp)
     pt_new = (pt * delp + dpt) / delp_new
 
+    pkz, dgz = _down_thermo(delp_new, pt_new, pe_s, pk_s, pl_s, ptop)
+
     delpn_ref[0] = delp_new
     ptn_ref[0] = pt_new
     mfx_ref[0] = mfx_k
     mfy_ref[0] = mfy_k
+    pkz_ref[0] = pkz
+    dgz_ref[0] = dgz
 
 
 # ---------------------------------------------------------------------------
 # K4: vector-invariant wind update
 # ---------------------------------------------------------------------------
 
-def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
+def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, dgz_ref, phis_ref, crx_ref,
+               cry_ref,
                uc_ref, cosp_ref, cose_ref, cosen_ref, f0_ref, nu2_ref,
                fc_m_ref, fs_m_ref, gc_m_ref, gs_m_ref, rspc_ref, rspe_ref,
                un_ref, vn_ref,
+               wz_s,
                *, dt, dl, dp_, iord, jord, ke_method, div2_on, nu4,
                del2_velocity, dyn_filter, acap, jm, im, band=None):
     u, v = u_ref[0], v_ref[0]
-    pt_new, pkz, phi_m = ptn_ref[0], pkz_ref[0], phim_ref[0]
+    pt_new, pkz = ptn_ref[0], pkz_ref[0]
+    phi_m = _up_geopotential(dgz_ref[0], phis_ref[...], wz_s)
     crx, cry, uc = crx_ref[0], cry_ref[0], uc_ref[0]
     cosp, cose, f0 = cosp_ref[0], cose_ref[0], f0_ref[0]
     cose_n = cosen_ref[0]
@@ -405,22 +477,26 @@ def _k4_kernel(u_ref, v_ref, ptn_ref, pkz_ref, phim_ref, crx_ref, cry_ref,
 # driver
 # ---------------------------------------------------------------------------
 
-def _specs(km, jm, im, nf, dtype):
+def _specs(km, jm, im, nf, dtype, reverse=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    slab = pl.BlockSpec((1, jm, im), lambda k: (k, 0, 0),
-                        memory_space=pltpu.VMEM)
+    # reverse=True runs the sequential TPU grid bottom-up (k=km-1..0) for
+    # the upward geopotential carry (K2/K4)
+    idx = (lambda k: (km - 1 - k, 0, 0)) if reverse else \
+        (lambda k: (k, 0, 0))
+    slab = pl.BlockSpec((1, jm, im), idx, memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, jm), lambda k: (0, 0), memory_space=pltpu.VMEM)
     # per-level rows ride as (km, 1, jm) so the block's last two dims (1, jm)
     # EQUAL the array dims — a (1, jm) block over (km, jm) violates Mosaic's
     # "divisible by 8 / equal to array dim" rule on the sublane axis (the
     # round-2 BENCH_r02 rc=1 regression)
-    lvec = pl.BlockSpec((1, 1, jm), lambda k: (k, 0, 0),
-                        memory_space=pltpu.VMEM)
+    lvec = pl.BlockSpec((1, 1, jm), idx, memory_space=pltpu.VMEM)
+    # k-constant (jm, im) plane (surface geopotential)
+    plane = pl.BlockSpec((jm, im), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_f = pl.BlockSpec((im, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_g = pl.BlockSpec((nf, im), lambda k: (0, 0), memory_space=pltpu.VMEM)
     m_r = pl.BlockSpec((jm, nf), lambda k: (0, 0), memory_space=pltpu.VMEM)
-    return slab, vec, lvec, m_f, m_g, m_r
+    return slab, vec, lvec, plane, m_f, m_g, m_r
 
 
 def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
@@ -452,26 +528,31 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
 
     plan = band_plan(jm, im)
 
-    def banded(make_kern, ins, kinds, n_out, nb_ffsl=None):
+    def banded(make_kern, ins, kinds, n_out, nb_ffsl=None, reverse=False,
+               n_scratch=0):
         """Run one fused kernel whole-slab or j-banded. `make_kern(jml,
         band)` builds the kernel for a jml-row slab with the per-slab FFSL
         restriction; `kinds` tags each input: 's' (km, jm, im) slab,
         'v' (1, jm) row vector, 'l' (km, 1, jm) per-level row vector,
-        'r' (jm, nf) filter response rows, 'F'/'G' full DFT factor
-        matrices."""
+        'p' (jm, im) k-constant plane, 'r' (jm, nf) filter response rows,
+        'F'/'G' full DFT factor matrices. `reverse` runs the grid
+        bottom-up; `n_scratch` (jml, im) VMEM scratch planes carry the
+        sequential-k thermodynamic integrations."""
+        from jax.experimental.pallas import tpu as pltpu
+
         def one(slo, shi, bnd):
             jml = shi - slo
-            slab_l, vec_l, lvec_l, m_f_l, m_g_l, m_r_l = _specs(
-                km, jml, im, nf, dtype)
-            spec_of = {'s': slab_l, 'v': vec_l, 'l': lvec_l, 'r': m_r_l,
-                       'F': m_f_l, 'G': m_g_l}
+            slab_l, vec_l, lvec_l, plane_l, m_f_l, m_g_l, m_r_l = _specs(
+                km, jml, im, nf, dtype, reverse=reverse)
+            spec_of = {'s': slab_l, 'v': vec_l, 'l': lvec_l, 'p': plane_l,
+                       'r': m_r_l, 'F': m_f_l, 'G': m_g_l}
             sliced = []
             for a, k in zip(ins, kinds):
                 if k in ('s', 'v'):
                     sliced.append(a[:, slo:shi])
                 elif k == 'l':          # (km, 1, jm): j is the LAST axis
                     sliced.append(a[:, :, slo:shi])
-                elif k == 'r':
+                elif k in ('p', 'r'):
                     sliced.append(a[slo:shi])
                 else:
                     sliced.append(a)
@@ -482,6 +563,8 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
                 out_shape=out_sh,
                 in_specs=[spec_of[k] for k in kinds],
                 out_specs=tuple(slab_l for _ in range(n_out)),
+                scratch_shapes=[pltpu.VMEM((jml, im), dtype)
+                                for _ in range(n_scratch)],
                 interpret=interpret,
                 compiler_params=_tpu_params(),
             )(*sliced)
@@ -507,57 +590,35 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
     rspc = jnp.asarray(grid.pft_center, dtype)
     rspe = jnp.asarray(grid.pft_edge, dtype)
 
-    # ---- K1 ----
+    phis_p = jnp.asarray(phis, dtype)
+
+    # ---- K1 (down pass: c_sw half step + pressure integration) ----
     band5 = tp.ffsl_band(jm, dl, dt5)
     band1 = tp.ffsl_band(jm, dl, dt)
-    delp_h, pt_h, uc0, vc0 = banded(
+    pt_h, uc0, vc0, pkz_h, dgz_h = banded(
         lambda jml, bnd: partial(_k1_kernel, dt5=dt5, dl=dl, dp_=dp_,
-                                 rcap=float(grid.rcap), jm=jml, band=bnd),
+                                 rcap=float(grid.rcap), ptop=float(ptop),
+                                 jm=jml, band=bnd),
         (u, v, pt, delp, cosp_r, acosp_r, cose_r),
-        "ssssvvv", 4, nb_ffsl=band5)
+        "ssssvvv", 5, nb_ffsl=band5, n_scratch=3)
 
-    # ---- half-step thermodynamics (k-coupled: cumsum + pow) ----
-    kshape = (1,) + delp.shape[1:]
-    pe_h = jnp.concatenate([jnp.full(kshape, ptop, dtype),
-                            ptop + jnp.cumsum(delp_h, axis=0)], axis=0)
-    peln_h = jnp.log(pe_h)
-    pk_h = pe_h ** c.CAPPA
-    pkz_h = (pk_h[1:] - pk_h[:-1]) / (c.CAPPA * (peln_h[1:] - peln_h[:-1]))
-    dgz_h = c.CPAIR * pt_h * (pk_h[1:] - pk_h[:-1])
-    wz_h_top = phis[None] + jnp.flip(
-        jnp.cumsum(jnp.flip(dgz_h, axis=0), axis=0), axis=0)
-    wz_h = jnp.concatenate([wz_h_top, phis[None]], axis=0)
-    phi_h = 0.5 * (wz_h[1:] + wz_h[:-1])     # same rounding as the XLA path
-    en_h = phi_h + c.CPAIR * pt_h * pkz_h
-
-    # ---- K2 ----
+    # ---- K2 (up pass: geopotential carry + C-grid PGF + D Courants) ----
     uc, crx, cry = banded(
         lambda jml, bnd: partial(_k2_kernel, dt=dt, dt5=dt5, dl=dl, dp_=dp_,
                                  dyn_filter=dyn_filter, jm=jml),
-        (en_h, pt_h, pkz_h, uc0, vc0, cosp_r, f0_r, fc_r, cose_r,
+        (pt_h, pkz_h, dgz_h, uc0, vc0, phis_p, cosp_r, f0_r, fc_r, cose_r,
          fc_m, fs_m, gc_m, gs_m, rspc, rspe),
-        "sssssvvvvFFGGrr", 3)
+        "ssssspvvvvFFGGrr", 3, reverse=True, n_scratch=1)
 
-    # ---- K3 ----
-    delp_new, pt_new, mfx, mfy = banded(
+    # ---- K3 (down pass: D-grid transport + pressure integration) ----
+    delp_new, pt_new, mfx, mfy, pkz, dgz = banded(
         lambda jml, bnd: partial(_k3_kernel, iord=iord, jord=jord,
-                                 rcap=float(grid.rcap), jm=jml, band=bnd),
+                                 rcap=float(grid.rcap), ptop=float(ptop),
+                                 jm=jml, band=bnd),
         (delp, pt, crx, cry, cosp_r, acosp_r, cose_r),
-        "ssssvvv", 4, nb_ffsl=band1)
+        "ssssvvv", 6, nb_ffsl=band1, n_scratch=3)
 
-    # ---- full-step thermodynamics ----
-    pe = jnp.concatenate([jnp.full(kshape, ptop, dtype),
-                          ptop + jnp.cumsum(delp_new, axis=0)], axis=0)
-    peln = jnp.log(pe)
-    pk = pe ** c.CAPPA
-    pkz = (pk[1:] - pk[:-1]) / (c.CAPPA * (peln[1:] - peln[:-1]))
-    dgz = c.CPAIR * pt_new * (pk[1:] - pk[:-1])
-    wz_top = phis[None] + jnp.flip(
-        jnp.cumsum(jnp.flip(dgz, axis=0), axis=0), axis=0)
-    wz = jnp.concatenate([wz_top, phis[None]], axis=0)
-    phi_m = 0.5 * (wz[1:] + wz[:-1])
-
-    # ---- K4 ----
+    # ---- K4 (up pass: phi_m carry + vector-invariant wind update) ----
     u_new, v_new = banded(
         lambda jml, bnd: partial(_k4_kernel, dt=dt, dl=dl, dp_=dp_,
                                  iord=iord, jord=jord, ke_method=ke_method,
@@ -566,11 +627,23 @@ def cd_step_fused(state, grid: FVGrid, ptop: float, phis, dt: float,
                                  dyn_filter=dyn_filter,
                                  acap=float(grid.acap), jm=jml, im=im,
                                  band=bnd),
-        (u, v, pt_new, pkz, phi_m, crx, cry, uc, cosp_r, cose_r, cosen_r,
-         f0_r, nu2_rows, fc_m, fs_m, gc_m, gs_m, rspc, rspe),
-        "ssssssssvvvvlFFGGrr", 2, nb_ffsl=band1)
+        (u, v, pt_new, pkz, dgz, phis_p, crx, cry, uc, cosp_r, cose_r,
+         cosen_r, f0_r, nu2_rows, fc_m, fs_m, gc_m, gs_m, rspc, rspe),
+        "ssssspsssvvvvlFFGGrr", 2, nb_ffsl=band1, reverse=True, n_scratch=1)
 
     new_state = state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new)
+    # edge-pressure diagnostics for parity tests / debug consumers: derived
+    # in XLA from delp_new (identical values to the in-kernel carry to
+    # association roundoff); DCE'd when the caller only uses the fluxes
+    kshape = (1,) + delp.shape[1:]
+    pe = jnp.concatenate([jnp.full(kshape, ptop, dtype),
+                          ptop + jnp.cumsum(delp_new, axis=0)], axis=0)
+    peln = jnp.log(pe)
+    pk = pe ** c.CAPPA
+    dgz_d = c.CPAIR * pt_new * (pk[1:] - pk[:-1])
+    wz = jnp.concatenate([phis[None] + jnp.flip(
+        jnp.cumsum(jnp.flip(dgz_d, axis=0), axis=0), axis=0),
+        phis[None] + jnp.zeros(kshape, dtype)], axis=0)
     diags = dict(cx=crx, cy=cry, mfx=mfx, mfy=mfy, pe=pe, pk=pk, pkz=pkz,
                  peln=peln, wz=wz)
     return new_state, diags

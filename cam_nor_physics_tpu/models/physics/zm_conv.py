@@ -756,11 +756,16 @@ class CldprpOut:
 
 
 def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
-           landfrac, scan_impl=LAX_SCAN) -> CldprpOut:
+           landfrac, scan_impl=LAX_SCAN, eu_only: bool = False) -> CldprpOut:
     """Updraft/downdraft plume properties (cldprp, zm_conv.F90:3024-4026),
     zmconv_microp=off path. All mass fluxes normalized by cloud-base flux;
     eu/du/ed returned in 1/m (converted to 1/mb by the caller, matching
     zm_convr:1252-1262).
+
+    `eu_only=True` returns just the finalized entrainment profile eu —
+    the only first-call output the reference's second_call diagnosis
+    consumes (zm_conv.F90:1046-1078) — skipping the ascent/rain/downdraft
+    sections entirely.
     """
     ncol, pver = _shape_cp(t)
     dtype = t.dtype
@@ -945,6 +950,16 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     hu = jnp.where(above_jt, hmn, hu)
     du = jnp.where(above_jt, 0.0, du)
     du = jnp.where(at_jt, mu_below2 / dz, du)
+
+    if eu_only:
+        # first-call slim path: under second_call, the reference consumes
+        # ONLY eu from the first cldprp (the entrainment-rate diagnosis,
+        # zm_conv.F90:1046-1078; every other first-call output is
+        # overwritten by the post-retrigger second call). eu is final
+        # after the jt zeroing above, so the su/qu ascent, rain
+        # production, and downdraft sections (~60% of the routine) are
+        # skipped. Arithmetic for eu is identical to the full path.
+        return eu
 
     # tu initialisation (zm_conv.F90:3652-3657) with env qu
     qu_init = q
@@ -1423,19 +1438,20 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     shat = _log_mean_interface(s)
     qhat = _log_mean_interface(q)
 
+    # under second_call only eu of this first plume call survives
+    # (zm_conv.F90:1046-1078) — take the slim path that skips the
+    # ascent/rain/downdraft sections
     c1 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b1.mx, b1.lel,
-                landfrac, scan_impl=scan_impl)
+                landfrac, scan_impl=scan_impl, eu_only=cfg.second_call)
 
-    buoy_used = b1
-    cld = c1
     ideep = ideep1
     eurt = jnp.zeros((ncol, pver), dtype)
 
     if cfg.second_call:
         # diagnose entrainment from eu (zm_conv.F90:1046-1078): mean of eu>0
-        has_eu = (c1.eu > 0.0) & _col(ideep1)
+        has_eu = (c1 > 0.0) & _col(ideep1)
         cnt = _lsum(has_eu)
-        dmsm = -_lsum(jnp.where(has_eu, c1.eu, 0.0)) / \
+        dmsm = -_lsum(jnp.where(has_eu, c1, 0.0)) / \
             jnp.where(cnt == 0, 1, cnt)
         dmpdz2_col = jnp.where(ideep1, jnp.where(cnt > 0, dmsm, -1.0),
                                -cfg.tentrm)
@@ -1445,11 +1461,13 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
                            landfrac, dmpdz2, scan_impl=scan_impl)
         if cfg.retrigger:
             ideep = trigger(b2.cape, b2.cin)
-        c2 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b2.mx, b2.lel,
-                    landfrac, scan_impl=scan_impl)
+        cld = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b2.mx, b2.lel,
+                     landfrac, scan_impl=scan_impl)
         buoy_used = b2
-        cld = c2
         eurt = -dmpdz2
+    else:
+        buoy_used = b1
+        cld = c1
 
     mask = ideep
     maskf = _c(mask.astype(dtype))

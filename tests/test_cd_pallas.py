@@ -45,15 +45,21 @@ class TestFusedCdStep:
         new, dnew = cd_step_fused(state, grid, coord.ptop, phis, 450.0,
                                   4, 4, 0.08, dyn_filter, "centered", 6e5,
                                   interpret=jax.default_backend() != "tpu")
+        # tolerance: the fused path integrates pressure/geopotential with a
+        # sequential in-kernel carry (== cumsum([ptop; delp]) association)
+        # while the XLA path computes ptop + cumsum(delp); the ~1e-13 f64
+        # pkz difference amplifies to ~1e-9 through the PGF's neighbor
+        # cancellation in one step (both are valid discretizations; real
+        # kernel bugs show up at >1e-3)
         for n in ("u", "v", "pt", "delp"):
             a = np.asarray(getattr(new, n))
             b = np.asarray(getattr(ref, n))
-            np.testing.assert_allclose(a, b, rtol=1e-11,
-                                       atol=1e-11 * np.abs(b).max())
+            np.testing.assert_allclose(a, b, rtol=1e-7,
+                                       atol=1e-7 * np.abs(b).max())
         for n in ("cx", "cy", "mfx", "mfy", "pe", "pkz", "wz"):
             a, b = np.asarray(dnew[n]), np.asarray(dref[n])
-            np.testing.assert_allclose(a, b, rtol=1e-11,
-                                       atol=1e-11 * max(np.abs(b).max(),
+            np.testing.assert_allclose(a, b, rtol=1e-7,
+                                       atol=1e-7 * max(np.abs(b).max(),
                                                         1e-12))
 
     def test_mass_conserved(self):
@@ -90,14 +96,15 @@ class TestBandedFusedCdStep:
         new, dnew = cd_step_fused(state, grid, coord.ptop, phis, 450.0,
                                   4, 4, 0.08, True, "centered", 6e5,
                                   interpret=jax.default_backend() != "tpu")
+        # carry-vs-cumsum association tolerance — see TestFusedCdStep note
         for n in ("u", "v", "pt", "delp"):
             a = np.asarray(getattr(new, n))
             b = np.asarray(getattr(ref, n))
-            np.testing.assert_allclose(a, b, rtol=1e-11,
-                                       atol=1e-11 * np.abs(b).max(),
+            np.testing.assert_allclose(a, b, rtol=1e-7,
+                                       atol=1e-7 * np.abs(b).max(),
                                        err_msg=n)
         for n in ("cx", "cy", "mfx", "mfy"):
             a, b = np.asarray(dnew[n]), np.asarray(dref[n])
-            np.testing.assert_allclose(a, b, rtol=1e-11,
-                                       atol=1e-11 * max(np.abs(b).max(),
+            np.testing.assert_allclose(a, b, rtol=1e-7,
+                                       atol=1e-7 * max(np.abs(b).max(),
                                                         1e-12), err_msg=n)

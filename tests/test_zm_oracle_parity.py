@@ -332,3 +332,19 @@ class TestTransportParity:
                 np.testing.assert_allclose(
                     _np(got[key][c_]), want[key][c_], rtol=1e-11,
                     atol=1e-16, err_msg=f"{key}[{c_}]")
+
+
+class TestEuOnlySlimPath:
+    @pytest.mark.parametrize("lf", [0.0, 0.4, 1.0])
+    def test_eu_only_matches_full(self, pipe, lf):
+        """cldprp(eu_only=True) — the slim first call under second_call —
+        must be BITWISE the full call's eu (the only first-call output the
+        reference's entrainment diagnosis consumes, zm_conv.F90:1046-1078)."""
+        d, cfg = pipe
+        landfrac = jnp.full((d["t"].shape[0],), lf, d["t"].dtype)
+        args = (cfg, MSG, d["q"], d["t"], d["p"], d["z"], d["s"], d["zf"],
+                d["shat"], d["qhat"], d["b"].mx, d["b"].lel, landfrac)
+        eu_slim = zm.cldprp(*args, eu_only=True)
+        eu_full = zm.cldprp(*args).eu
+        np.testing.assert_array_equal(np.asarray(eu_slim),
+                                      np.asarray(eu_full))
