@@ -33,6 +33,10 @@ from .cd_core import DynState, cd_step, pressure_vars
 from .grid import FVGrid
 from .vertical import HybridCoord
 
+# trace-time scan-unroll toggles (perf experiments; tools/prof_unroll_ab.py
+# interleaves compiled variants on-chip to beat tunnel throughput drift)
+_UNROLL = {"small": False, "cycles": True, "recover": True}
+
 
 def trac2d(q, dp0, cx, cy, mfx, mfy, grid: FVGrid, iord: int, jord: int,
            fill: bool = True, use_pallas: bool = True, mesh=None):
@@ -201,7 +205,8 @@ def te_map(state: DynState, coord: HybridCoord, grid: FVGrid, ptop: float,
 
         _, pt_rev = jax.lax.scan(
             recover, jnp.zeros((jm, im), state.pt.dtype),
-            (te_new[::-1], ke_new[::-1], pk_t[1:][::-1], pk_t[:-1][::-1]))
+            (te_new[::-1], ke_new[::-1], pk_t[1:][::-1], pk_t[:-1][::-1]),
+            unroll=_UNROLL["recover"])
         pt_new = pt_rev[::-1]
 
     return state.replace(u=u_new, v=v_new, pt=pt_new, delp=delp_new, q=q_new)
@@ -476,7 +481,8 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             return (st_i, acc, duf, nfl), None
 
         (st, acc, duf, nfl), _ = jax.lax.scan(
-            small_step, (st, acc0, duf0, nfl0), None, length=nsplit)
+            small_step, (st, acc0, duf0, nfl0), None, length=nsplit,
+            unroll=_UNROLL["small"])
         q_new, dp_tr = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
                               acc["mfy"], grid, cfg.iord, cfg.jord,
                               use_pallas=use_pallas, mesh=mesh)
@@ -492,7 +498,8 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         pe0 = pressure_vars(st.delp, ptop)[0]
         pmid0 = 0.5 * (pe0[1:] + pe0[:-1])
         (st, duf, nfl), _ = jax.lax.scan(tracer_cycle, (st, duf0, nfl0),
-                                         None, length=n2)
+                                         None, length=n2,
+                                         unroll=_UNROLL["cycles"])
         pe1 = pressure_vars(st.delp, ptop)[0]
         pmid1 = 0.5 * (pe1[1:] + pe1[:-1])
         # ω = ∂p/∂t (material-layer midpoint change at fixed grid point)
@@ -505,7 +512,7 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
 
     (state, duf_s, n_floor), omegas = jax.lax.scan(
         remap_cycle, (state, duf_init, jnp.zeros((), jnp.int32)), None,
-        length=nv)
+        length=nv, unroll=_UNROLL["cycles"])
     if return_diags:
         diags = {"omega": omegas[-1], "floor_activations": n_floor}
         if cfg.am_diag:

@@ -237,8 +237,12 @@ class _XlaScan:
         ks = jnp.arange(nk)
         # scan consumes (nk, ncol) rows: already level-major under _lm()
         xs_T = xs if _lm() else {k: v.T for k, v in xs.items()}
+        # unroll: pver is 26-32 and each step is a short elementwise
+        # chain on (ncol,) rows — unrolling collapses ~pver while-loop
+        # trips into a handful of fused kernels (launch-bound runtime)
         carry, ys = jax.lax.scan(lambda cy, xk: step(cy, xk[0], xk[1]),
-                                 carry, (xs_T, ks), reverse=reverse)
+                                 carry, (xs_T, ks), reverse=reverse,
+                                 unroll=True)
         return carry, tuple(y if _lm() else y.T for y in ys)
 
 

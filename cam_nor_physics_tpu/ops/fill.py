@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+_UNROLL = True   # trace-time toggle (see dyn_comp._UNROLL note)
+
 
 def qneg3(q, qmin=0.0):
     """Clamp below-minimum mixing ratios to qmin (qneg3 semantics).
@@ -56,5 +58,5 @@ def fillz(q, dp):
 
     xs = (jnp.moveaxis(q, -1, 0), jnp.moveaxis(dp, -1, 0))
     debt0 = jnp.zeros(q.shape[:-1], q.dtype)
-    residual, q_new = jax.lax.scan(step, debt0, xs)
+    residual, q_new = jax.lax.scan(step, debt0, xs, unroll=_UNROLL)
     return jnp.moveaxis(q_new, 0, -1), residual

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--km", type=int, default=26)
     ap.add_argument("--dt", type=float, default=1800.0)
     ap.add_argument("--sample-every", type=int, default=4)
+    ap.add_argument("--flag", type=int, default=None,
+                    help="div24del2flag override (2/4/22/24/42) for the "
+                         "stability-ladder runs")
+    ap.add_argument("--del2coef", type=float, default=None)
     args = ap.parse_args()
 
     from cam_nor_physics_tpu.models.fv.cd_core import d2a_winds, pressure_vars
@@ -54,7 +58,12 @@ def main():
     grid = make_grid(args.im, args.jm, args.km)
     coord = hybrid_coefficients(args.km)
     phis = jnp.zeros((args.jm, args.im), dtype)
-    cfg = FVConfig()
+    over = {}
+    if args.flag is not None:
+        over["div24del2flag"] = args.flag
+    if args.del2coef is not None:
+        over["del2coef"] = args.del2coef
+    cfg = FVConfig(**over)
     plev = default_ctem_levels(args.km)
 
     @jax.jit
