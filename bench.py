@@ -61,6 +61,34 @@ def _host_copy(tree):
         tree)
 
 
+def time_fn_chunked(body, carry, const, chunk, iters, donate=False,
+                    passes=3):
+    """Steady-state per-step time of the CHUNKED driver loop: one jitted
+    `lax.fori_loop(chunk, step)` per dispatch — the driver.run(...,
+    chunk=K) production pattern (history accumulation rides inside the
+    scan there; the prognostic chain is what is timed here). `body(carry,
+    *const) -> carry`; `const` operands ride as arguments so the
+    executable stays constant-free (axon fast path). Per-step time =
+    best-of-`passes` chained chunk time / chunk."""
+    def chunk_fn(carry, *const):
+        return jax.lax.fori_loop(0, chunk,
+                                 lambda i, c: body(c, *const), carry)
+
+    jfn = jax.jit(chunk_fn, donate_argnums=(0,) if donate else ())
+    cur = jfn(carry, *const)
+    _fetch(cur)
+    cur = jfn(cur, *const)
+    _fetch(cur)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cur = jfn(cur, *const)
+        _fetch(cur)
+        best = min(best, (time.perf_counter() - t0) / (iters * chunk))
+    return best
+
+
 # v5e per-chip speed-of-light constants (public figures; VPU is an
 # estimate): the transport/physics kernels are elementwise-dominated, so
 # the binding roofline is min(HBM-bandwidth time, VPU-f32 time).
@@ -196,6 +224,18 @@ def main():
     aux = (os.environ.get("BENCH_PHASES") == "1"
            or os.environ.get("BENCH_ROOFLINE") == "1")
     state_keep = _host_copy(state) if aux else None
+    # chunked-driver timing (driver.run(..., chunk=K) production pattern:
+    # one dispatch per K steps). BENCH_CHUNK=1 disables.
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    t_dyn_c = None
+    if chunk > 1:
+        state_c = _host_copy(state)
+        t_dyn_c = time_fn_chunked(
+            lambda s, grid, coord, phis: hs_forcing(
+                dyn_run(s, grid, coord, phis, cfg, dt),
+                grid, coord.ptop, dt),
+            state_c, (grid, coord, phis), chunk,
+            max(1, iters // chunk), donate=don)
     t_dyn = time_fn(dyn_step, (state,), iters)
     state = state_keep
 
@@ -268,6 +308,15 @@ def main():
 
     pstate_keep = _host_copy(pstate) if aux else None
     pbuf_keep = _host_copy(pbuf) if aux else None
+    t_zm_c = None
+    if chunk > 1:
+        ps_c, pb_c = _host_copy(pstate), _host_copy(pbuf)
+        t_zm_c = time_fn_chunked(
+            lambda c, pblh, tpert, landfrac: (lambda o: (o.state1, o.pbuf))(
+                zm_conv_tend(zcfg, reg, c[0], c[1], pblh, tpert,
+                             landfrac, dt)),
+            (ps_c, pb_c), (pblh, tpert, landfrac), chunk,
+            max(1, iters // chunk), donate=don)
     t_zm = time_fn(zm_step, (pstate, pbuf), iters)
     pstate, pbuf = pstate_keep, pbuf_keep
 
@@ -278,11 +327,20 @@ def main():
                          t_zm, "zm_tend", dtype)
 
     npts = im * jm * km
-    total = t_dyn + t_zm
-    value = npts / total
     print(f"phase timings: dyn_step={t_dyn*1e3:.1f}ms zm_tend={t_zm*1e3:.1f}ms "
           f"grid={im}x{jm}x{km} device={jax.devices()[0].platform}",
           file=sys.stderr)
+    if t_dyn_c is not None and t_zm_c is not None:
+        # headline = the chunked driver loop (one dispatch per `chunk`
+        # steps — driver.run(..., chunk=K), tests/test_driver_chunked.py);
+        # the per-dispatch line above is the chunk=1 shape for comparison
+        total = t_dyn_c + t_zm_c
+        print(f"chunked (K={chunk}): dyn_step={t_dyn_c*1e3:.1f}ms "
+              f"zm_tend={t_zm_c*1e3:.1f}ms -> {npts / total / 1e6:.1f}M gp/s",
+              file=sys.stderr)
+    else:
+        total = t_dyn + t_zm
+    value = npts / total
     print(json.dumps({
         "metric": "grid-points/s per chip (FV dyn step + ZM physics step)",
         "value": value,

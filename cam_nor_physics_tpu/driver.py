@@ -97,6 +97,21 @@ def _dyn_payload(state: AtmState) -> dict:
     return {"US": state.dyn.u[:, 1:, :], "VS": state.dyn.v}
 
 
+def _step_payload(state: AtmState, cam_in: CamIn, cam_out, diags: dict,
+                  area) -> dict:
+    """The per-step outfld batch (pure jnp — safe inside jit/scan)."""
+    payload = dict(diags)
+    payload.update(diag_phys_writeout(state.phys, nstep=state.nstep,
+                                      area=area))
+    payload.update(diag_surf(cam_in, cam_out))
+    payload.update(diag_export(cam_out))
+    payload.update(_dyn_payload(state))
+    payload.update(diag_cloud(state.pbuf.get("CLD"), state.phys.pmid))
+    if "PRECC" in payload:
+        payload["PRECCMX"] = payload["PRECC"]
+    return payload
+
+
 def _check_state(state: AtmState, nstep: int) -> None:
     u = state.dyn.u
     if not bool(jnp.isfinite(u).all() & jnp.isfinite(state.dyn.pt).all()):
@@ -134,14 +149,26 @@ def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
 
 def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
         out_dir: str = "output", hist_every: int = 0, ckpt_every: int = 0,
-        check_every: int = 10, resume_from: str | None = None):
+        check_every: int = 10, resume_from: str | None = None,
+        chunk: int = 1):
     """Integrate nsteps; returns (state, timer).
 
     `resume_from`: a checkpoint directory written by a previous run(); the
     passed `state` serves as the shape/dtype template (the reference's
     restart-compatibility contract: same grid, same constituent set) and the
     run continues from the stored step counter — bitwise identically to the
-    uninterrupted run (tests/test_restart.py)."""
+    uninterrupted run (tests/test_restart.py).
+
+    `chunk`: steps per device dispatch. chunk=1 is the host-loop shape
+    (one jitted step per dispatch, IO/sentinels between steps); chunk>1
+    runs `lax.scan` over `chunk` coupled steps per dispatch with history
+    accumulation INSIDE the scan (the outfld sums are jit-safe pytrees),
+    so the host round-trip cost is paid once per chunk instead of once
+    per step. The scan body is the same traced atm_step; XLA's fusion
+    across the scan differs from the standalone step by ~1 ulp
+    (equality to f64 roundoff, tests/test_driver_chunked.py).
+    History/checkpoint cadences must be multiples of chunk; sentinel
+    checks run at chunk boundaries."""
     os.makedirs(out_dir, exist_ok=True)
     timer = PhaseTimer()
     if resume_from is not None:
@@ -157,6 +184,11 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     hist = _HistoryTapes(reg, model, state.phys.t.dtype, hist_every,
                          out_dir) if hist_every else None
     ckpt_writer = AsyncCheckpointWriter() if ckpt_every else None
+
+    if chunk > 1:
+        return _run_chunked(model, state, cam_in, nsteps, chunk, hist,
+                            ckpt_writer, out_dir, ckpt_every, check_every,
+                            timer)
 
     # model rides as a pytree ARGUMENT (closure grid tables would embed as
     # executable constants and disable the axon fast execution path).
@@ -181,17 +213,9 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
         state, cam_out, diags = timer.timed("atm_step", fn, state, cam_in)
 
         if hist:
-            payload = dict(diags)
-            payload.update(diag_phys_writeout(
-                state.phys, nstep=state.nstep,
-                area=_grid_area(model.grid, state.phys.t.dtype)))
-            payload.update(diag_surf(cam_in, cam_out))
-            payload.update(diag_export(cam_out))
-            payload.update(_dyn_payload(state))
-            payload.update(diag_cloud(state.pbuf.get("CLD"),
-                                      state.phys.pmid))
-            if "PRECC" in payload:
-                payload["PRECCMX"] = payload["PRECC"]
+            payload = _step_payload(state, cam_in, cam_out, diags,
+                                    _grid_area(model.grid,
+                                               state.phys.t.dtype))
             timer.timed("outfld", hist.accumulate, payload)
             with timer.region("history_write"):
                 hist.maybe_write(i + 1,
@@ -212,6 +236,108 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
                     raise
 
     if hist:
+        hist.close()
+    if ckpt_writer:
+        ckpt_writer.flush()
+        ckpt_writer.close()
+    return state, timer
+
+
+def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
+                 nsteps: int, chunk: int, hist, ckpt_writer, out_dir: str,
+                 ckpt_every: int, check_every: int, timer: PhaseTimer):
+    """run() body for chunk>1: lax.scan over `chunk` coupled steps per
+    dispatch, history accumulated on-device inside the scan.
+
+    One dispatch integrates a whole chunk, so the tunnel/host round-trip
+    cost (measured ~40% of the per-step wall time at 1.9° on the axon
+    tunnel) is amortized 1/chunk. The scan body is the SAME traced
+    atm_step as the chunk=1 loop; trajectories agree to f64 roundoff
+    (XLA fuses the scan body marginally differently — ~1 ulp,
+    tests/test_driver_chunked.py). The reference's analogue is its
+    nsplit-deep sub-cycling inside one dyn_run call without returning to
+    the coupler (dyn_comp.F90:1497-1524)."""
+    from .utils.runtime import donation_ok
+
+    if hist:
+        for t, every in hist.every.items():
+            if every % chunk:
+                raise ValueError(
+                    f"hist_every[{t}]={every} must be a multiple of "
+                    f"chunk={chunk}")
+    if ckpt_every and ckpt_every % chunk:
+        raise ValueError(f"ckpt_every={ckpt_every} must be a multiple of "
+                         f"chunk={chunk}")
+
+    area = _grid_area(model.grid, state.phys.t.dtype)
+    accumulate = hist is not None
+    reg = hist.reg if hist else None
+
+    def chunk_fn(model, st, bufs, cam_in, n):
+        def body(carry, _):
+            st, bufs = carry
+            st2, cam_out, diags = atm_step(model, st, cam_in)
+            if accumulate:
+                payload = _step_payload(st2, cam_in, cam_out, diags, area)
+                bufs = {t: outfld_many(b, payload, reg)
+                        for t, b in bufs.items()}
+            return (st2, bufs), None
+
+        (st, bufs), _ = jax.lax.scan(body, (st, bufs), None, length=n)
+        return st, bufs
+
+    jfn = jax.jit(chunk_fn, static_argnames=("n",))
+    jdon = (jax.jit(chunk_fn, static_argnames=("n",), donate_argnums=(1, 2))
+            if donation_ok() else jfn)
+    step_jit = jax.jit(atm_step, static_argnames=("first_step",))
+
+    bufs = {t: b for t, b in hist.bufs.items()} if hist else {}
+    i = 0
+    check_eff = (-(-check_every // chunk) * chunk) if check_every else 0
+
+    def boundary(i):
+        nonlocal bufs
+        if hist:
+            hist.bufs = bufs
+            with timer.region("history_write"):
+                hist.maybe_write(i, float(state.nstep) * model.dt / 86400.0)
+            bufs = hist.bufs
+        if ckpt_every and i % ckpt_every == 0:
+            with timer.region("checkpoint"):
+                ckpt_writer.write(os.path.join(out_dir, f"ckpt_{i:06d}"),
+                                  state, {"nstep": int(state.nstep)})
+        if check_eff and i % check_eff == 0:
+            with timer.region("sentinels"):
+                try:
+                    _check_state(state, i)
+                except BlowupError as err:
+                    _structured_abort(out_dir, err, i, hist, ckpt_writer)
+                    raise
+
+    if int(state.nstep) == 0 and nsteps > 0:
+        # nstep==0 disables the energy fixer (physpkg.F90:2899) — a
+        # different trace, so the first step runs solo outside the scan
+        state, cam_out, diags = timer.timed(
+            "atm_step", step_jit, model, state, cam_in, first_step=True)
+        if hist:
+            payload = _step_payload(state, cam_in, cam_out, diags, area)
+            bufs = {t: outfld_many(b, payload, reg)
+                    for t, b in bufs.items()}
+        i = 1
+        boundary(i)
+
+    donate = False     # never donate the caller's (or restored) buffers
+    while i < nsteps:
+        n = min(chunk - (i % chunk), nsteps - i)
+        fn = jdon if donate else jfn
+        state, bufs = timer.timed("atm_step", fn, model, state, bufs,
+                                  cam_in, n=n)
+        donate = True
+        i += n
+        boundary(i)
+
+    if hist:
+        hist.bufs = bufs
         hist.close()
     if ckpt_writer:
         ckpt_writer.flush()

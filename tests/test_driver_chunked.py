@@ -1,0 +1,107 @@
+"""Chunked driver loop (run(..., chunk=K)): lax.scan over K coupled steps
+per dispatch must reproduce the step-by-step loop — state AND history
+tapes. The scan body is the same traced atm_step, but XLA fuses the scan
+body slightly differently than the standalone step, so equality is to
+f64 roundoff (~1 ulp on <1% of elements per few steps), not bitwise."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cam_nor_physics_tpu.driver import run
+from cam_nor_physics_tpu.models.atm_comp import AtmModel, atm_init
+from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+from cam_nor_physics_tpu.models.fv.held_suarez import hs_initial_state
+from cam_nor_physics_tpu.utils.config import FVConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = AtmModel.create(32, 16, 6, dt=1800.0,
+                            fv_cfg=FVConfig(nsplit=2, nspltrac=1))
+    dyn0 = hs_initial_state(model.grid, model.coord, pert=1.0,
+                            nq=model.registry.pcnst)
+    dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-4))
+    state0 = atm_init(model, dyn0, jnp.zeros((16, 32)))
+    ncol = 16 * 32
+    cam_in = CamIn.zeros(ncol, model.registry.pcnst)
+    cam_in = cam_in.replace(shf=jnp.full((ncol,), 5.0))
+    return model, state0, cam_in
+
+
+def _assert_tree_equal(a, b, rtol=1e-12, atol=1e-15):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_chunked_state_matches(setup, tmp_path):
+    model, state0, cam_in = setup
+    ref, _ = run(model, state0, cam_in, 6, out_dir=str(tmp_path / "a"),
+                 check_every=0)
+    chk, _ = run(model, state0, cam_in, 6, out_dir=str(tmp_path / "b"),
+                 check_every=0, chunk=3)
+    assert int(chk.nstep) == int(ref.nstep) == 6
+    _assert_tree_equal(ref, chk)
+
+
+def test_chunked_partial_tail(setup, tmp_path):
+    """nsteps not a multiple of chunk: the tail chunk is shorter."""
+    model, state0, cam_in = setup
+    ref, _ = run(model, state0, cam_in, 5, out_dir=str(tmp_path / "a"),
+                 check_every=0)
+    chk, _ = run(model, state0, cam_in, 5, out_dir=str(tmp_path / "b"),
+                 check_every=0, chunk=4)
+    _assert_tree_equal(ref, chk)
+
+
+def test_chunked_history_tapes_match(setup, tmp_path):
+    """History written at a chunk-aligned cadence matches the per-step
+    loop's tape bitwise (accumulation inside the scan)."""
+    nc = pytest.importorskip("netCDF4")
+    model, state0, cam_in = setup
+    run(model, state0, cam_in, 4, out_dir=str(tmp_path / "a"),
+        hist_every=4, check_every=0)
+    run(model, state0, cam_in, 4, out_dir=str(tmp_path / "b"),
+        hist_every=4, check_every=0, chunk=2)
+    fa = sorted(glob.glob(str(tmp_path / "a" / "h0.*.nc")))
+    fb = sorted(glob.glob(str(tmp_path / "b" / "h0.*.nc")))
+    assert len(fa) == len(fb) == 1
+    with nc.Dataset(fa[0]) as da, nc.Dataset(fb[0]) as db:
+        assert set(da.variables) == set(db.variables)
+        checked = 0
+        for name in da.variables:
+            va = np.asarray(da[name][...], dtype=np.float64)
+            vb = np.asarray(db[name][...], dtype=np.float64)
+            np.testing.assert_allclose(va, vb, rtol=1e-12, atol=1e-15,
+                                       err_msg=name)
+            checked += 1
+        assert checked > 10
+
+
+def test_chunked_cadence_validation(setup, tmp_path):
+    model, state0, cam_in = setup
+    with pytest.raises(ValueError, match="multiple of chunk"):
+        run(model, state0, cam_in, 4, out_dir=str(tmp_path / "x"),
+            hist_every=3, check_every=0, chunk=2)
+    with pytest.raises(ValueError, match="multiple of chunk"):
+        run(model, state0, cam_in, 4, out_dir=str(tmp_path / "y"),
+            ckpt_every=3, check_every=0, chunk=2)
+
+
+def test_chunked_sentinel_abort(setup, tmp_path):
+    """Blow-up inside a chunk still produces the structured abort record
+    at the chunk boundary."""
+    from cam_nor_physics_tpu.driver import BlowupError
+
+    model, state0, cam_in = setup
+    bad = state0.replace(dyn=state0.dyn.replace(
+        u=state0.dyn.u.at[0, 4, 4].set(jnp.nan)))
+    with pytest.raises(BlowupError):
+        run(model, bad, cam_in, 4, out_dir=str(tmp_path / "z"),
+            check_every=2, chunk=2)
+    assert os.path.exists(str(tmp_path / "z" / "ABORT.json"))
