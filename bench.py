@@ -139,6 +139,43 @@ print("PALLAS_EXEC_OK")
 """
 
 
+_XLA_PROBE = """
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256, 256), jnp.float32)
+np.asarray(jax.jit(lambda a: (a @ a).sum())(x))
+print("XLA_EXEC_OK")
+"""
+
+
+def device_exec_ok(timeout: float = 180.0) -> bool:
+    """Probe that the device executes ANY program (subprocess + timeout).
+
+    Round-4 incident: the axon tunnel entered a state where even a plain
+    XLA matmul hangs forever on execution (round 3 saw the Mosaic-only
+    variant). A wedged tunnel would otherwise hang the round's one bench
+    invocation with no recorded number at all."""
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", _XLA_PROBE],
+                           timeout=timeout, capture_output=True, text=True)
+        return "XLA_EXEC_OK" in r.stdout
+    except Exception:
+        return False
+
+
+def wait_for_tunnel(retries: int, wait_s: float = 60.0) -> bool:
+    """Wait for the tunnel to execute programs again, probing every
+    `wait_s`. Returns True when healthy; False after `retries` failures."""
+    for i in range(max(1, retries)):
+        if device_exec_ok():
+            return True
+        print(f"WARNING: device execution probe hung "
+              f"({i + 1}/{retries}) — tunnel wedged; retrying in "
+              f"{wait_s:.0f}s", file=sys.stderr)
+        time.sleep(wait_s)
+    return False
+
+
 def pallas_exec_ok(timeout: float = 120.0) -> bool:
     """Probe Mosaic custom-call EXECUTION in a subprocess.
 
@@ -159,6 +196,12 @@ def pallas_exec_ok(timeout: float = 120.0) -> bool:
 
 
 def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        # hard CPU pin for smoke runs: the axon sitecustomize registers the
+        # TPU plugin in every interpreter, and a smoke run must never
+        # touch (or wedge on) the tunnel. config.update works before
+        # backend init even when JAX_PLATFORMS is pinned in the env.
+        jax.config.update("jax_platforms", "cpu")
     small = os.environ.get("BENCH_SMALL") == "1"
     dtype = jnp.float32
     if small:
@@ -175,6 +218,17 @@ def main():
     else:
         # enough chained iterations to amortize async-pipeline ramp-up
         im, jm, km, iters = 144, 96, 26, 40
+
+    if jax.default_backend() == "tpu":
+        # a fully wedged tunnel (even plain XLA hangs) gets a bounded
+        # wait-and-retry instead of hanging the round's only recording;
+        # if it never recovers there is no honest number to print.
+        if not wait_for_tunnel(int(os.environ.get("BENCH_TUNNEL_RETRIES",
+                                                  "10"))):
+            print("ERROR: TPU tunnel does not execute ANY program "
+                  "(plain-XLA probe hung every retry) — no measurement "
+                  "possible", file=sys.stderr)
+            sys.exit(3)
 
     if jax.default_backend() == "tpu" and \
             os.environ.get("CAM_FORCE_XLA") != "1":
@@ -341,12 +395,26 @@ def main():
     else:
         total = t_dyn + t_zm
     value = npts / total
-    print(json.dumps({
+    # Provenance rides in the JSON so recorded numbers are self-describing:
+    # which loop shape (chunk) produced the headline, plus both shapes'
+    # per-step phase timings (ms). chunk>1 headlines are the chunked driver
+    # loop; chunk=1 (or a runtime without the chunked path) is per-dispatch
+    # — the two are NOT comparable without this field.
+    record = {
         "metric": "grid-points/s per chip (FV dyn step + ZM physics step)",
         "value": value,
         "unit": "gridpoints/s",
         "vs_baseline": 1.0,   # reference publishes no numbers (BASELINE.md)
-    }))
+        "chunk": chunk if (t_dyn_c is not None and t_zm_c is not None) else 1,
+        "grid": f"{im}x{jm}x{km}",
+        "device": jax.devices()[0].platform,
+        "t_ms": {"dyn_step": t_dyn * 1e3, "zm_tend": t_zm * 1e3},
+    }
+    if t_dyn_c is not None and t_zm_c is not None:
+        record["t_ms_chunked"] = {"dyn_step": t_dyn_c * 1e3,
+                                  "zm_tend": t_zm_c * 1e3}
+        record["per_dispatch_gps"] = npts / (t_dyn + t_zm)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -130,11 +130,20 @@ def latest_checkpoint(out_dir: str) -> str | None:
 
 
 def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
-                      hist, ckpt_writer) -> None:
+                      hist, ckpt_writer, last_ok: int = 0) -> None:
     """Structured abort record (the endrun replacement, SURVEY §5.3): flush
     IO workers so no tape/checkpoint is truncated, then write ABORT.json
     with the failure reason and a pointer to the last good checkpoint —
-    the recovery contract is restart-from-checkpoint (SURVEY §5.4)."""
+    the recovery contract is restart-from-checkpoint (SURVEY §5.4).
+
+    `failed_step` is the step at which the sentinels DETECTED the failure —
+    a check boundary, not necessarily the step that diverged: sentinels run
+    every `check_every` steps (and, in the chunked loop, only at chunk
+    boundaries, so detection can slip to ceil(check_every/chunk)*chunk).
+    `failed_within` bounds the actual divergence: (last step that passed
+    the sentinels, detection step]. Restart tooling should resume from
+    `last_good_checkpoint` and treat every step after `failed_within[0]`
+    as suspect."""
     import json
     if hist:
         hist.close()
@@ -142,6 +151,7 @@ def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
         ckpt_writer.flush()
         ckpt_writer.close()
     record = {"reason": str(err), "failed_step": nstep,
+              "failed_within": [last_ok, nstep],
               "last_good_checkpoint": latest_checkpoint(out_dir)}
     with open(os.path.join(out_dir, "ABORT.json"), "w") as f:
         json.dump(record, f, indent=1)
@@ -165,10 +175,14 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     accumulation INSIDE the scan (the outfld sums are jit-safe pytrees),
     so the host round-trip cost is paid once per chunk instead of once
     per step. The scan body is the same traced atm_step; XLA's fusion
-    across the scan differs from the standalone step by ~1 ulp
-    (equality to f64 roundoff, tests/test_driver_chunked.py).
+    across the scan differs from the standalone step by ~1 ulp on the
+    STATE. Derived history diagnostics can differ by more in f32 (the
+    p-level slice index selection flips on 1-ulp pmid differences);
+    tests/test_driver_chunked.py pins the f32 re-fusion envelope.
     History/checkpoint cadences must be multiples of chunk; sentinel
-    checks run at chunk boundaries."""
+    checks run at chunk boundaries (detection can therefore lag the
+    diverging step — ABORT.json records the bounding failed_within
+    interval)."""
     os.makedirs(out_dir, exist_ok=True)
     timer = PhaseTimer()
     if resume_from is not None:
@@ -205,6 +219,7 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
     step_nodon = lambda s, ci: step_jit(model, s, ci)
     step_rest = lambda s, ci: step_don(model, s, ci)
 
+    last_ok = 0
     for i in range(nsteps):
         if i == 0:      # never donate the caller's (or freshly restored) state
             fn = step_first if int(state.nstep) == 0 else step_nodon
@@ -231,8 +246,10 @@ def run(model: AtmModel, state: AtmState, cam_in: CamIn, nsteps: int,
             with timer.region("sentinels"):
                 try:
                     _check_state(state, i + 1)
+                    last_ok = i + 1
                 except BlowupError as err:
-                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer)
+                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer,
+                                      last_ok=last_ok)
                     raise
 
     if hist:
@@ -252,8 +269,9 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
     One dispatch integrates a whole chunk, so the tunnel/host round-trip
     cost (measured ~40% of the per-step wall time at 1.9° on the axon
     tunnel) is amortized 1/chunk. The scan body is the SAME traced
-    atm_step as the chunk=1 loop; trajectories agree to f64 roundoff
-    (XLA fuses the scan body marginally differently — ~1 ulp,
+    atm_step as the chunk=1 loop; state trajectories agree to roundoff
+    (XLA fuses the scan body marginally differently — ~1 ulp; derived
+    f32 history diagnostics can differ more,
     tests/test_driver_chunked.py). The reference's analogue is its
     nsplit-deep sub-cycling inside one dyn_run call without returning to
     the coupler (dyn_comp.F90:1497-1524)."""
@@ -294,9 +312,10 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
     bufs = {t: b for t, b in hist.bufs.items()} if hist else {}
     i = 0
     check_eff = (-(-check_every // chunk) * chunk) if check_every else 0
+    last_ok = 0
 
     def boundary(i):
-        nonlocal bufs
+        nonlocal bufs, last_ok
         if hist:
             hist.bufs = bufs
             with timer.region("history_write"):
@@ -310,8 +329,12 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
             with timer.region("sentinels"):
                 try:
                     _check_state(state, i)
+                    last_ok = i
                 except BlowupError as err:
-                    _structured_abort(out_dir, err, i, hist, ckpt_writer)
+                    # detection is at the chunk boundary; the divergence lies
+                    # in (last_ok, i] — recorded as failed_within
+                    _structured_abort(out_dir, err, i, hist, ckpt_writer,
+                                      last_ok=last_ok)
                     raise
 
     if int(state.nstep) == 0 and nsteps > 0:
@@ -391,6 +414,7 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
     step_nodon = lambda s, t: _step_jit(model, s, t, first=False)
     step_rest = lambda s, t: _step_don(model, s, t, first=False)
 
+    last_ok = 0
     for i in range(nsteps):
         if i == 0:
             fn = step_first if int(state.nstep) == 0 else step_nodon
@@ -427,8 +451,10 @@ def run_coupled(model: AtmModel, state: AtmState, sst, nsteps: int,
             with timer.region("sentinels"):
                 try:
                     _check_state(state, i + 1)
+                    last_ok = i + 1
                 except BlowupError as err:
-                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer)
+                    _structured_abort(out_dir, err, i + 1, hist, ckpt_writer,
+                                      last_ok=last_ok)
                     raise
 
     if hist:

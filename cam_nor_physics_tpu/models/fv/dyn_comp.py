@@ -360,13 +360,14 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
             "FVConfig.filtcw < 0 (disable the C-grid wind filter) is not "
             "supported: the filter is load-bearing for this solver's c_sw "
             "half step (cd_core.py:289-306)")
-    if cfg.high_altitude:
-        # κ advected as an extra tracer with pt correction
-        # (/root/reference/fv/dyn_comp.F90:2371-2489) — WACCM-X territory,
-        # not implemented: fail loudly rather than silently ignore the flag
-        raise NotImplementedError(
-            "FVConfig.high_altitude (variable-kappa advection, "
-            "dyn_comp.F90:2371-2489) is not implemented")
+    # high_altitude (WACCM-X, /root/reference/fv/dyn_comp.F90:2371-2489):
+    # composition-dependent κ rides through trac2d as an extra tracer
+    # (high_alt1 block, :2371-2383), then pt is corrected first-order for
+    # the κ change implied by the ADVECTED major species vs the advected κ
+    # itself (high_alt2 block, :2461-2486) — see tracer_cycle below. The
+    # κ(composition) closure is ops/thermo.calc_kappav
+    # (cam_thermo_calc_kappav role); FVConfig.major_species locates the
+    # advected major species in q.
     if c_sw_pgf is None:
         c_sw_pgf = cfg.c_sw_pgf
     if cfg.use_pallas == "auto":
@@ -483,10 +484,32 @@ def dyn_run(state: DynState, grid: FVGrid, coord: HybridCoord, phis,
         (st, acc, duf, nfl), _ = jax.lax.scan(
             small_step, (st, acc0, duf0, nfl0), None, length=nsplit,
             unroll=_UNROLL["small"])
-        q_new, dp_tr = trac2d(st.q, dp0, acc["cx"], acc["cy"], acc["mfx"],
+        if cfg.high_altitude:
+            # high_alt1 (dyn_comp.F90:2371-2383): κ(composition at cycle
+            # entry) rides trac2d as an extra tracer slot alongside the
+            # major species (the reference overwrites its sacrificial last
+            # tracer with cap3vc; here the slot is appended)
+            from ...ops.thermo import calc_kappav
+            kap0 = calc_kappav(st.q, cfg.major_species)
+            q_tr = jnp.concatenate([st.q, kap0[None]], axis=0)
+        else:
+            q_tr = st.q
+        q_new, dp_tr = trac2d(q_tr, dp0, acc["cx"], acc["cy"], acc["mfx"],
                               acc["mfy"], grid, cfg.iord, cfg.jord,
                               use_pallas=use_pallas, mesh=mesh)
         nfl = nfl + _floor_count(dp_tr, dp0)
+        if cfg.high_altitude:
+            # high_alt2 (dyn_comp.F90:2461-2486): recompute κ from the
+            # ADVECTED major species and correct pt first-order for the
+            # difference vs the advected κ field:
+            #   pt *= 1 − ln(p_mid)·(κ_new − κ_adv)
+            # with ln(p_mid) = ½(ln pe_k + ln pe_k+1) on the post-step
+            # Lagrangian edges (the reference's pexy→pe transpose point).
+            q_new, kap_adv = q_new[:-1], q_new[-1]
+            kap_new = calc_kappav(q_new, cfg.major_species)
+            pe_ha = pressure_vars(st.delp, ptop)[0]
+            lnpm = 0.5 * (jnp.log(pe_ha[1:]) + jnp.log(pe_ha[:-1]))
+            st = st.replace(pt=st.pt * (1.0 - lnpm * (kap_new - kap_adv)))
         return (st.replace(q=q_new), duf, nfl), None
 
     def remap_cycle(carry, _):

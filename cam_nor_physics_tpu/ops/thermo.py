@@ -31,6 +31,48 @@ EPS1 = c.EPSILO
 RGAS = c.RAIR
 
 
+# WACCM-X major-species thermodynamic properties (upstream air_composition/
+# cam_thermo contract consumed by the reference's high-altitude branch,
+# /root/reference/fv/dyn_comp.F90:2371-2489): molecular weight (kg/kmole)
+# and the kinetic-theory cp factor (cp = factor * R_universal / MW;
+# monatomic 5/2, diatomic 7/2). Pure N2 gives kappa = 2/7 = 0.2857, within
+# 0.1% of the dry-air CAPPA — the constant-composition limit.
+MAJOR_SPECIES = {
+    "O": (15.9994, 2.5),
+    "O2": (31.9988, 3.5),
+    "H": (1.0074, 2.5),
+    "N2": (28.0134, 3.5),
+}
+
+
+def calc_kappav(q, species):
+    """Composition-dependent kappa = R/cp from major-species mass mixing
+    ratios (the cam_thermo_calc_kappav role at
+    /root/reference/fv/dyn_comp.F90:2474; upstream cam_thermo).
+
+    q: (nq, ...) tracer stack; `species`: tuple of (name, index) pairs
+    locating the advected major species ('O', 'O2', 'H') in q. Molecular
+    nitrogen is the remainder 1 - sum(q_i), so with no species listed the
+    result is the constant N2 kappa (the well-mixed lower atmosphere
+    limit). Returns kappa with the shape of one tracer."""
+    rair = 0.0
+    cpair = 0.0
+    # tracer-shaped zero so the no-species result still has field shape
+    # (the dycore advects the returned κ as a tracer slot)
+    qsum = jnp.zeros_like(q[0])
+    for name, ix in species:
+        mw, cpfac = MAJOR_SPECIES[name]
+        qi = jnp.clip(q[ix], 0.0, 1.0)
+        qsum = qsum + qi
+        rair = rair + qi * (c.RGAS / mw)
+        cpair = cpair + qi * cpfac * (c.RGAS / mw)
+    mw_n2, cp_n2 = MAJOR_SPECIES["N2"]
+    qn2 = jnp.clip(1.0 - qsum, 0.0, 1.0)
+    rair = rair + qn2 * (c.RGAS / mw_n2)
+    cpair = cpair + qn2 * cp_n2 * (c.RGAS / mw_n2)
+    return rair / cpair
+
+
 def entropy(tk, p_hpa, qtot):
     """Moist entropy (J/kg/K), Raymond & Blyth 1992. p in hPa.
 

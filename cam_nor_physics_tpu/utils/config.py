@@ -84,7 +84,16 @@ class FVConfig:
     # Kallberg treatment).
     ke_method: str = "centered"
     high_order_top: bool = False
+    # WACCM-X variable-composition thermodynamics in the dycore
+    # (fv_high_altitude, /root/reference/fv/dyn_comp.F90:2371-2489): κ is
+    # advected as an extra tracer through trac2d and pt is corrected for
+    # the κ change implied by the advected major species. `major_species`
+    # locates those species in the dycore tracer stack as (name, q-index)
+    # pairs with names from ops/thermo.MAJOR_SPECIES ('O', 'O2', 'H'); N2
+    # is the remainder. Empty means N2-only composition (κ constant —
+    # the correction is an exact no-op, useful for testing the machinery).
     high_altitude: bool = False
+    major_species: tuple = ()
     am_correction: bool = False
     am_geom_crrct: bool = False
     am_fixer: bool = False

@@ -60,9 +60,21 @@ def test_chunked_partial_tail(setup, tmp_path):
 
 
 def test_chunked_history_tapes_match(setup, tmp_path):
-    """History written at a chunk-aligned cadence matches the per-step
-    loop's tape bitwise (accumulation inside the scan)."""
-    nc = pytest.importorskip("netCDF4")
+    """History accumulated INSIDE the scan matches the per-step loop's
+    tape. Read with scipy.io.netcdf_file — the writer's own backend, so
+    the test always executes (netCDF4 is not installed here and an
+    importorskip silently skipped the only coverage of in-scan history).
+
+    Equality is NOT bitwise in general: the scan body fuses differently
+    than the standalone step, so derived diagnostics (notably the p-level
+    slices, whose bracketing-index selection can flip on a 1-ulp pmid
+    difference) re-round differently when the payload is computed in f32.
+    Under this suite's f64-compute + f32-tape configuration the measured
+    difference is exactly zero; the tolerances below (1e-4 relative plus a
+    per-field scale-relative atol guard for near-zero elements) are the
+    f32 re-fusion envelope, not a bitwise claim."""
+    from scipy.io import netcdf_file
+
     model, state0, cam_in = setup
     run(model, state0, cam_in, 4, out_dir=str(tmp_path / "a"),
         hist_every=4, check_every=0)
@@ -71,16 +83,19 @@ def test_chunked_history_tapes_match(setup, tmp_path):
     fa = sorted(glob.glob(str(tmp_path / "a" / "h0.*.nc")))
     fb = sorted(glob.glob(str(tmp_path / "b" / "h0.*.nc")))
     assert len(fa) == len(fb) == 1
-    with nc.Dataset(fa[0]) as da, nc.Dataset(fb[0]) as db:
+    with netcdf_file(fa[0], mmap=False) as da, \
+            netcdf_file(fb[0], mmap=False) as db:
         assert set(da.variables) == set(db.variables)
         checked = 0
         for name in da.variables:
-            va = np.asarray(da[name][...], dtype=np.float64)
-            vb = np.asarray(db[name][...], dtype=np.float64)
-            np.testing.assert_allclose(va, vb, rtol=1e-12, atol=1e-15,
-                                       err_msg=name)
+            va = np.asarray(da.variables[name].data, dtype=np.float64)
+            vb = np.asarray(db.variables[name].data, dtype=np.float64)
+            scale = np.abs(va).max() if va.size else 0.0
+            np.testing.assert_allclose(
+                va, vb, rtol=1e-4, atol=1e-5 * max(scale, 1e-30),
+                err_msg=name)
             checked += 1
-        assert checked > 10
+        assert checked > 100
 
 
 def test_chunked_cadence_validation(setup, tmp_path):
@@ -95,7 +110,10 @@ def test_chunked_cadence_validation(setup, tmp_path):
 
 def test_chunked_sentinel_abort(setup, tmp_path):
     """Blow-up inside a chunk still produces the structured abort record
-    at the chunk boundary."""
+    at the chunk boundary, and the record bounds the divergence interval
+    (failed_step is the DETECTION boundary, not the diverging step)."""
+    import json
+
     from cam_nor_physics_tpu.driver import BlowupError
 
     model, state0, cam_in = setup
@@ -104,4 +122,7 @@ def test_chunked_sentinel_abort(setup, tmp_path):
     with pytest.raises(BlowupError):
         run(model, bad, cam_in, 4, out_dir=str(tmp_path / "z"),
             check_every=2, chunk=2)
-    assert os.path.exists(str(tmp_path / "z" / "ABORT.json"))
+    with open(str(tmp_path / "z" / "ABORT.json")) as f:
+        rec = json.load(f)
+    lo, hi = rec["failed_within"]
+    assert lo < hi == rec["failed_step"]
