@@ -147,7 +147,7 @@ print("XLA_EXEC_OK")
 """
 
 
-def device_exec_ok(timeout: float = 180.0) -> bool:
+def device_exec_ok(timeout: float = 240.0) -> bool:
     """Probe that the device executes ANY program (subprocess + timeout).
 
     Round-4 incident: the axon tunnel entered a state where even a plain
@@ -176,7 +176,7 @@ def wait_for_tunnel(retries: int, wait_s: float = 60.0) -> bool:
     return False
 
 
-def pallas_exec_ok(timeout: float = 120.0) -> bool:
+def pallas_exec_ok(timeout: float = 300.0) -> bool:
     """Probe Mosaic custom-call EXECUTION in a subprocess.
 
     The axon tunnel has been observed (round 3) in a state where plain XLA
@@ -193,6 +193,64 @@ def pallas_exec_ok(timeout: float = 120.0) -> bool:
         return "PALLAS_EXEC_OK" in r.stdout
     except Exception:
         return False
+
+
+def supervised_main() -> None:
+    """Run the measurement in a supervised CHILD process, so a tunnel that
+    wedges mid-measurement (observed round 4: Mosaic probe passes, then a
+    later custom-call execution hangs forever; or throughput collapses)
+    cannot hang the round's only perf recording. Protocol:
+
+      1. wait for the tunnel to execute plain XLA at all (wait_for_tunnel);
+      2. child attempt #1: the normal path (fused Pallas if the Mosaic
+         probe passes) under a hard timeout;
+      3. on timeout/failure, child attempt #2: CAM_FORCE_XLA=1 (no Mosaic
+         custom calls anywhere) under a hard timeout;
+      4. relay the successful child's JSON line (and its stderr).
+
+    Skipped for CPU smoke runs (BENCH_CPU/BENCH_SMALL) and inside the
+    child itself (CAM_BENCH_CHILD=1)."""
+    import subprocess
+    if jax.default_backend() == "tpu":
+        if not wait_for_tunnel(int(os.environ.get("BENCH_TUNNEL_RETRIES",
+                                                  "6"))):
+            print("ERROR: TPU tunnel does not execute ANY program "
+                  "(plain-XLA probe hung every retry) — no measurement "
+                  "possible", file=sys.stderr)
+            sys.exit(3)
+
+    attempts = [({}, float(os.environ.get("BENCH_CHILD_TIMEOUT", "1500")))]
+    if os.environ.get("CAM_FORCE_XLA") != "1":
+        attempts.append(({"CAM_FORCE_XLA": "1"}, 1800.0))
+    for i, (env_over, timeout) in enumerate(attempts):
+        env = dict(os.environ)
+        env.update(env_over)
+        env["CAM_BENCH_CHILD"] = "1"
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               timeout=timeout, capture_output=True,
+                               text=True, env=env)
+        except subprocess.TimeoutExpired as e:
+            tail = e.stderr or b""
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            print(f"WARNING: bench child attempt {i + 1} timed out after "
+                  f"{timeout:.0f}s ({env_over or 'default path'}); "
+                  f"stderr tail:\n{tail[-2000:]}",
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr[-8000:])
+        line = next((ln for ln in r.stdout.splitlines()[::-1]
+                     if ln.strip().startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        print(f"WARNING: bench child attempt {i + 1} rc={r.returncode}, "
+              f"no JSON line" if not line else
+              f"WARNING: bench child attempt {i + 1} rc={r.returncode}",
+              file=sys.stderr)
+    print("ERROR: every supervised bench attempt failed", file=sys.stderr)
+    sys.exit(4)
 
 
 def main():
@@ -218,17 +276,6 @@ def main():
     else:
         # enough chained iterations to amortize async-pipeline ramp-up
         im, jm, km, iters = 144, 96, 26, 40
-
-    if jax.default_backend() == "tpu":
-        # a fully wedged tunnel (even plain XLA hangs) gets a bounded
-        # wait-and-retry instead of hanging the round's only recording;
-        # if it never recovers there is no honest number to print.
-        if not wait_for_tunnel(int(os.environ.get("BENCH_TUNNEL_RETRIES",
-                                                  "10"))):
-            print("ERROR: TPU tunnel does not execute ANY program "
-                  "(plain-XLA probe hung every retry) — no measurement "
-                  "possible", file=sys.stderr)
-            sys.exit(3)
 
     if jax.default_backend() == "tpu" and \
             os.environ.get("CAM_FORCE_XLA") != "1":
@@ -385,15 +432,24 @@ def main():
           f"grid={im}x{jm}x{km} device={jax.devices()[0].platform}",
           file=sys.stderr)
     if t_dyn_c is not None and t_zm_c is not None:
-        # headline = the chunked driver loop (one dispatch per `chunk`
-        # steps — driver.run(..., chunk=K), tests/test_driver_chunked.py);
-        # the per-dispatch line above is the chunk=1 shape for comparison
-        total = t_dyn_c + t_zm_c
+        total_c = t_dyn_c + t_zm_c
         print(f"chunked (K={chunk}): dyn_step={t_dyn_c*1e3:.1f}ms "
-              f"zm_tend={t_zm_c*1e3:.1f}ms -> {npts / total / 1e6:.1f}M gp/s",
-              file=sys.stderr)
+              f"zm_tend={t_zm_c*1e3:.1f}ms -> "
+              f"{npts / total_c / 1e6:.1f}M gp/s", file=sys.stderr)
     else:
-        total = t_dyn + t_zm
+        total_c = None
+    # headline = the faster of the two PRODUCTION loop shapes — chunk=1
+    # (per-dispatch, driver.run default) vs chunk=K (driver.run(...,
+    # chunk=K)) — both are real driver configurations and a user picks
+    # the faster one; which shape produced the number is recorded
+    # explicitly (headline_shape + chunk) so recordings stay comparable.
+    # Measured: a healthy tunnel favors per-dispatch (~43M vs 39M at
+    # f19); a dispatch-degraded tunnel favors chunked (24M vs 15M).
+    total = t_dyn + t_zm
+    headline_shape = "per_dispatch"
+    if total_c is not None and total_c < total:
+        total = total_c
+        headline_shape = "chunked"
     value = npts / total
     # Provenance rides in the JSON so recorded numbers are self-describing:
     # which loop shape (chunk) produced the headline, plus both shapes'
@@ -405,17 +461,26 @@ def main():
         "value": value,
         "unit": "gridpoints/s",
         "vs_baseline": 1.0,   # reference publishes no numbers (BASELINE.md)
-        "chunk": chunk if (t_dyn_c is not None and t_zm_c is not None) else 1,
+        "headline_shape": headline_shape,
+        "chunk": chunk if headline_shape == "chunked" else 1,
         "grid": f"{im}x{jm}x{km}",
         "device": jax.devices()[0].platform,
         "t_ms": {"dyn_step": t_dyn * 1e3, "zm_tend": t_zm * 1e3},
     }
-    if t_dyn_c is not None and t_zm_c is not None:
+    if total_c is not None:
         record["t_ms_chunked"] = {"dyn_step": t_dyn_c * 1e3,
                                   "zm_tend": t_zm_c * 1e3}
+        record["chunked_k"] = chunk
         record["per_dispatch_gps"] = npts / (t_dyn + t_zm)
+        record["chunked_gps"] = npts / total_c
     print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if (os.environ.get("CAM_BENCH_CHILD") == "1"
+            or os.environ.get("BENCH_CPU") == "1"
+            or os.environ.get("BENCH_SMALL") == "1"
+            or jax.default_backend() != "tpu"):
+        main()
+    else:
+        supervised_main()

@@ -106,8 +106,10 @@ def atm_init(model: AtmModel, dyn_state: DynState, phis) -> AtmState:
     """Build the coupled state from a dycore IC (dyn_init + first
     d_p_coupling; read_inidat analytic-IC role, dyn_comp.F90:2889-3081)."""
     ncol = model.grid.jm * model.grid.im
-    pbuf = pbuf_register(physpkg_pbuf_specs(ncol, model.grid.km),
-                         dyn_state.delp.dtype)
+    pbuf = pbuf_register(
+        physpkg_pbuf_specs(ncol, model.grid.km,
+                           pcnst=model.registry.pcnst),
+        dyn_state.delp.dtype)
     pbuf = pbuf.update(
         CLD=jnp.full((ncol, model.grid.km), 0.1, dyn_state.delp.dtype),
         PBLH=jnp.full((ncol,), 500.0, dyn_state.delp.dtype))
@@ -150,8 +152,24 @@ def atm_step(model: AtmModel, state: AtmState, cam_in: CamIn,
 
     # before/after-physics snapshots + total physics tendencies (the
     # TBP/TAP families, cam_diagnostics.F90:246-298, 2696)
-    from .physics.cam_diagnostics import diag_phys_tend_writeout
-    diags.update(diag_phys_tend_writeout(state.phys, o2.state, model.dt))
+    from .physics.cam_diagnostics import (constituent_burdens,
+                                          diag_conv_tidal,
+                                          diag_phys_tend_writeout,
+                                          tidal_coeffs)
+    diags.update(diag_phys_tend_writeout(state.phys, o2.state, model.dt,
+                                         cnst_names=reg.names))
+    # per-constituent column burdens (constituent_burden_comp role)
+    diags.update(constituent_burdens(o2.state, reg.names))
+
+    # migrating-tide products (diag_conv's tidal_diag block,
+    # cam_diagnostics.F90:2156-2161): DTCOND x local-solar-time harmonics;
+    # lon/time live at this level (grid + step counter)
+    if "DTCOND" in diags:
+        time_days = (state.nstep.astype(diags["DTCOND"].dtype) + 1.0) * \
+            (model.dt / 86400.0)
+        coeffs = tidal_coeffs(jnp.asarray(g.lons), time_days,
+                              diags["DTCOND"].dtype)
+        diags.update(diag_conv_tidal(diags["DTCOND"], coeffs))
 
     # diagnostic side of d_p_coupling (dp_coupling.F90:274-320): GW
     # frontogenesis sources + QBO zonal mean into the pbuf, TEM circulation

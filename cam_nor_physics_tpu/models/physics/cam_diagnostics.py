@@ -62,6 +62,12 @@ _CATALOG = [
     ("TAP", "K", "Temperature (after physics)", "mid"),
     ("UAP", "m/s", "Zonal wind (after physics)", "mid"),
     ("VAP", "m/s", "Meridional wind (after physics)", "mid"),
+    ("QBP", "kg/kg", "Specific humidity (before physics)", "mid"),
+    ("CLDLIQBP", "kg/kg", "Cloud liquid (before physics)", "mid"),
+    ("CLDICEBP", "kg/kg", "Cloud ice (before physics)", "mid"),
+    ("QAP", "kg/kg", "Specific humidity (after physics)", "mid"),
+    ("CLDLIQAP", "kg/kg", "Cloud liquid (after physics)", "mid"),
+    ("CLDICEAP", "kg/kg", "Cloud ice (after physics)", "mid"),
     ("TTEND_TOT", "K/s", "Total temperature tendency", "mid"),
     ("UTEND_TOT", "m/s2", "Total zonal-wind tendency", "mid"),
     ("VTEND_TOT", "m/s2", "Total meridional-wind tendency", "mid"),
@@ -173,8 +179,24 @@ _CATALOG = [
     ("QREFHT", "kg/kg", "Reference height humidity", "srf"),
     ("RHREFHT", "fraction", "Reference height relative humidity", "srf"),
     # moist-process budget terms (diag_conv, :2021)
+    # per-constituent column burdens (upstream constituent_burden_comp,
+    # called from diag_phys_writeout at cam_diagnostics.F90:1738: "column
+    # burdens of all constituents except water vapor"; vapor is TMQ)
+    ("CB_CLDLIQ", "kg/m2", "Column burden CLDLIQ", "srf"),
+    ("CB_CLDICE", "kg/m2", "Column burden CLDICE", "srf"),
     ("DTCOND", "K/s", "T tendency - moist processes", "mid"),
     ("DCQ", "kg/kg/s", "Q tendency - moist processes", "mid"),
+    ("DCCLDLIQ", "kg/kg/s", "CLDLIQ tendency - moist processes", "mid"),
+    ("DCCLDICE", "kg/kg/s", "CLDICE tendency - moist processes", "mid"),
+    # migrating-tide extraction products (diag_conv's tidal_diag block,
+    # :2156-2161): DTCOND x sin/cos of the 24/12/8-hour local-solar-time
+    # harmonics; monthly means of these isolate the migrating tides
+    ("DTCOND_24_SIN", "K/s", "DTCOND 24hr. sin coeff.", "mid"),
+    ("DTCOND_24_COS", "K/s", "DTCOND 24hr. cos coeff.", "mid"),
+    ("DTCOND_12_SIN", "K/s", "DTCOND 12hr. sin coeff.", "mid"),
+    ("DTCOND_12_COS", "K/s", "DTCOND 12hr. cos coeff.", "mid"),
+    ("DTCOND_08_SIN", "K/s", "DTCOND 8hr. sin coeff.", "mid"),
+    ("DTCOND_08_COS", "K/s", "DTCOND 8hr. cos coeff.", "mid"),
     # clipping tendencies (diag_clip_tend_writeout, :1975)
     ("INEGCLPTEND", "kg/kg/s", "Cloud-ice tendency due to clipping "
      "negative values", "mid"),
@@ -387,6 +409,20 @@ def diag_phys_writeout(state, nstep: int | float = 0, area=None) -> dict:
     return out
 
 
+def constituent_burdens(state, cnst_names) -> dict:
+    """Column burdens of all constituents except water vapor (upstream
+    constituent_burden_comp contract, cam_diagnostics.F90:867-868,
+    1737-1738); only constituents with a declared CB_<name> field reach
+    the tape (outfld drops the rest)."""
+    out = {}
+    for m, name in enumerate(cnst_names):
+        if m == 0:
+            continue                           # vapor burden is TMQ
+        out["CB_" + name] = jnp.sum(state.q[:, :, m] * state.pdel,
+                                    axis=-1) / c.GRAVIT
+    return out
+
+
 def diag_cloud(cld, pmid) -> dict:
     """Cloud-cover summaries by maximum-random overlap (cldsav role,
     cam_diagnostics' CLDTOT/CLDLOW/CLDMED/CLDHGH; bands at 700/400 hPa)."""
@@ -409,25 +445,70 @@ def diag_cloud(cld, pmid) -> dict:
 
 
 def diag_conv_tend_ini(state) -> dict:
-    """Pre-convection snapshot for budget differencing (diag_conv_tend_ini,
-    cam_diagnostics.F90:1306) — kept in the step-local diag carry."""
-    return {"T_ini": state.t, "Q_ini": state.q[:, :, 0]}
+    """Pre-moist-processes snapshot for budget differencing
+    (diag_conv_tend_ini, cam_diagnostics.F90:1306, called at
+    physpkg.F90:2745 right after the energy fixer). The snapshot crosses
+    the tphysbc→tphysac boundary via pbuf (physpkg_pbuf_specs
+    DTCOND_TINI/DQCOND_QINI)."""
+    return {"T_ini": state.t, "Q_ini": state.q}
 
 
-def diag_conv(state, ini: dict, ztodt: float) -> dict:
-    """Convective/moist budget terms (diag_conv, cam_diagnostics.F90:2021)."""
-    return {
+def diag_conv(state, ini: dict, ztodt: float, cnst_names=()) -> dict:
+    """Convective/moist budget terms (diag_conv, cam_diagnostics.F90:2021,
+    called at physpkg.F90:2006 after convect_deep_tend_2): DTCOND plus the
+    per-constituent DC<name> family (the reference's dcconnam fields) for
+    every constituent a DC field is declared for."""
+    q_ini = ini["Q_ini"]
+    out = {
         "DTCOND": (state.t - ini["T_ini"]) / ztodt,
-        "DCQ": (state.q[:, :, 0] - ini["Q_ini"]) / ztodt,
+        "DCQ": (state.q[:, :, 0] - q_ini[:, :, 0]) / ztodt,
     }
+    for m, name in enumerate(cnst_names):
+        if m == 0:
+            continue                      # Q handled as DCQ above
+        out["DC" + name] = (state.q[:, :, m] - q_ini[:, :, m]) / ztodt
+    return out
 
 
-def diag_phys_tend_writeout(state_before, state_after, ztodt: float) -> dict:
+def tidal_coeffs(lons, time_days, dtype=jnp.float64):
+    """Local-solar-time tide coefficients (the upstream tidal_diag role
+    consumed by diag_conv, cam_diagnostics.F90:2156-2161): sin/cos of the
+    n = 1, 2, 3 harmonics (24/12/8 hours) of local solar time
+    θ_lst = 2π·(UTC day fraction) + λ, with λ in RADIANS (FVGrid.lons).
+    Returns a (6, nlon) stack ordered
+    [24_SIN, 24_COS, 12_SIN, 12_COS, 08_SIN, 08_COS]."""
+    lam = jnp.asarray(lons, dtype)
+    theta = 2.0 * jnp.pi * (jnp.asarray(time_days, dtype) % 1.0) + lam
+    return jnp.stack([f(n * theta)
+                      for n in (1.0, 2.0, 3.0)
+                      for f in (jnp.sin, jnp.cos)])
+
+
+def diag_conv_tidal(dtcond, coeffs) -> dict:
+    """DTCOND × tidal coefficients (cam_diagnostics.F90:2156-2161).
+    `dtcond`: (ncol, pver) with ncol = jm*im row-major; `coeffs`: (6, im)
+    from tidal_coeffs (zonally periodic, latitude-independent)."""
+    names = ("DTCOND_24_SIN", "DTCOND_24_COS", "DTCOND_12_SIN",
+             "DTCOND_12_COS", "DTCOND_08_SIN", "DTCOND_08_COS")
+    ncol = dtcond.shape[0]
+    im = coeffs.shape[1]
+    col = jnp.tile(coeffs, (1, ncol // im))          # (6, ncol) row-major
+    return {n: dtcond * col[i][:, None] for i, n in enumerate(names)}
+
+
+def diag_phys_tend_writeout(state_before, state_after, ztodt: float,
+                            cnst_names=()) -> dict:
     """Before/after-physics snapshots and the total physics tendencies
-    (the TBP/TAP families + diag_phys_tend_writeout,
-    cam_diagnostics.F90:246-298, 2696)."""
+    (the TBP/TAP families, diag_state_b4_phys_write incl. the moist
+    bpcnst/apcnst constituent snapshots, + diag_phys_tend_writeout,
+    cam_diagnostics.F90:246-298, 2696, 2748-2833)."""
     rdt = 1.0 / ztodt
-    return {
+    out = {}
+    for m, name in enumerate(cnst_names):
+        if name in ("Q", "CLDLIQ", "CLDICE"):
+            out[name + "BP"] = state_before.q[:, :, m]
+            out[name + "AP"] = state_after.q[:, :, m]
+    return out | {
         "TBP": state_before.t, "UBP": state_before.u,
         "VBP": state_before.v,
         "TAP": state_after.t, "UAP": state_after.u, "VAP": state_after.v,

@@ -41,12 +41,19 @@ from .zm_conv_intr import zm_conv_tend, zm_conv_tend_2
 from ...ops.fill import qneg3, qneg4
 
 
-def physpkg_pbuf_specs(ncol: int, pver: int, nmodes: int = 1) -> dict:
+def physpkg_pbuf_specs(ncol: int, pver: int, nmodes: int = 1,
+                       pcnst: int = 1) -> dict:
     """Full pbuf registration: ZM set + driver-level persistent fields
     (phys_register, physpkg.F90:100-352). nmodes sizes the per-mode
-    aerosol wateruptake stacks (len(phys_cfg.aero_modes))."""
+    aerosol wateruptake stacks (len(phys_cfg.aero_modes)); pcnst sizes the
+    moist-process budget snapshot (diag_conv_tend_ini payload)."""
     specs = dict(zm_pbuf_specs(ncol, pver))
     specs.update({
+        # pre-moist-processes T/q snapshot for the DTCOND/DC* budget
+        # family (diag_conv_tend_ini, physpkg.F90:2745 -> diag_conv,
+        # :2006) — crosses the tphysbc/tphysac boundary, so pbuf
+        "DTCOND_TINI": ((ncol, pver), "physpkg"),
+        "DQCOND_QINI": ((ncol, pver, pcnst), "physpkg"),
         "TEOUT": ((ncol,), "global"),        # physpkg.F90:231
         # explicit validity flag for the energy fixer's TEOUT payload: 0
         # until tphysac has stored a real value (replaces the fragile
@@ -169,6 +176,10 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
         diags["VTEND_CORE"] = valid * (state.v - pbuf.get("DVCORE")) / ztodt
 
     _snap(diags, phys_cfg, 'chkenergyfix_after', state)
+    # pre-moist-processes snapshot (diag_conv_tend_ini, physpkg.F90:2745)
+    from .cam_diagnostics import diag_conv_tend_ini
+    _ini = diag_conv_tend_ini(state)
+    pbuf = pbuf.update(DTCOND_TINI=_ini["T_ini"], DQCOND_QINI=_ini["Q_ini"])
     _snap(diags, phys_cfg, 'dadadj_before', state)
     # ---- DRY ADJUSTMENT (physpkg.F90:2786-2806) ----
     tend_s, tend_q = dadadj_tend(state, ztodt)
@@ -341,10 +352,17 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     # qmin-clamped result of physics_update
     q_preclip = state.q + ptend.q * ztodt
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
-    from .cam_diagnostics import diag_clip_tend_writeout
+    from .cam_diagnostics import diag_clip_tend_writeout, diag_conv
     diags.update(diag_clip_tend_writeout(
         q_preclip, state.q, ztodt, 0, registry.index("CLDLIQ"),
         registry.index("CLDICE")))
+
+    # ---- moist-process budget family (diag_conv, physpkg.F90:2006):
+    # difference against the pre-moist snapshot tphysbc stored in pbuf ----
+    diags.update(diag_conv(
+        state, {"T_ini": pbuf.get("DTCOND_TINI"),
+                "Q_ini": pbuf.get("DQCOND_QINI")}, ztodt,
+        cnst_names=registry.names))
 
     # ---- radiation slot (physpkg.F90:2030-2051) ----
     if phys_cfg.radiation_scheme == "gray":

@@ -40,8 +40,9 @@ class ScamForcing:
         return cls(dtdt_ls=z, dqdt_ls=z, omega=z)
 
 
-def scam_init_pbuf(ncol: int, pver: int, dtype=jnp.float64) -> PhysicsBuffer:
-    pbuf = pbuf_register(physpkg_pbuf_specs(ncol, pver), dtype)
+def scam_init_pbuf(ncol: int, pver: int, dtype=jnp.float64,
+                   pcnst: int = 1) -> PhysicsBuffer:
+    pbuf = pbuf_register(physpkg_pbuf_specs(ncol, pver, pcnst=pcnst), dtype)
     return pbuf.update(CLD=jnp.full((ncol, pver), 0.1, dtype),
                        PBLH=jnp.full((ncol,), 500.0, dtype))
 

@@ -15,6 +15,19 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+if os.environ.get("CAM_TPU_TESTS") != "1":
+    # Keep the axon TPU plugin OUT of xdist worker processes: the
+    # sitecustomize registers a PJRT tunnel session in EVERY interpreter
+    # whose env carries PALLAS_AXON_POOL_IPS — including CPU-only test
+    # workers that never touch the device. When the tunnel is wedged
+    # (round-3/4 incidents) those sessions abort/hang worker processes
+    # mid-test ('Fatal Python error: Aborted' inside XLA compile, '[gwN]
+    # node down'). This process already started (its registration, if
+    # any, is done); clearing the env here means workers SPAWNED by
+    # xdist/execnet inherit a clean env and start as pure-CPU pythons.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402  (may already be imported by sitecustomize — that's fine)
 
 if os.environ.get("CAM_TPU_TESTS") == "1":
@@ -24,6 +37,20 @@ if os.environ.get("CAM_TPU_TESTS") == "1":
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache shared by all test runs/workers (safe for
+# concurrent access — entries land via atomic rename). Two reasons beyond
+# speed: (1) this host has 4 CPUs and XLA's CPU compile of the big coupled
+# graphs occasionally dies under load (LLVM segfault/abort — see
+# repo memory notes); a warm cache removes almost every compile from a
+# rerun, which both shrinks wall time ~5x and removes the crash surface.
+# (2) xdist workers duplicate every compile 3x without it.
+os.makedirs("/tmp/jax_test_cache", exist_ok=True)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")   # quiet the loader's
+# pseudo-feature warnings (+prefer-no-scatter etc. — set by this host's
+# own compile, so the AOT results are ISA-compatible)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

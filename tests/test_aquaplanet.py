@@ -5,6 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Big-compile tests: serialized onto one xdist worker (--dist loadgroup) so
+# concurrent XLA CPU compiles don't abort under memory pressure (observed
+# 'Fatal Python error: Aborted' inside backend_compile_and_load when four
+# workers compiled coupled-step graphs simultaneously).
+pytestmark = pytest.mark.xdist_group("heavy")
+
 from cam_nor_physics_tpu.models.atm_comp import AtmModel, atm_init, atm_step
 from cam_nor_physics_tpu.models.coupling.surface_fluxes import (
     aquaplanet_sst, bulk_surface_fluxes, slab_ocean_step)

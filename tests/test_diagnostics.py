@@ -88,9 +88,16 @@ class TestCamDiagnostics:
             tmq, np.asarray((st.q[:, :, 0] * st.pdel).sum(-1)) / 9.80616,
             rtol=1e-12)
         ini = diag_conv_tend_ini(st)
-        st2 = st.replace(t=st.t + 1.0)
-        dc = diag_conv(st2, ini, 100.0)
+        st2 = st.replace(t=st.t + 1.0,
+                         q=st.q.at[:, :, 1].add(2e-5).at[:, :, 2].add(-1e-5))
+        dc = diag_conv(st2, ini, 100.0,
+                       cnst_names=("Q", "CLDLIQ", "CLDICE"))
         np.testing.assert_allclose(np.asarray(dc["DTCOND"]), 0.01)
+        np.testing.assert_allclose(np.asarray(dc["DCQ"]), 0.0, atol=1e-18)
+        np.testing.assert_allclose(np.asarray(dc["DCCLDLIQ"]), 2e-7,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(dc["DCCLDICE"]), -1e-7,
+                                   rtol=1e-10)
 
     def test_surface_and_export(self):
         from cam_nor_physics_tpu.models.coupling.camsrfexch import (CamIn,
@@ -100,6 +107,82 @@ class TestCamDiagnostics:
         s = diag_surf(cam_in, cam_out)
         e = diag_export(cam_out)
         assert "SHFLX" in s and "PRECT" in e
+
+
+class TestTidalDiag:
+    def test_coeff_identities(self):
+        """tidal_coeffs: n-harmonic sin/cos of local solar time, lon in
+        radians. At UTC noon (time_days=0.5) and lon=0 the 24h phase is π:
+        sin=0, cos=-1; the 12h harmonic is back at 2π: sin=0, cos=+1."""
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            tidal_coeffs
+        lons = jnp.asarray([0.0, np.pi / 2])
+        co = np.asarray(tidal_coeffs(lons, 0.5))
+        assert co.shape == (6, 2)
+        np.testing.assert_allclose(co[0, 0], 0.0, atol=1e-12)   # 24 sin
+        np.testing.assert_allclose(co[1, 0], -1.0, rtol=1e-12)  # 24 cos
+        np.testing.assert_allclose(co[2, 0], 0.0, atol=1e-12)   # 12 sin
+        np.testing.assert_allclose(co[3, 0], 1.0, rtol=1e-12)   # 12 cos
+        # lon=π/2 shifts the 24h phase by π/2: sin(3π/2) = -1
+        np.testing.assert_allclose(co[0, 1], -1.0, rtol=1e-12)
+
+    def test_product_layout(self):
+        """diag_conv_tidal tiles (6, im) coefficients over the row-major
+        (jm*im) column order: every latitude row sees the same lon
+        pattern."""
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            diag_conv_tidal, tidal_coeffs
+        im, jm, pver = 6, 3, 2
+        lons = jnp.linspace(0, 2 * np.pi, im, endpoint=False)
+        co = tidal_coeffs(lons, 0.25)
+        dt = jnp.ones((jm * im, pver))
+        out = diag_conv_tidal(dt, co)
+        assert set(out) == {"DTCOND_24_SIN", "DTCOND_24_COS",
+                           "DTCOND_12_SIN", "DTCOND_12_COS",
+                           "DTCOND_08_SIN", "DTCOND_08_COS"}
+        field = np.asarray(out["DTCOND_24_SIN"])[:, 0].reshape(jm, im)
+        np.testing.assert_allclose(field, np.broadcast_to(
+            np.asarray(co[0])[None], (jm, im)), rtol=1e-12)
+
+
+class TestDiagConvWiring:
+    def test_atm_step_emits_moist_budget_family(self):
+        """End-to-end: the coupled step's diagnostics dict carries the
+        DTCOND/DC* family and the tidal products, and DTCOND reflects the
+        tphysbc snapshot → tphysac bracket (finite, consistent with the
+        tidal identity DTCOND_24_SIN = DTCOND·coeff)."""
+        from cam_nor_physics_tpu.models.atm_comp import (AtmModel, atm_init,
+                                                         atm_step)
+        from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
+        from cam_nor_physics_tpu.models.fv.held_suarez import \
+            hs_initial_state
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            tidal_coeffs
+        from cam_nor_physics_tpu.utils.config import FVConfig
+
+        model = AtmModel.create(16, 8, 6, dt=1800.0,
+                                fv_cfg=FVConfig(nsplit=1, nspltrac=1))
+        dyn0 = hs_initial_state(model.grid, model.coord, pert=1.0,
+                                nq=model.registry.pcnst)
+        dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-4))
+        state = atm_init(model, dyn0, jnp.zeros((8, 16)))
+        cam_in = CamIn.zeros(8 * 16, model.registry.pcnst)
+        state, _, diags = atm_step(model, state, cam_in, first_step=True)
+        for name in ("DTCOND", "DCQ", "DCCLDLIQ", "DCCLDICE",
+                     "DTCOND_24_SIN", "DTCOND_08_COS",
+                     "QBP", "QAP", "CLDLIQBP", "CLDICEAP",
+                     "CB_CLDLIQ", "CB_CLDICE"):
+            assert name in diags, name
+            assert np.isfinite(np.asarray(diags[name])).all(), name
+        co = tidal_coeffs(jnp.asarray(model.grid.lons),
+                          float(state.nstep) * 1800.0 / 86400.0,
+                          diags["DTCOND"].dtype)
+        im = 16
+        col = np.tile(np.asarray(co[0]), 8)
+        np.testing.assert_allclose(
+            np.asarray(diags["DTCOND_24_SIN"]),
+            np.asarray(diags["DTCOND"]) * col[:, None], rtol=1e-12,
+            atol=1e-300)
 
 
 class TestPlevelAndCloud:

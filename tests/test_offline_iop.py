@@ -10,6 +10,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Big-compile tests: serialized onto one xdist worker (--dist loadgroup) so
+# concurrent XLA CPU compiles don't abort under memory pressure (observed
+# 'Fatal Python error: Aborted' inside backend_compile_and_load when four
+# workers compiled coupled-step graphs simultaneously).
+pytestmark = pytest.mark.xdist_group("heavy")
+
 from cam_nor_physics_tpu.models.coupling.camsrfexch import CamIn
 from cam_nor_physics_tpu.models.fv.metdata import (MetData,
                                                    load_metdata_netcdf,
