@@ -59,3 +59,42 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def run_test_in_subprocess(request, timeout=1200):
+    """Re-run the current test node in a fresh interpreter and report its
+    verdict; in the child, return False so the caller executes the body.
+
+    Workaround for a deterministic XLA:CPU/LLVM process-state bug (round-4
+    VERDICT weak #1): compiling certain large eager `lax.scan` programs in
+    zm_convr segfaults ('Fatal Python error: Segmentation fault' inside
+    backend_compile_and_load) once the process has a particular prior
+    compile history — e.g. tests/test_zm_conv.py's equivalence classes after
+    the 14 earlier module tests. Every affected test passes in a fresh
+    process (verified 5/5 in isolation), so the affected tests call this at
+    the top: the parent spawns `pytest <nodeid>` in a clean child where the
+    compile succeeds (warm persistent cache keeps it fast), and the child —
+    marked by CAM_SUBPROC_TEST=1 — runs the real body.
+
+    Usage::
+
+        def test_foo(self, request):
+            if run_test_in_subprocess(request):
+                return   # parent: child already ran and passed the body
+            ...real test body...
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("CAM_SUBPROC_TEST") == "1":
+        return False  # we are the child: run the real body
+    env = dict(os.environ, CAM_SUBPROC_TEST="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-n", "0",
+         "-p", "no:cacheprovider", request.node.nodeid],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, (
+        f"subprocess-isolated test failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")
+    return True
