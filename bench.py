@@ -253,7 +253,208 @@ def supervised_main() -> None:
     sys.exit(4)
 
 
+def coupled_main():
+    """BENCH_COUPLED=1: time the FULL coupled atm_step (round-4 VERDICT #1).
+
+    Config-4b coupled step (aquaplanet bulk surface fluxes + gray radiation
+    + implicit vertical diffusion + ZM + FV dynamics) at the BENCH_GRID
+    geometry, three loop shapes:
+
+      full       — chained, donated, jitted step returning (state, cam_out,
+                   diags): the history-ON production step (every declared
+                   diagnostic materialized to HBM each step);
+      prog_only  — same step with the diags dict dropped (XLA DCEs the
+                   diagnostics payload): the history-OFF production step;
+      chunked    — lax.fori_loop(K) over the prog_only step per dispatch
+                   (driver.run(..., chunk=K) shape).
+
+    A per-phase table mirrors the reference's t_startf regions
+    (physpkg.F90:1145 'bc_physics', :1163 'ac_physics'; p_d_coupling / dyn
+    / d_p_coupling). Each phase is timed as its own jitted dispatch, so the
+    table's entries include per-dispatch latency that the fused full step
+    amortizes — phase_sum >> full_ms is dispatch overhead, not hidden work;
+    the table attributes RELATIVE cost."""
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    small = os.environ.get("BENCH_SMALL") == "1"
+    dtype = jnp.float32
+    if small:
+        im, jm, km, iters = 72, 46, 10, 3
+    elif os.environ.get("BENCH_GRID") == "f09":
+        im, jm, km, iters = 288, 192, 26, 5
+    elif os.environ.get("BENCH_GRID") == "f05":
+        im, jm, km, iters = 576, 384, 32, 3
+    else:
+        im, jm, km, iters = 144, 96, 26, 20
+
+    if jax.default_backend() == "tpu" and \
+            os.environ.get("CAM_FORCE_XLA") != "1":
+        if not pallas_exec_ok():
+            print("WARNING: Mosaic probe failed — XLA path", file=sys.stderr)
+            os.environ["CAM_FORCE_XLA"] = "1"
+
+    from cam_nor_physics_tpu.models.atm_comp import (AtmModel, atm_init,
+                                                     atm_step)
+    from cam_nor_physics_tpu.models.coupling.surface_fluxes import (
+        aquaplanet_sst, bulk_surface_fluxes)
+    from cam_nor_physics_tpu.models.fv.held_suarez import hs_initial_state
+    from cam_nor_physics_tpu.utils.config import PhysConfig, ZMConfig
+    from cam_nor_physics_tpu.utils.runtime import donation_ok
+
+    # the documented performance configuration: ZM mega-kernel on
+    # single-chip TPU f32 (same opt-in + caveat as the kernel bench above)
+    model = AtmModel.create(
+        im, jm, km, dt=1800.0,
+        phys_cfg=PhysConfig(radiation_scheme="gray"),
+        zm_cfg=ZMConfig(use_pallas="auto"))
+    dyn0 = hs_initial_state(model.grid, model.coord, pert=1.0,
+                            nq=model.registry.pcnst, dtype=dtype)
+    dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-6).at[0].set(
+        1e-2 * (dyn0.delp / dyn0.delp.max()) ** 2))
+    state0 = atm_init(model, dyn0, jnp.zeros((jm, im), dtype))
+    sst = aquaplanet_sst(state0.phys.lat)
+    don = donation_ok()
+
+    def coupled(model, s, first=False):
+        cam_in = bulk_surface_fluxes(s.phys, sst, model.registry.pcnst)
+        return atm_step(model, s, cam_in, first_step=first)
+
+    step0 = jax.jit(lambda m, s: coupled(m, s, True)[0])
+    f_full = jax.jit(coupled, donate_argnums=(1,) if don else ())
+
+    def prog_only(m, s):
+        new, cam_out, _ = coupled(m, s)
+        return new
+    f_prog = jax.jit(prog_only, donate_argnums=(1,) if don else ())
+
+    state = step0(model, state0)
+    _fetch(state)
+    state = f_prog(model, _host_copy(state))
+    _fetch(state)
+    start = _host_copy(state)
+
+    def chain(fn, unpack=lambda o: o):
+        cur = fn(model, _host_copy(start))
+        cur = unpack(cur)
+        _fetch(cur)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = cur
+            for _ in range(iters):
+                c = unpack(fn(model, c))
+            _fetch(c)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t_full = chain(f_full, unpack=lambda o: o[0])
+    t_prog = chain(f_prog)
+
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    t_chunked = None
+    if chunk > 1:
+        def chunk_fn(m, s):
+            return jax.lax.fori_loop(0, chunk, lambda i, c: prog_only(m, c),
+                                     s)
+        f_chunk = jax.jit(chunk_fn, donate_argnums=(1,) if don else ())
+        cur = f_chunk(model, _host_copy(start))
+        _fetch(cur)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = cur
+            for _ in range(max(1, iters // chunk)):
+                c = f_chunk(model, c)
+            _fetch(c)
+            best = min(best, (time.perf_counter() - t0)
+                       / (max(1, iters // chunk) * chunk))
+        t_chunked = best
+
+    # ---- per-phase table (each its own dispatch; see docstring caveat) ----
+    from cam_nor_physics_tpu.models.coupling.dp_coupling import (
+        d_p_coupling, p_d_coupling)
+    from cam_nor_physics_tpu.models.fv.dyn_comp import dyn_run
+    from cam_nor_physics_tpu.models.physics.physpkg import (phys_run1,
+                                                            phys_run2)
+
+    def rep(fn, args, leaf):
+        out = fn(*args)
+        _fetch(leaf(out))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            _fetch(leaf(out))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    cam_in = bulk_surface_fluxes(start.phys, sst, model.registry.pcnst)
+    f_p1 = jax.jit(lambda m, s, pb, ci: phys_run1(
+        m.phys_cfg, m.zm_cfg, m.registry, s, pb, ci, m.dt, nstep=1))
+    o1 = f_p1(model, start.phys, start.pbuf, cam_in)
+    f_p2 = jax.jit(lambda m, s, pb, ci: phys_run2(
+        m.phys_cfg, m.registry, s, pb, ci, m.dt))
+    o2 = f_p2(model, o1.state, o1.pbuf, cam_in)
+    f_pd = jax.jit(lambda m, d, ps: p_d_coupling(
+        d, ps, m.grid, m.coord.ptop, m.dt, m.registry))
+    dyn1 = f_pd(model, start.dyn, o2.state)
+    f_dyn = jax.jit(lambda m, d, phis: dyn_run(
+        d, m.grid, m.coord, phis, m.fv_cfg, m.dt,
+        filter_impl=m.filter_impl, return_diags=True))
+    dyn2, ddiags = f_dyn(model, dyn1, start.phis)
+    f_dp = jax.jit(lambda m, d, phis, om: d_p_coupling(
+        d, m.grid, phis, m.coord.ptop, m.registry, omega=om))
+    _fetch(f_dp(model, dyn2, start.phis, ddiags["omega"]).t)
+
+    phases = {
+        "bc_physics": rep(f_p1, (model, start.phys, start.pbuf, cam_in),
+                          lambda o: o.state),
+        "ac_physics": rep(f_p2, (model, o1.state, o1.pbuf, cam_in),
+                          lambda o: o.state),
+        "p_d_coupling": rep(f_pd, (model, start.dyn, o2.state),
+                            lambda o: o.u),
+        "dyn": rep(f_dyn, (model, dyn1, start.phis), lambda o: o[0].u),
+        "d_p_coupling": rep(f_dp, (model, dyn2, start.phis,
+                                   ddiags["omega"]), lambda o: o.t),
+    }
+
+    npts = im * jm * km
+    total = min(t_full, t_prog,
+                t_chunked if t_chunked is not None else float("inf"))
+    shape = ("chunked" if total == t_chunked else
+             "prog_only" if total == t_prog else "full")
+    print(f"coupled: full={t_full*1e3:.1f}ms prog_only={t_prog*1e3:.1f}ms "
+          + (f"chunked(K={chunk})={t_chunked*1e3:.1f}ms " if t_chunked
+             else "")
+          + f"grid={im}x{jm}x{km}", file=sys.stderr)
+    print("phase table (independent dispatches, incl. per-dispatch "
+          "latency): " + " ".join(f"{k}={v*1e3:.1f}ms"
+                                  for k, v in phases.items()),
+          file=sys.stderr)
+    record = {
+        "metric": "grid-points/s per chip (full coupled atm_step, "
+                  "config-4b aquaplanet)",
+        "value": npts / total,
+        "unit": "gridpoints/s",
+        "vs_baseline": 1.0,
+        "headline_shape": shape,
+        "chunk": chunk if shape == "chunked" else 1,
+        "grid": f"{im}x{jm}x{km}",
+        "device": jax.devices()[0].platform,
+        "t_ms": {"full": t_full * 1e3, "prog_only": t_prog * 1e3},
+        "t_ms_phases_independent_dispatch":
+            {k: v * 1e3 for k, v in phases.items()},
+    }
+    if t_chunked is not None:
+        record["t_ms"]["chunked_per_step"] = t_chunked * 1e3
+        record["chunked_k"] = chunk
+    print(json.dumps(record))
+
+
 def main():
+    if os.environ.get("BENCH_COUPLED") == "1":
+        return coupled_main()
     if os.environ.get("BENCH_CPU") == "1":
         # hard CPU pin for smoke runs: the axon sitecustomize registers the
         # TPU plugin in every interpreter, and a smoke run must never

@@ -27,6 +27,9 @@ CONFIGS = [
     ("f19_chunk32", {"BENCH_CHUNK": "32"}, 1800),
     ("f09_chunk8", {"BENCH_GRID": "f09", "BENCH_ROOFLINE": "1"}, 2400),
     ("f05_chunk8", {"BENCH_GRID": "f05", "BENCH_ROOFLINE": "1"}, 3000),
+    # full coupled atm_step (round-4 VERDICT #1): config-4b aquaplanet
+    ("coupled_f19", {"BENCH_COUPLED": "1"}, 3000),
+    ("coupled_f09", {"BENCH_COUPLED": "1", "BENCH_GRID": "f09"}, 3600),
 ]
 
 
