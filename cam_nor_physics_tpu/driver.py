@@ -122,6 +122,17 @@ def _check_state(state: AtmState, nstep: int) -> None:
                           f"at step {nstep}")
 
 
+def _state_ok(state: AtmState) -> jnp.ndarray:
+    """Scalar bool: the same predicate as _check_state, as a jit-safe
+    expression — accumulated per step inside the chunk scan so ABORT.json
+    can report the EXACT diverging step (round-4 VERDICT #10), not just
+    the chunk-boundary bound. An isfinite+max reduction over u/pt per
+    step; negligible next to the step itself."""
+    u = state.dyn.u
+    return (jnp.isfinite(u).all() & jnp.isfinite(state.dyn.pt).all()
+            & (jnp.abs(u).max() <= UMAX_GUARD))
+
+
 def latest_checkpoint(out_dir: str) -> str | None:
     """Most recent `ckpt_*` directory under out_dir (restart discovery)."""
     import glob
@@ -130,18 +141,21 @@ def latest_checkpoint(out_dir: str) -> str | None:
 
 
 def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
-                      hist, ckpt_writer, last_ok: int = 0) -> None:
+                      hist, ckpt_writer, last_ok: int = 0,
+                      exact_step: int | None = None) -> None:
     """Structured abort record (the endrun replacement, SURVEY §5.3): flush
     IO workers so no tape/checkpoint is truncated, then write ABORT.json
     with the failure reason and a pointer to the last good checkpoint —
     the recovery contract is restart-from-checkpoint (SURVEY §5.4).
 
-    `failed_step` is the step at which the sentinels DETECTED the failure —
-    a check boundary, not necessarily the step that diverged: sentinels run
-    every `check_every` steps (and, in the chunked loop, only at chunk
+    `detected_step` is the check boundary at which the sentinels fired
+    (sentinels run every `check_every` steps; in the chunked loop at chunk
     boundaries, so detection can slip to ceil(check_every/chunk)*chunk).
-    `failed_within` bounds the actual divergence: (last step that passed
-    the sentinels, detection step]. Restart tooling should resume from
+    `failed_step` is the EXACT first diverging step when per-step flags
+    are available (the chunked loop accumulates _state_ok inside the scan
+    — round-4 VERDICT #10); otherwise it equals `detected_step`.
+    `failed_within` bounds the divergence: (last step that passed, first
+    failing step]. Restart tooling should resume from
     `last_good_checkpoint` and treat every step after `failed_within[0]`
     as suspect."""
     import json
@@ -150,8 +164,12 @@ def _structured_abort(out_dir: str, err: BlowupError, nstep: int,
     if ckpt_writer:
         ckpt_writer.flush()
         ckpt_writer.close()
-    record = {"reason": str(err), "failed_step": nstep,
-              "failed_within": [last_ok, nstep],
+    record = {"reason": str(err),
+              "failed_step": nstep if exact_step is None else exact_step,
+              "detected_step": nstep,
+              "exact": exact_step is not None,
+              "failed_within": ([last_ok, nstep] if exact_step is None
+                                else [exact_step - 1, exact_step]),
               "last_good_checkpoint": latest_checkpoint(out_dir)}
     with open(os.path.join(out_dir, "ABORT.json"), "w") as f:
         json.dump(record, f, indent=1)
@@ -299,10 +317,12 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
                 payload = _step_payload(st2, cam_in, cam_out, diags, area)
                 bufs = {t: outfld_many(b, payload, reg)
                         for t, b in bufs.items()}
-            return (st2, bufs), None
+            # per-step sentinel flag (VERDICT #10): rides out as a (n,)
+            # bool so a boundary failure can be localized to the exact step
+            return (st2, bufs), _state_ok(st2)
 
-        (st, bufs), _ = jax.lax.scan(body, (st, bufs), None, length=n)
-        return st, bufs
+        (st, bufs), oks = jax.lax.scan(body, (st, bufs), None, length=n)
+        return st, bufs, oks
 
     jfn = jax.jit(chunk_fn, static_argnames=("n",))
     jdon = (jax.jit(chunk_fn, static_argnames=("n",), donate_argnums=(1, 2))
@@ -313,9 +333,20 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
     i = 0
     check_eff = (-(-check_every // chunk) * chunk) if check_every else 0
     last_ok = 0
+    # per-step sentinel flags accumulated since the last clean check:
+    # [(first_step_of_batch, (n,) bool device array)] — fetched ONLY when a
+    # boundary check fails, to localize the exact diverging step
+    pending_flags = []
+
+    def _exact_failed_step():
+        for start, oks in pending_flags:
+            bad = np.flatnonzero(~np.asarray(oks))
+            if bad.size:
+                return start + int(bad[0])
+        return None
 
     def boundary(i):
-        nonlocal bufs, last_ok
+        nonlocal bufs, last_ok, pending_flags
         if hist:
             hist.bufs = bufs
             with timer.region("history_write"):
@@ -330,11 +361,13 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
                 try:
                     _check_state(state, i)
                     last_ok = i
+                    pending_flags = []
                 except BlowupError as err:
-                    # detection is at the chunk boundary; the divergence lies
-                    # in (last_ok, i] — recorded as failed_within
+                    # detection is at the chunk boundary; the per-step
+                    # flags localize the exact diverging step
                     _structured_abort(out_dir, err, i, hist, ckpt_writer,
-                                      last_ok=last_ok)
+                                      last_ok=last_ok,
+                                      exact_step=_exact_failed_step())
                     raise
 
     if int(state.nstep) == 0 and nsteps > 0:
@@ -346,6 +379,7 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
             payload = _step_payload(state, cam_in, cam_out, diags, area)
             bufs = {t: outfld_many(b, payload, reg)
                     for t, b in bufs.items()}
+        pending_flags.append((1, _state_ok(state)[None]))
         i = 1
         boundary(i)
 
@@ -353,9 +387,10 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
     while i < nsteps:
         n = min(chunk - (i % chunk), nsteps - i)
         fn = jdon if donate else jfn
-        state, bufs = timer.timed("atm_step", fn, model, state, bufs,
-                                  cam_in, n=n)
+        state, bufs, oks = timer.timed("atm_step", fn, model, state, bufs,
+                                       cam_in, n=n)
         donate = True
+        pending_flags.append((i + 1, oks))
         i += n
         boundary(i)
 

@@ -115,9 +115,11 @@ def test_chunked_cadence_validation(setup, tmp_path):
 
 
 def test_chunked_sentinel_abort(setup, tmp_path):
-    """Blow-up inside a chunk still produces the structured abort record
-    at the chunk boundary, and the record bounds the divergence interval
-    (failed_step is the DETECTION boundary, not the diverging step)."""
+    """Blow-up inside a chunk produces the structured abort record at the
+    chunk boundary, and the per-step flags accumulated inside the scan
+    localize the EXACT diverging step (round-4 VERDICT #10): the NaN is in
+    the initial state, so step 1 is the first failing step, even though
+    detection happens at the check boundary (step 2)."""
     import json
 
     from cam_nor_physics_tpu.driver import BlowupError
@@ -130,5 +132,34 @@ def test_chunked_sentinel_abort(setup, tmp_path):
             check_every=2, chunk=2)
     with open(str(tmp_path / "z" / "ABORT.json")) as f:
         rec = json.load(f)
-    lo, hi = rec["failed_within"]
-    assert lo < hi == rec["failed_step"]
+    assert rec["exact"] is True
+    assert rec["failed_step"] == 1          # exact first diverging step
+    assert rec["detected_step"] == 2        # the check boundary that fired
+    assert rec["failed_within"] == [0, 1]
+
+
+def test_chunked_sentinel_abort_midrun(setup, tmp_path):
+    """Exact localization when the divergence starts mid-run: healthy steps
+    1..2 pass a clean check (clearing the flag backlog), then a NaN forced
+    into the state before the next chunk is localized to step 3 while
+    detection is at boundary 4."""
+    import json
+
+    from cam_nor_physics_tpu import driver as drv
+
+    model, state0, cam_in = setup
+    # run 2 clean steps, then poison the state and continue chunked
+    mid, _ = run(model, state0, cam_in, 2, out_dir=str(tmp_path / "m"),
+                 check_every=2, chunk=2)
+    bad = mid.replace(dyn=mid.dyn.replace(
+        u=mid.dyn.u.at[0, 4, 4].set(jnp.nan)))
+    with pytest.raises(drv.BlowupError):
+        run(model, bad, cam_in, 2, out_dir=str(tmp_path / "z2"),
+            check_every=2, chunk=2)
+    with open(str(tmp_path / "z2" / "ABORT.json")) as f:
+        rec = json.load(f)
+    assert rec["exact"] is True
+    # run() counts its own steps from 1; the first step of this resumed run
+    # is the first failing one
+    assert rec["failed_step"] == 1
+    assert rec["detected_step"] == 2
