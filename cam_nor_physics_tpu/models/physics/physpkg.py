@@ -102,13 +102,88 @@ class PhysRunOut:
 
 
 
-def _snap(diags: dict, phys_cfg: PhysConfig, tag: str, state) -> None:
+# Ordered snapshot sites (cam_take_snapshot_before/after tape contract,
+# phys_control.F90:111-114, physpkg.F90:2788-2804): every _snap call tag, in
+# execution order. snapshot_register() declares the tape fields from this
+# list; tests localize injected perturbations against it.
+SNAPSHOT_SITES = (
+    "chkenergyfix_before", "chkenergyfix_after",
+    "dadadj_before", "dadadj_after",
+    "convect_deep_before", "convect_deep_after",
+    "vertical_diffusion_before", "vertical_diffusion_after",
+    "macmic_before", "macmic_after",
+    "convect_deep_2_before", "convect_deep_2_after",
+    "radiation_before", "radiation_after",
+    "rayleigh_before", "rayleigh_after",
+    "dme_adjust_before", "dme_adjust_after",
+)
+
+# per-site payload: the full prognostic state + (when the site produced
+# one) the parameterization's ptend — the reference writes state%T/u/v/s/ps
+# + every constituent + ptend to the before/after tapes
+_SNAP_STATE_FIELDS = ("T", "U", "V", "S", "PS")
+
+# after-sites whose parameterization exposes a single ptend to snapshot
+# (ZM applies its tendencies internally — its payload is the ZMDT/ZMDQ
+# diagnostics family; dme_adjust is a state adjustment, not a ptend)
+_PTEND_SITES = ("chkenergyfix_after", "dadadj_after",
+                "vertical_diffusion_after", "macmic_after",
+                "convect_deep_2_after", "radiation_after",
+                "rayleigh_after")
+
+
+def _snap(diags: dict, phys_cfg: PhysConfig, tag: str, state,
+          ptend=None) -> None:
     """Snapshot hook (cam_take_snapshot_before/after role,
-    phys_control.F90:111-114): record T/qv around each parameterization for
-    offline diffing when phys_cfg.cam_snapshot."""
-    if phys_cfg.cam_snapshot:
-        diags[f"SNAP_{tag}_T"] = state.t
-        diags[f"SNAP_{tag}_Q"] = state.q[:, :, 0]
+    phys_control.F90:111-114, write sites physpkg.F90:2788-2804): record
+    the FULL prognostic state (T/u/v/s/ps + every constituent) — and, at
+    'after' sites, the parameterization's ptend — for offline diffing when
+    phys_cfg.cam_snapshot. Fields ride the diagnostics dict and land on
+    whatever tape snapshot_register() declared them to."""
+    if not phys_cfg.cam_snapshot:
+        return
+    diags[f"SNAP_{tag}_T"] = state.t
+    diags[f"SNAP_{tag}_U"] = state.u
+    diags[f"SNAP_{tag}_V"] = state.v
+    diags[f"SNAP_{tag}_S"] = state.s
+    diags[f"SNAP_{tag}_PS"] = state.ps
+    for k in range(state.pcnst):
+        diags[f"SNAP_{tag}_Q{k:02d}"] = state.q[:, :, k]
+    if ptend is not None:
+        diags[f"SNAP_{tag}_PTEND_S"] = ptend.s
+        diags[f"SNAP_{tag}_PTEND_U"] = ptend.u
+        diags[f"SNAP_{tag}_PTEND_V"] = ptend.v
+        for k in range(state.pcnst):
+            diags[f"SNAP_{tag}_PTEND_Q{k:02d}"] = ptend.q[:, :, k]
+
+
+def snapshot_register(reg, pcnst: int, tape: int = 1) -> None:
+    """Declare the snapshot payload on a history tape (the reference's
+    cam_snapshot_before_num/after_num tapes, phys_control.F90:111-114):
+    one instantaneous field per SNAPSHOT_SITES x state/ptend component.
+    `reg` is a utils.history.HistoryRegistry."""
+    units = {"T": "K", "U": "m/s", "V": "m/s", "S": "J/kg", "PS": "Pa"}
+    for tag in SNAPSHOT_SITES:
+        for f in _SNAP_STATE_FIELDS:
+            reg.addfld(f"SNAP_{tag}_{f}", units[f],
+                       f"snapshot {f} at {tag}",
+                       vdim="srf" if f == "PS" else "mid", avgflag="I")
+            reg.add_default(f"SNAP_{tag}_{f}", tape=tape)
+        for k in range(pcnst):
+            reg.addfld(f"SNAP_{tag}_Q{k:02d}", "kg/kg",
+                       f"snapshot constituent {k} at {tag}", avgflag="I")
+            reg.add_default(f"SNAP_{tag}_Q{k:02d}", tape=tape)
+        if tag in _PTEND_SITES:
+            for f in ("S", "U", "V"):
+                reg.addfld(f"SNAP_{tag}_PTEND_{f}",
+                           "J/kg/s" if f == "S" else "m/s2",
+                           f"snapshot ptend {f} at {tag}", avgflag="I")
+                reg.add_default(f"SNAP_{tag}_PTEND_{f}", tape=tape)
+            for k in range(pcnst):
+                reg.addfld(f"SNAP_{tag}_PTEND_Q{k:02d}", "kg/kg/s",
+                           f"snapshot ptend constituent {k} at {tag}",
+                           avgflag="I")
+                reg.add_default(f"SNAP_{tag}_PTEND_Q{k:02d}", tape=tape)
 
 def _stub_ptend(name: str, state: PhysicsState):
     """Zero ptend with the interface shape of an unported parameterization
@@ -175,7 +250,7 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
         diags["UTEND_CORE"] = valid * (state.u - pbuf.get("DUCORE")) / ztodt
         diags["VTEND_CORE"] = valid * (state.v - pbuf.get("DVCORE")) / ztodt
 
-    _snap(diags, phys_cfg, 'chkenergyfix_after', state)
+    _snap(diags, phys_cfg, 'chkenergyfix_after', state, ptend=ptend)
     # pre-moist-processes snapshot (diag_conv_tend_ini, physpkg.F90:2745)
     from .cam_diagnostics import diag_conv_tend_ini
     _ini = diag_conv_tend_ini(state)
@@ -189,7 +264,7 @@ def tphysbc(phys_cfg: PhysConfig, zm_cfg: ZMConfig,
     ptend = ptend.replace(s=tend_s, q=ptend.q.at[:, :, 0].set(tend_q))
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
-    _snap(diags, phys_cfg, 'dadadj_after', state)
+    _snap(diags, phys_cfg, 'dadadj_after', state, ptend=ptend)
     _snap(diags, phys_cfg, 'convect_deep_before', state)
     # ---- DEEP CONVECTION (physpkg.F90:2813-2868 -> zm_conv_tend) ----
     pblh = pbuf.get("PBLH")
@@ -300,6 +375,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     cflx = qneg4(cam_in.cflx, state.q[:, -1, :],
                  state.pdel[:, -1:].repeat(pcnst, axis=-1), ztodt, c.GRAVIT)
 
+    _snap(diags, phys_cfg, 'vertical_diffusion_before', state)
     # ---- implicit vertical diffusion + surface fluxes
     # (vertical_diffusion_tend, physpkg.F90:2144-2171) ----
     from .vertical_diffusion import vertical_diffusion_tend
@@ -320,13 +396,14 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
                                  flx_vap=cflx[:, 0], flx_sen=cam_in.shf)
     diags["KVH"] = vd["kvh"]
 
-    _snap(diags, phys_cfg, 'vertical_diffusion_after', state)
+    _snap(diags, phys_cfg, 'vertical_diffusion_after', state, ptend=ptend)
     # ---- macro/micro substep loop (physpkg.F90:1719-1915) ----
     # the macrophysics slot's cloud-fraction product: diagnostic Sundqvist
     # + convective fraction into the CLD pbuf field (cldfrc role)
     from .cloud_fraction import cldfrc
     pbuf = pbuf.set("CLD", cldfrc(state, pbuf.get("CMFMC_DP")))
 
+    _snap(diags, phys_cfg, 'macmic_before', state)
     n_sub = phys_cfg.cld_macmic_num_steps
     for _ in range(n_sub):
         # clubb_tend_cam slot: PBL turbulence + shallow convection +
@@ -340,10 +417,12 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
         state, tend = physics_update(state, ptend, ztodt / n_sub,
                                      registry, tend)
 
+    _snap(diags, phys_cfg, 'macmic_after', state, ptend=ptend)
     # ---- aerosol wet deposition slot (physpkg.F90:1936-1960) — STUB ----
     ptend = _stub_ptend("wetdep", state)
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
 
+    _snap(diags, phys_cfg, 'convect_deep_2_before', state)
     # ---- convective tracer transport pass 2 (physpkg.F90:1988) ----
     ptend = zm_conv_tend_2(registry, state, pbuf, ztodt)
     # pre-clip prediction for the clipping-tendency diagnostics
@@ -352,6 +431,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     # qmin-clamped result of physics_update
     q_preclip = state.q + ptend.q * ztodt
     state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    _snap(diags, phys_cfg, 'convect_deep_2_after', state, ptend=ptend)
     from .cam_diagnostics import diag_clip_tend_writeout, diag_conv
     diags.update(diag_clip_tend_writeout(
         q_preclip, state.q, ztodt, 0, registry.index("CLDLIQ"),
@@ -364,6 +444,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
                 "Q_ini": pbuf.get("DQCOND_QINI")}, ztodt,
         cnst_names=registry.names))
 
+    _snap(diags, phys_cfg, 'radiation_before', state)
     # ---- radiation slot (physpkg.F90:2030-2051) ----
     if phys_cfg.radiation_scheme == "gray":
         # working gray two-stream radiation (see radiation.py); "rrtmg"
@@ -386,9 +467,11 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
     else:
         ptend = _stub_ptend("radheat", state)
         state, tend = physics_update(state, ptend, ztodt, registry, tend)
+    _snap(diags, phys_cfg, 'radiation_after', state, ptend=ptend)
 
     # ---- Rayleigh friction (physpkg.F90:2177-2185) ----
     if phys_cfg.raytau0 > 0.0:
+        _snap(diags, phys_cfg, 'rayleigh_before', state)
         from .rayleigh_friction import rayleigh_friction_tend
         dudt, dvdt, dsdt = rayleigh_friction_tend(
             state, ztodt, phys_cfg.rayk0, phys_cfg.raykrange,
@@ -398,6 +481,7 @@ def tphysac(phys_cfg: PhysConfig, registry: ConstituentRegistry,
         ptend = ptend.replace(u=dudt, v=dvdt, s=dsdt)
         state, tend = physics_update(state, ptend, ztodt, registry, tend)
         state, _ = check_energy_chng(state, registry, ztodt)
+        _snap(diags, phys_cfg, 'rayleigh_after', state, ptend=ptend)
 
     _snap(diags, phys_cfg, 'dme_adjust_before', state)
     # ---- dry-mass / energy adjustment (physpkg.F90:2394-2452) ----
