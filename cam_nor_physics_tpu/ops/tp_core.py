@@ -561,6 +561,95 @@ def edge_north(fy):
     return wset_row(_rolly(fy, -1), -1, 0.0)
 
 
+def ycc(q, vc, ymass, jord: int, iv: int):
+    """C-grid N-S flux (ycc, tp_core.F90:1544-1704).
+
+    NORTH-edge convention (unlike ytp): fy[j] is the flux between rows j
+    and j+1, donor row j (vc>0) or j+1 (vc<=0); vc/ymass share the
+    convention. The slope limiter is van Leer mismatch for every jord != 1
+    (ycc has no PPM branch), with pole-row dc from cross-pole mirrors —
+    zeroed again when jord > 0 (monotonic). Rows 1..jm-2 of fy are set.
+    iv=0 scalar (used by tpcc), iv=1 vector (cd_core's C-grid vort flux).
+    """
+    jm, im = q.shape
+    im2 = im // 2
+    rows = jnp.arange(jm)[:, None]
+    up = vc > 0.0
+    q_up = wset_row(_rolly(q, -1), -1, q)           # row j+1
+
+    if jord == 1:
+        fe = jnp.where(up, q, q_up)
+        return jnp.where((rows >= 1) & (rows <= jm - 2), fe * ymass, 0.0)
+
+    # van Leer mismatch, interior rows 2..jm-2 (F js3giv..jn2g1 = 3..jm-1)
+    dc = jnp.where((rows >= 2) & (rows <= jm - 2),
+                   0.25 * (_rolly(q, -1) - _rolly(q, 1)),
+                   jnp.zeros_like(q))
+    if iv == 0:                                     # scalar poles (:1624)
+        dc_s = 0.25 * (q[2, :] - _rollv(q[1, :], -im2))
+        dc_n = 0.25 * (_rollv(q[jm - 1, :], -im2) - q[jm - 2, :])
+    else:                                           # vector poles (:1649)
+        dc_s = 0.25 * (q[2, :] + _rollv(q[1, :], -im2))
+        dc_n = -0.25 * (q[jm - 2, :] + _rollv(q[jm - 1, :], -im2))
+    dc = wset_row(wset_row(dc, 1, dc_s), jm - 1, dc_n)
+    if jord > 0:                                    # monotonic (:1671-1692)
+        qm, qp = _rolly(q, 1), _rolly(q, -1)
+        qmax = jnp.maximum(jnp.maximum(qm, q), qp) - q
+        qmin = q - jnp.minimum(jnp.minimum(qm, q), qp)
+        lim = jnp.sign(dc) * jnp.minimum(jnp.minimum(jnp.abs(dc), qmin),
+                                         qmax)
+        dc = jnp.where((rows >= 2) & (rows <= jm - 2), lim, dc)
+        dc = wset_row(wset_row(dc, 1, 0.0), jm - 1, 0.0)
+
+    dc_up = wset_row(_rolly(dc, -1), -1, dc)        # dc[j+1]
+    slope = jnp.sign(vc) - vc
+    fe = jnp.where(up, q + slope * dc, q_up + slope * dc_up)
+    return jnp.where((rows >= 1) & (rows <= jm - 2), fe * ymass, 0.0)
+
+
+def tpcc(va, q, crx, cry, ymass, iord: int, jord: int, cose, ffsl,
+         band: int | None = None):
+    """C-grid 2-D transport fluxes (tpcc, tp_core.F90:1396-1536).
+
+    The C-grid counterpart of tp2d, consumed by the reference cd_core's
+    c_sw half step for pt: inner first-order advective x-op, ycc (van
+    Leer, north-edge) for fy, then the advective y-op — with the scalar
+    cross-pole mirror written into q's south row and the va-upwinded
+    north-pole row (:1490-1515) — and the outer xtp at `iord` for fx.
+    va: (jm, im) cell-center advective y-Courant; crx ghost-free (jm, im);
+    cry/ymass in ycc's north-edge convention; cose: (jm,) critical cosine
+    at the xtp rows. Returns (fx, fy); fx rows 1..jm-1 and fy rows
+    1..jm-2 are meaningful (row 0 zeroed).
+    """
+    jm, im = q.shape
+    im2 = im // 2
+    rows = jnp.arange(jm)[:, None]
+
+    # inner first-order advective x-op (:1469-1485)
+    wk1 = xtp(q, crx, crx, cose, ffsl, 1, 0, band=band)
+    adx = q + 0.5 * (wk1 - _rollx(wk1, -1) + q * (_rollx(crx, -1) - crx))
+    adx = wset_row(adx, 0, q)
+    fy = ycc(adx, cry, ymass, jord, 0)
+
+    # scalar SP mirror into the south row (:1490-1498)
+    q2 = wset_row(q, 0, _rollv(q[1, :], -im2))
+    # NP advective row from va (:1500-1515)
+    fx1 = _rollv(q2[jm - 1, :], -im2)
+    ad_n = jnp.where(va[jm - 1, :] > 0.0,
+                     q2[jm - 1] + 0.5 * va[jm - 1] * (q2[jm - 2] -
+                                                      q2[jm - 1]),
+                     q2[jm - 1] + 0.5 * va[jm - 1] * (q2[jm - 1] - fx1))
+    # interior advective y-op (:1517-1525): jp = j-1 (va>0) else j
+    q_m = wset_row(_rolly(q2, 1), 0, q2[0])
+    q_p = wset_row(_rolly(q2, -1), -1, q2[jm - 1])
+    ady = q2 + 0.5 * va * jnp.where(va > 0.0, q_m - q2, q2 - q_p)
+    ady = wset_row(wset_row(ady, jm - 1, ad_n), 0, q2[0])
+
+    fx = xtp(ady, crx, crx, cose, ffsl, iord, 0, band=band)
+    fx = jnp.where(rows >= 1, fx, 0.0)
+    return fx, fy
+
+
 def tp2d(va, q, crx, cry, iord: int, jord: int, xfx, yfx, cosp, ffsl,
          id_: int, band: int | None = None):
     """2-D transport on the D grid (tp2d, tp_core.F90:163-276).

@@ -566,3 +566,99 @@ def tp2c_oracle(va, h, crx, cry, iord: int, jord: int, xfx, yfx, cosp,
     dh[0, :] = -np.sum(fy[1, :]) * rcap
     dh[jm - 1, :] = np.sum(fy[jm - 1, :]) * rcap
     return dh, fx, fy
+
+
+def ycc_oracle(q, vc, ymass, jord: int, iv: int):
+    """ycc (tp_core.F90:1544-1704) for jfirst=1, jlast=jm. q/vc/ymass
+    0-based (jm, im). NORTH-edge convention (unlike ytp): fy[j] is the flux
+    between rows j and j+1, donor jt = int(j_F+1 - vc) (F), i.e. row j for
+    vc>0 else row j+1. Rows 1..jm-2 set (F js2giv..jn2g0 = 2..jm-1 for the
+    global domain, either iv). iv=0 scalar, iv=1 vector (pole sign flips)."""
+    jm, im = q.shape
+    im2 = im // 2
+    fy = np.zeros_like(q)
+    if jord == 1:
+        for j in range(1, jm - 1):
+            for i in range(im):
+                jt = _int(float(j + 2) - vc[j, i]) - 1
+                fy[j, i] = q[jt, i] * ymass[j, i]
+        return fy
+
+    dc = np.zeros_like(q)
+    for j in range(2, jm - 1):                  # F js3giv..jn2g1 = 3..jm-1
+        for i in range(im):
+            dc[j, i] = 0.25 * (q[j + 1, i] - q[j - 1, i])
+    if iv == 0:                                 # scalar poles (F :1624-1642)
+        for i in range(im2):
+            dc[1, i] = 0.25 * (q[2, i] - q[1, i + im2])
+            dc[jm - 1, i] = 0.25 * (q[jm - 1, i + im2] - q[jm - 2, i])
+        for i in range(im2, im):
+            dc[1, i] = 0.25 * (q[2, i] - q[1, i - im2])
+            dc[jm - 1, i] = 0.25 * (q[jm - 1, i - im2] - q[jm - 2, i])
+    else:                                       # vector poles (F :1649-1667)
+        for i in range(im2):
+            dc[1, i] = 0.25 * (q[2, i] + q[1, i + im2])
+            dc[jm - 1, i] = -0.25 * (q[jm - 2, i] + q[jm - 1, i + im2])
+        for i in range(im2, im):
+            dc[1, i] = 0.25 * (q[2, i] + q[1, i - im2])
+            dc[jm - 1, i] = -0.25 * (q[jm - 2, i] + q[jm - 1, i - im2])
+    if jord > 0:                                # monotonic (F :1671-1692)
+        for j in range(2, jm - 1):
+            for i in range(im):
+                qmax = max(q[j - 1, i], q[j, i], q[j + 1, i]) - q[j, i]
+                qmin = q[j, i] - min(q[j - 1, i], q[j, i], q[j + 1, i])
+                dc[j, i] = _sign(min(abs(dc[j, i]), qmin, qmax), dc[j, i])
+        dc[1, :] = 0.0
+        dc[jm - 1, :] = 0.0
+    for j in range(1, jm - 1):                  # F :1695-1700
+        for i in range(im):
+            jt = _int(float(j + 2) - vc[j, i]) - 1
+            fy[j, i] = (q[jt, i] + (_sign(1.0, vc[j, i]) - vc[j, i])
+                        * dc[jt, i]) * ymass[j, i]
+    return fy
+
+
+def tpcc_oracle(va, q, crx, cry, ymass, iord: int, jord: int, cose, ffsl):
+    """tpcc (tp_core.F90:1396-1536) for jfirst=1, jlast=jm. All slabs
+    0-based (jm, im); cry/ymass in ycc's north-edge convention; cose is the
+    critical cosine per row (the C-grid xtp rows run at edge latitudes).
+    Returns (fx, fy): fx rows 1..jm-1 set (F 2..jm), fy rows 1..jm-2.
+    Mutates a COPY of q (the reference writes the SP mirror into q,
+    F :1490-1498)."""
+    jm, im = q.shape
+    im2 = im // 2
+    q = q.copy()
+    # inner first-order advective x-op (F :1469-1485), rows F 2..jm
+    wk1 = _xtp_slab(q, crx, crx, cose, ffsl, 1, 0, rows=range(1, jm))
+    adx = np.zeros_like(q)
+    for j in range(1, jm):
+        for i in range(im):
+            ip = (i + 1) % im
+            adx[j, i] = q[j, i] + 0.5 * (
+                wk1[j, i] - wk1[j, ip] + q[j, i] * (crx[j, ip] - crx[j, i]))
+    fy = ycc_oracle(adx, cry, ymass, jord, 0)
+    # scalar SP mirror into q row 1F (F :1490-1498)
+    for i in range(im2):
+        q[0, i] = q[1, i + im2]
+    for i in range(im2, im):
+        q[0, i] = q[1, i - im2]
+    # NP advective row from va (F :1500-1515)
+    fx1 = np.empty(im)
+    for i in range(im2):
+        fx1[i] = q[jm - 1, i + im2]
+    for i in range(im2, im):
+        fx1[i] = q[jm - 1, i - im2]
+    for i in range(im):
+        if va[jm - 1, i] > 0.0:
+            adx[jm - 1, i] = q[jm - 1, i] + 0.5 * va[jm - 1, i] * (
+                q[jm - 2, i] - q[jm - 1, i])
+        else:
+            adx[jm - 1, i] = q[jm - 1, i] + 0.5 * va[jm - 1, i] * (
+                q[jm - 1, i] - fx1[i])
+    # interior advective y-op (F :1517-1525): jp = int(j_F - va)
+    for j in range(1, jm - 1):
+        for i in range(im):
+            jp = _int(float(j + 1) - va[j, i]) - 1
+            adx[j, i] = q[j, i] + 0.5 * va[j, i] * (q[jp, i] - q[jp + 1, i])
+    fx = _xtp_slab(adx, crx, crx, cose, ffsl, iord, 0, rows=range(1, jm))
+    return fx, fy

@@ -172,3 +172,80 @@ def test_tp2c_parity():
     wdh, wfx, wfy = orc.tp2c_oracle(va, q, crx, cry, 4, 4, xfx, yfx, cosp,
                                     acosp, rcap, ffsl)
     np.testing.assert_allclose(np.asarray(gdh), wdh, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("jord", [1, 2, -2, 3])
+@pytest.mark.parametrize("iv", [0, 1])
+def test_ycc_parity(jord, iv):
+    """ycc (tp_core.F90:1544-1704): the C-grid N-S flux with its north-edge
+    donor convention, van Leer limiter for every jord != 1, and the
+    cross-pole dc mirrors (zeroed again for jord > 0)."""
+    jm, im = 17, 24
+    rng = np.random.default_rng(abs(jord) * 3 + iv + 31)
+    q = rng.standard_normal((jm, im))
+    vc = rng.uniform(-0.9, 0.9, (jm, im))
+    ymass = vc * (1.0 + 0.2 * rng.standard_normal((jm, im)))
+    got = np.asarray(tp.ycc(q, vc, ymass, jord, iv))
+    want = orc.ycc_oracle(q, vc, ymass, jord, iv)
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("iord,jord", [(1, 1), (2, 2), (4, 4), (4, -2),
+                                       (7, 3)])
+def test_tpcc_parity(iord, jord):
+    """tpcc (tp_core.F90:1396-1536): the C-grid transport pair — SP q
+    mirror, va-upwinded NP row, ycc fy, and the edge-latitude (cose) xtp
+    rows."""
+    jm, im = 19, 24
+    rng = np.random.default_rng(iord * 13 + jord + 7)
+    dp = np.pi / (jm - 1)
+    late = -0.5 * np.pi + dp * (np.arange(jm) - 0.5)   # edge latitudes
+    cose = np.maximum(np.cos(late), 1e-10)
+    x = 2.0 * np.pi * np.arange(im) / im
+    q = (2.0 + np.sin(x)[None, :] * np.cos(late)[:, None]
+         + 0.3 * rng.standard_normal((jm, im)))
+    ffsl = np.zeros(jm, bool)
+    ffsl[:4] = True
+    ffsl[-4:] = True
+    crx = rng.uniform(-0.9, 0.9, (jm, im))
+    crx[ffsl] = rng.uniform(-2.5, 2.5, (8, im))
+    va = rng.uniform(-0.9, 0.9, (jm, im))
+    cry = rng.uniform(-0.9, 0.9, (jm, im))
+    ymass = cry * (1.0 + 0.2 * rng.standard_normal((jm, im)))
+    gfx, gfy = tp.tpcc(va, q, crx, cry, ymass, iord, jord, cose, ffsl)
+    wfx, wfy = orc.tpcc_oracle(va, q, crx, cry, ymass, iord, jord, cose,
+                               ffsl)
+    np.testing.assert_allclose(np.asarray(gfx)[1:], wfx[1:],
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(gfy), wfy, rtol=RTOL, atol=ATOL)
+
+
+def test_tpcc_vs_tp2d_interior_first_order():
+    """The c_sw half step's C-grid route (transport3d -> tp2d at
+    iord=jord=1) vs the reference's dedicated tpcc at iord=jord=1: away
+    from the pole rows the two formulations produce IDENTICAL fluxes once
+    the edge conventions are aligned (tp2d's fy is south-edge, tpcc's is
+    north-edge: fy_tp2d[j+1] == fy_tpcc[j]); the deliberate deviation is
+    confined to the pole rows, where tp2d freezes the advective pre-update
+    (adx=q) while tpcc applies cross-pole mirrors (tp_core.F90:1490-1515).
+    This pins the repo's 'tp2c with id/iv flags serves tpcc' claim."""
+    jm, im = 19, 24
+    rng = np.random.default_rng(5)
+    dp = np.pi / (jm - 1)
+    late = -0.5 * np.pi + dp * (np.arange(jm) - 0.5)
+    cose = np.maximum(np.cos(late), 1e-10)
+    q = 2.0 + 0.3 * rng.standard_normal((jm, im))
+    ffsl = np.zeros(jm, bool)
+    crx = rng.uniform(-0.9, 0.9, (jm, im))
+    va = rng.uniform(-0.9, 0.9, (jm, im))
+    # one edge field, viewed in both conventions
+    cry_n = rng.uniform(-0.9, 0.9, (jm, im))       # north-edge (tpcc)
+    ymass_n = cry_n * 1.1
+    cry_s = np.roll(cry_n, 1, axis=0)              # south-edge (tp2d)
+    yfx_s = np.roll(ymass_n, 1, axis=0)
+    cfx, cfy = tp.tpcc(va, q, crx, cry_n, ymass_n, 1, 1, cose, ffsl)
+    dfx, dfy = tp.tp2d(va, q, crx, cry_s, 1, 1, crx, yfx_s, cose, ffsl, 0)
+    np.testing.assert_allclose(np.asarray(dfy)[2:-1],
+                               np.asarray(cfy)[1:-2], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(dfx)[2:-2],
+                               np.asarray(cfx)[2:-2], rtol=RTOL, atol=ATOL)
