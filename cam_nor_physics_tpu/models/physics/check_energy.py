@@ -78,13 +78,19 @@ def check_energy_chng(state: PhysicsState, registry: ConstituentRegistry,
     flx_sen = zero if flx_sen is None else flx_sen
 
     te, tw = column_energy(state, registry)
-    # expected changes from boundary fluxes over dt
+    # expected changes from boundary fluxes over dt (CAM check_energy
+    # convention): total energy counts (latvap+latice) per unit vapor, so
+    # condensate leaving as LIQUID debits the un-released latice while ice
+    # leaving debits nothing (its latice was released in the column when
+    # it froze/deposited) — hence the (flx_cnd - flx_ice) factor. flx_cnd
+    # is the TOTAL condensate flux out (prec includes snow; rliq includes
+    # the detrained-ice stream), so water debits flx_cnd alone.
     te_xpd = state.te_cur + dt * (
         flx_sen
         + (c.LATVAP + c.LATICE) * flx_vap
-        - (c.LATICE * c.RHOH2O) * flx_cnd)
+        - (c.LATICE * c.RHOH2O) * (flx_cnd - flx_ice))
     tw_xpd = state.tw_cur + dt * (
-        flx_vap - c.RHOH2O * (flx_cnd + flx_ice))
+        flx_vap - c.RHOH2O * flx_cnd)
     diag = EnergyDiag(te=te, tw=tw, te_err=te - te_xpd, tw_err=tw - tw_xpd)
     return state.replace(te_cur=te, tw_cur=tw), diag
 

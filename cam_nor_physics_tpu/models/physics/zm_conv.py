@@ -728,6 +728,205 @@ def buoyan_dilute(cfg: ZMConfig, msg: int, q, t, p, z, pf, zi_, zs,
 
 
 # =============================================================================
+# in-plume two-moment updraft microphysics (zm_mphy contract; called from
+# inside cldprp's iteration loop — zm_conv.F90:3782-3793)
+# =============================================================================
+
+@struct.dataclass
+class ZMMphyOut:
+    """Per-level updraft microphysics state (loc_conv role). All plume
+    arrays in cldprp's internal normalized units."""
+
+    qliq: jnp.ndarray     # in-plume cloud liquid at interfaces (kg/kg)
+    qice: jnp.ndarray     # in-plume cloud ice
+    qnl: jnp.ndarray      # in-plume droplet number (1/kg)
+    qni: jnp.ndarray      # in-plume crystal number
+    qcde: jnp.ndarray     # detrainable liquid (q1q2: dl = du*qcde(k+1))
+    qide: jnp.ndarray     # detrainable ice
+    qncde: jnp.ndarray    # detrainable droplet number
+    qnide: jnp.ndarray    # detrainable crystal number
+    rprd: jnp.ndarray     # rain production (cu units: flux*(kg/kg)/m)
+    sprd: jnp.ndarray     # snow production (cu units)
+    frz: jnp.ndarray      # liquid->ice freezing rate (cu units)
+    wu: jnp.ndarray       # updraft vertical velocity (m/s)
+
+
+def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
+            t, q, jt, jb, active, landfrac, aero=None,
+            scan_impl=None) -> ZMMphyOut:
+    """In-plume two-moment updraft microphysics (the zm_mphy call inside
+    cldprp, /root/reference/physics/zm_conv.F90:3782-3793; upstream Song &
+    Zhang 2011 scheme — the module itself is not in the reference tree, so
+    the process chain is this repo's standing two-moment formulation,
+    restructured to run INSIDE the plume ascent).
+
+    One bottom-up scan over the plume carrying the four condensate fluxes
+    (mu*ql, mu*qi, mu*nl, mu*ni) plus the updraft kinetic energy w^2. Per
+    level, the reference ql-budget differencing (zm_conv.F90:3848-3857)
+    extended to two phases and two numbers:
+
+        G_x = mu(k+1)*x(k+1) - dz*du*x(k+1) + dz*src_x(k)
+
+    then the process chain on the diluted in-plume mixing ratios with the
+    plume residence time dz/wu: Bigg immersion + Cooper contact/deposition
+    + homogeneous freezing (-> frz, heating the hu budget), KK2000
+    autoconversion + accretion (-> rprd), threshold ice-to-snow (-> sprd).
+    Mass closure is exact by construction: summed over the plume,
+    dz*(cmel+cmei) == dz*(rprd+sprd) + detrained fluxes (q1q2's
+    du*(qcde+qide)(k+1) series), which is what cldprp's microp totpcp
+    (zm_conv.F90:3814-3820) measures.
+
+    wu: d(w^2)/dz = 2a*B - 2*eps*w^2 with a=1/3, B = g*(Tu-T)/T and the
+    fractional entrainment eps = eu/mu — the zm_conv_t%wu role; used only
+    for the residence time (floored at 0.5 m/s).
+    """
+    from .zm_microphysics import (AIMM, BIMM, COOPER_A, COOPER_B, KK_A,
+                                  KK_ACC, M_ACT, M_ICE0, NACT_LND, NACT_OCN,
+                                  NI_MAX, QI0_SNOW, RHO_LIQ, T_HOM, TAU_SNOW,
+                                  activated_number)
+
+    ncol, pver = _shape_cp(t)
+    dtype = t.dtype
+    karr = _karr2(pver)
+    eps = jnp.asarray(1.0e-12, dtype)
+
+    # plume temperature from the updraft s (tug, zm_conv.F90:3712-3718)
+    tug = su - (GRAV / CP) * zf_top / (1.0 + CPVIR * qu)
+    rho = p * 100.0 / (c.RAIR * t)                   # p in mb
+    if aero is not None:
+        nact = activated_number(aero)
+        if _lm():
+            nact = nact.T
+    else:
+        nact = _bfull(NACT_LND * landfrac + NACT_OCN * (1.0 - landfrac),
+                      pver)
+
+    in_plume = (karr >= _c(jt)) & (karr < _c(jb)) & _col(active)
+
+    xs = dict(tug=tug, t=t, dz=dz, mu=mu, du=du, eu=eu, cmel=cmel,
+              cmei=cmei, rho=rho, nact=nact,
+              inp=in_plume.astype(dtype))
+    z4 = jnp.zeros((ncol,), dtype)
+    carry0 = dict(f_ql=z4, f_qi=z4, f_nl=z4, f_ni=z4, w2=z4, mu_b=z4)
+
+    def step(cy, x, k):
+        live = (x["inp"] > 0.5)
+        mu_k = x["mu"]
+        pos = mu_k > 0.0
+        mu_s = jnp.maximum(mu_k, eps)
+
+        # updraft w^2 (buoyancy - entrainment drag)
+        buoy = GRAV * (x["tug"] - x["t"]) / jnp.maximum(x["t"], 1.0)
+        lam = x["eu"] / mu_s
+        w2 = jnp.maximum(cy["w2"] + 2.0 * x["dz"] *
+                         ((1.0 / 3.0) * buoy - lam * cy["w2"]), 0.0)
+        wu = jnp.sqrt(w2)
+        tau = x["dz"] / jnp.maximum(wu, 0.5)
+
+        # budget step (reference differencing) for all four species
+        def g(f_b, x_b, src):
+            return cy["mu_b"] * x_b - x["dz"] * x["du"] * x_b + \
+                x["dz"] * src
+
+        ql_b = _safe_div(cy["f_ql"], jnp.maximum(cy["mu_b"], eps))
+        qi_b = _safe_div(cy["f_qi"], jnp.maximum(cy["mu_b"], eps))
+        nl_b = _safe_div(cy["f_nl"], jnp.maximum(cy["mu_b"], eps))
+        ni_b = _safe_div(cy["f_ni"], jnp.maximum(cy["mu_b"], eps))
+        ql_b = jnp.where(cy["mu_b"] > 0, ql_b, 0.0)
+        qi_b = jnp.where(cy["mu_b"] > 0, qi_b, 0.0)
+        nl_b = jnp.where(cy["mu_b"] > 0, nl_b, 0.0)
+        ni_b = jnp.where(cy["mu_b"] > 0, ni_b, 0.0)
+
+        Gl = g(cy["f_ql"], ql_b, jnp.maximum(x["cmel"], 0.0))
+        Gi = g(cy["f_qi"], qi_b, jnp.maximum(x["cmei"], 0.0))
+        # activation: new liquid at the activation radius; deposition ice
+        # at the fresh-crystal size
+        Gnl = g(cy["f_nl"], nl_b, jnp.maximum(x["cmel"], 0.0) / M_ACT)
+        Gni = g(cy["f_ni"], ni_b, jnp.maximum(x["cmei"], 0.0) / M_ICE0)
+
+        ql_u = jnp.where(pos, jnp.maximum(Gl, 0.0) / mu_s, 0.0)
+        qi_u = jnp.where(pos, jnp.maximum(Gi, 0.0) / mu_s, 0.0)
+        nl_u = jnp.where(pos, jnp.minimum(jnp.maximum(Gnl, 0.0) / mu_s,
+                                          x["nact"]), 0.0)
+        ni_u = jnp.where(pos, jnp.maximum(Gni, 0.0) / mu_s, 0.0)
+
+        # ---- freezing: Bigg immersion + Cooper + homogeneous ----
+        dT = jnp.clip(TFREEZ - x["tug"], 0.0, 40.0)
+        frz_imm = BIMM * jnp.expm1(AIMM * dT) * x["rho"] * ql_u * ql_u / \
+            jnp.maximum(nl_u * RHO_LIQ * M_ACT, eps) * M_ACT
+        frz_imm = jnp.where(x["tug"] < TFREEZ, frz_imm, 0.0)
+        dq_frz = jnp.minimum(ql_u, frz_imm * tau)
+        n_cooper = jnp.minimum(COOPER_A * jnp.exp(COOPER_B * dT) / x["rho"],
+                               NI_MAX)
+        n_cooper = jnp.where(x["tug"] < TFREEZ, n_cooper, 0.0)
+        dn_nuc = jnp.maximum(n_cooper - ni_u, 0.0)
+        dq_nuc = jnp.minimum(jnp.maximum(ql_u - dq_frz, 0.0),
+                             dn_nuc * M_ICE0)
+        dn_nuc = dq_nuc / M_ICE0
+        dq_frz = dq_frz + dq_nuc
+        dq_frz = jnp.where(x["tug"] <= T_HOM, ql_u, dq_frz)
+        frac_frz = dq_frz / jnp.maximum(ql_u, eps)
+        dn_l = jnp.minimum(nl_u * frac_frz, nl_u)
+        dn_i = dn_l + jnp.maximum(dn_nuc - dn_l, 0.0)
+        ql_u = ql_u - dq_frz
+        qi_u = qi_u + dq_frz
+        nl_u = nl_u - dn_l
+        ni_u = ni_u + dn_i
+
+        # ---- autoconversion + accretion (KK2000) ----
+        nc_cm3 = jnp.maximum(nl_u * x["rho"] * 1.0e-6, 1.0)
+        auto = KK_A * jnp.maximum(ql_u, 0.0) ** 2.47 * nc_cm3 ** (-1.79)
+        dq_rain = jnp.minimum(ql_u, auto * tau)
+        frac_rain = dq_rain / jnp.maximum(ql_u, eps)
+        nl_u = nl_u * (1.0 - frac_rain)
+        ql_u = ql_u - dq_rain
+        accr = KK_ACC * (jnp.maximum(ql_u, 0.0) *
+                         jnp.maximum(dq_rain, 0.0)) ** 1.15
+        dq_accr = jnp.minimum(ql_u, accr * tau)
+        frac_accr = dq_accr / jnp.maximum(ql_u, eps)
+        nl_u = nl_u * (1.0 - frac_accr)
+        ql_u = ql_u - dq_accr
+        dq_rain = dq_rain + dq_accr
+
+        # ---- ice -> snow ----
+        conv = jnp.maximum(qi_u - QI0_SNOW, 0.0) / TAU_SNOW
+        dq_snow = jnp.minimum(qi_u, conv * tau)
+        frac_snow = dq_snow / jnp.maximum(qi_u, eps)
+        ni_u = ni_u * (1.0 - frac_snow)
+        qi_u = qi_u - dq_snow
+
+        zero = jnp.zeros_like(ql_u)
+        sel = lambda v: jnp.where(live & pos, v, zero)
+        new_cy = dict(
+            f_ql=sel(ql_u * mu_k), f_qi=sel(qi_u * mu_k),
+            f_nl=sel(nl_u * mu_k), f_ni=sel(ni_u * mu_k),
+            w2=jnp.where(live, w2, zero), mu_b=mu_k)
+        rate = lambda dq: jnp.where(live & pos,
+                                    dq * mu_k / jnp.maximum(x["dz"], eps),
+                                    zero)
+        # frz carries the FULL latent-ice release of this level: droplet
+        # freezing (dq_frz) plus direct vapor->ice deposition (the cmei
+        # share of new condensate) — the hu/q1q2 budgets heat by
+        # latice*frz, and ice formed by either path leaves the column as
+        # snow or detrained ice with no further latent-ice debit
+        outs = (sel(ql_u), sel(qi_u), sel(nl_u), sel(ni_u),
+                rate(dq_rain), rate(dq_snow),
+                rate(dq_frz) + jnp.where(live & pos,
+                                         jnp.maximum(x["cmei"], 0.0), zero),
+                jnp.where(live, wu, zero))
+        return new_cy, outs
+
+    if scan_impl is None:
+        scan_impl = LAX_SCAN
+    _, (qliq, qice, qnl, qni, rprd, sprd, frz, wu) = scan_impl.scan(
+        step, carry0, xs, reverse=True)
+
+    return ZMMphyOut(qliq=qliq, qice=qice, qnl=qnl, qni=qni,
+                     qcde=qliq, qide=qice, qncde=qnl, qnide=qni,
+                     rprd=rprd, sprd=sprd, frz=frz, wu=wu)
+
+
+# =============================================================================
 # cldprp  (zm_conv.F90:3024-4026)
 # =============================================================================
 
@@ -757,10 +956,23 @@ class CldprpOut:
     jlcl: jnp.ndarray
     j0: jnp.ndarray
     jd: jnp.ndarray
+    # --- microp extension (zmconv_microp; zeros when off) ---
+    qide: jnp.ndarray     # detrainable ice (q1q2: di = du*qide(k+1))
+    qncde: jnp.ndarray    # detrainable droplet number
+    qnide: jnp.ndarray    # detrainable crystal number
+    sprd: jnp.ndarray     # snow production (cu units until zm_convr scales)
+    frz: jnp.ndarray      # freezing rate (cu units)
+    qliq: jnp.ndarray     # in-plume liquid (conv%qliq diagnostics)
+    qice: jnp.ndarray     # in-plume ice
+    qnl: jnp.ndarray
+    qni: jnp.ndarray
+    wu: jnp.ndarray       # updraft vertical velocity (m/s)
+    dcape: jnp.ndarray    # (ncol,) freezing-CAPE increment (loc_conv%dcape)
 
 
 def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
-           landfrac, scan_impl=LAX_SCAN, eu_only: bool = False) -> CldprpOut:
+           landfrac, scan_impl=LAX_SCAN, eu_only: bool = False,
+           aero: dict | None = None) -> CldprpOut:
     """Updraft/downdraft plume properties (cldprp, zm_conv.F90:3024-4026),
     zmconv_microp=off path. All mass fluxes normalized by cloud-base flux;
     eu/du/ed returned in 1/m (converted to 1/mb by the caller, matching
@@ -882,7 +1094,11 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
 
     active = eps0 > 0.0
 
-    # updraft mass flux profile (zm_conv.F90:3547-3569)
+    # updraft mass flux profile (zm_conv.F90:3547-3569). With microp the
+    # profile window opens at lel instead of the initial jt (F tmplel,
+    # :3545-3560) — the plume extends to its thermodynamic top and the
+    # ascent below decides the final jt.
+    microp = bool(cfg.microp)
     zf_jb = _take_col(zf, jb)
     zuef = _lsl(zf, slice(None, -1)) - _c(zf_jb)
     eps_b = _below(eps)
@@ -891,89 +1107,24 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     rmue = inv_eps0 * (jnp.exp(eps_b * zuef) - 1.0) / safe_zuef
     mu_f = inv_eps0 * (jnp.exp(eps * zuef) - 1.0) / safe_zuef
 
-    in_upd = (karr >= _c(jt0)) & (karr < _c(jb)) & _col(active)
-    mu = jnp.where(in_upd, mu_f, 0.0)
+    tmplel_prof = lel.astype(jnp.int32) if microp else jt0
+    in_upd = (karr >= _c(tmplel_prof)) & (karr < _c(jb)) & _col(active)
+    mu0 = jnp.where(in_upd, mu_f, 0.0)
     at_jb = karr == _c(jb)
-    mu = jnp.where(at_jb & _col(active), 1.0, mu)
-    mu_below = _below(mu)
-    eu = jnp.where(in_upd, (rmue - mu_below) / dz, 0.0)
-    eu = jnp.where(at_jb & _col(active), _safe_div(jnp.ones_like(dz), dz), eu)
-    du = jnp.where(in_upd, (rmue - mu) / dz, 0.0)
+    mu0 = jnp.where(at_jb & _col(active), 1.0, mu0)
+    mu_below = _below(mu0)
+    eu0 = jnp.where(in_upd, (rmue - mu_below) / dz, 0.0)
+    eu0 = jnp.where(at_jb & _col(active),
+                    _safe_div(jnp.ones_like(dz), dz), eu0)
+    du0 = jnp.where(in_upd, (rmue - mu0) / dz, 0.0)
 
-    # hu ascent with mu<0.02 cutoff (zm_conv.F90:3571-3599), bottom-up scan
+    # loop-invariant pieces of the ascent
     hu0 = jnp.where((karr >= _c(jt0)) & (karr <= _c(jb)),
                     _c(hmn_mx) + CP * _c(tiedke_msk), hmn)
-
-    xsH = dict(mu=mu, eu=eu, du=du, dz=dz, hmn=hmn, hsat=hsat, hu0=hu0)
     hu_jb = hmn_mx + CP * tiedke_msk
-    carryH = dict(mu_b=jnp.zeros((ncol,), dtype), hu_b=hu_jb)
-
-    def hu_step(cy, x, k):
-        inw = (k <= jb - 1) & (k >= lel) & active
-        weak = x["mu"] < 0.02
-        mu_k = jnp.where(inw & weak, 0.0, x["mu"])
-        eu_k = jnp.where(inw & weak, 0.0, x["eu"])
-        du_k = jnp.where(inw & weak, cy["mu_b"] / x["dz"], x["du"])
-        hu_k = jnp.where(
-            inw,
-            jnp.where(weak, x["hmn"],
-                      _safe_div(cy["mu_b"], mu_k) * cy["hu_b"] +
-                      _safe_div(x["dz"], mu_k) *
-                      (eu_k * x["hmn"] - du_k * x["hsat"])),
-            x["hu0"])
-        at_base = k == jb
-        mu_out = jnp.where(at_base, x["mu"], mu_k)
-        hu_out = jnp.where(at_base, x["hu0"], hu_k)
-        new_cy = dict(mu_b=mu_out, hu_b=jnp.where(inw | at_base, hu_out, cy["hu_b"]))
-        return new_cy, (mu_out, jnp.where(at_base, x["eu"], eu_k),
-                        jnp.where(at_base, x["du"], du_k), hu_out)
-
-    _, (mu, eu, du, hu) = scan_impl.scan(hu_step, carryH, xsH, reverse=True)
-
-    # jt detection (zm_conv.F90:3606-3629): first k from bottom in
-    # [lel-1, jb-2] matching either condition
-    hu_b2 = _below(hu)
-    hsthat_b = _below(hsthat)
-    hu_at_jb = _take_col(hu, jb)
-    in_det = (karr <= _c(jb) - 2) & (karr >= _c(lel) - 1)
-    cond1 = (hu <= hsthat) & (hu_b2 > hsthat_b) & (mu >= 0.02)
-    cond2 = (hu > _c(hu_at_jb)) | (mu < 0.02)
-    anyc = in_det & (cond1 | cond2)
-    jt_cand = jnp.where(cond1, jnp.where(hu - hsthat < -2000.0, karr + 1, karr),
-                        karr + 1)
-    det_k, det_found = _first_true_from_bottom(anyc, jnp.zeros((ncol,), jnp.int32))
-    jt = jnp.where(det_found,
-                   _take_col(jt_cand, det_k.astype(jnp.int32)), jt0).astype(jnp.int32)
-
-    # zero the region above jt (zm_conv.F90:3633-3648)
-    above_jt = (karr >= _c(lel)) & (karr <= _c(jt)) & _col(active)
-    mu_below2 = _below(mu)
-    at_jt = (karr == _c(jt)) & _col(active)
-    mu = jnp.where(above_jt, 0.0, mu)
-    eu = jnp.where(above_jt | at_jt, 0.0, eu)
-    hu = jnp.where(above_jt, hmn, hu)
-    du = jnp.where(above_jt, 0.0, du)
-    du = jnp.where(at_jt, mu_below2 / dz, du)
-
-    if eu_only:
-        # first-call slim path: under second_call, the reference consumes
-        # ONLY eu from the first cldprp (the entrainment-rate diagnosis,
-        # zm_conv.F90:1046-1078; every other first-call output is
-        # overwritten by the post-retrigger second call). eu is final
-        # after the jt zeroing above, so the su/qu ascent, rain
-        # production, and downdraft sections (~60% of the routine) are
-        # skipped. Arithmetic for eu is identical to the full path.
-        return eu
-
-    # tu initialisation (zm_conv.F90:3652-3657) with env qu
-    qu_init = q
-    tu = (hu - GRAV * zf_top - (1.0 + DCOL * TFREEZ) * RL * qu_init) / \
-        (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qu_init))
-
-    # su/qu ascent + jlcl detection (zm_conv.F90:3659-3706), bottom-up scan
     q_mx = _take_col(q, jb)
     p_b3 = _above(p)   # p(k-1)
-
+    zf_top = _lsl(zf, slice(None, -1))
     # default for levels the ascent never writes: the reference's
     # tiedke-perturbed initialization su = s(mx) + tiedke/(1+cpvir·q)
     # inside [jt0, jb] (zm_conv.F90:3417-3421; survives at k = jt where
@@ -984,85 +1135,256 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                         _c(_take_col(s, jb)) +
                         _c(tiedke_msk) / (1.0 + CPVIR * q), s)
 
-    xsS = dict(mu=mu, eu=eu, du=du, dz=dz, s=s, q=q, qst=qst, hu=hu,
-               zf=zf_top, p=p, pm1=p_b3, tu0=tu, su0=su_dflt)
-    carryS = dict(su_b=jnp.zeros((ncol,), dtype), qu_b=jnp.zeros((ncol,), dtype),
-                  mu_b=jnp.zeros((ncol,), dtype),
-                  done=jnp.zeros((ncol,), dtype),   # 0/1 (bool carries are
-                  jlcl=lel.astype(jnp.int32))       # not Mosaic-friendly)
+    # ---- plume iteration (zm_conv.F90:3526-3874): one pass without
+    # microphysics; TWO with (iter 1 computes the plume and its freezing
+    # rate, iter 2 re-ascends with the freezing heat in the hu budget —
+    # the in-plume feedback loop) ----
+    frz = jnp.zeros_like(t)
+    jto = None
+    tvuo = jnp.zeros_like(t)
+    dcape = jnp.zeros((ncol,), dtype)
+    mp = None
 
-    def suqu_step(cy, x, k):
-        at_base = (k == jb) & active
-        tu_base = (x["hu"] - GRAV * x["zf"] - (1.0 + DCOL * TFREEZ) * RL * q_mx) / \
-            (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * q_mx))
-        su_base = (x["hu"] - (1.0 - DCOL * (tu_base - TFREEZ)) * RL * q_mx) / \
-            ((1.0 + CPVIR * q_mx) * CP)
+    for itr in range(2 if microp else 1):
+        totfrz = _lsum(frz * dz)
 
-        not_done = cy["done"] < 0.5
-        inw = not_done & (k > jt) & (k < jb) & active
-        su_k = _safe_div(cy["mu_b"], x["mu"]) * cy["su_b"] + \
-            _safe_div(x["dz"], x["mu"]) * (x["eu"] - x["du"]) * x["s"]
-        qu_k = _safe_div(cy["mu_b"], x["mu"]) * cy["qu_b"] + \
-            _safe_div(x["dz"], x["mu"]) * (x["eu"] * x["q"] - x["du"] * x["qst"])
-        tu_k = su_k - GRAV / ((1.0 + 0.85 * qu_k) * CP) * x["zf"]
-        _, qstu = qsat_hpa(tu_k, 0.5 * (x["p"] + x["pm1"]))
-        sat = inw & (qu_k >= qstu)
+        # hu ascent with mu<0.02 cutoff (zm_conv.F90:3571-3599), bottom-up
+        xsH = dict(mu=mu0, eu=eu0, du=du0, dz=dz, hmn=hmn, hsat=hsat,
+                   hu0=hu0, frz=frz)
+        carryH = dict(mu_b=jnp.zeros((ncol,), dtype), hu_b=hu_jb)
 
-        su_out = jnp.where(at_base, su_base, jnp.where(inw, su_k, x["su0"]))
-        qu_out = jnp.where(at_base, q_mx, jnp.where(inw, qu_k, x["q"]))
-        tu_out = jnp.where(at_base, tu_base, jnp.where(inw, tu_k, x["tu0"]))
-        done = jnp.where(sat, 1.0, cy["done"])
-        jlcl = jnp.where(sat & not_done, k, cy["jlcl"]).astype(jnp.int32)
-        new_cy = dict(
-            su_b=jnp.where(at_base | inw, su_out, cy["su_b"]),
-            qu_b=jnp.where(at_base | inw, qu_out, cy["qu_b"]),
-            mu_b=x["mu"], done=done, jlcl=jlcl)
-        return new_cy, (su_out, qu_out, tu_out)
+        def hu_step(cy, x, k):
+            inw = (k <= jb - 1) & (k >= lel) & active
+            weak = x["mu"] < 0.02
+            mu_k = jnp.where(inw & weak, 0.0, x["mu"])
+            eu_k = jnp.where(inw & weak, 0.0, x["eu"])
+            du_k = jnp.where(inw & weak, cy["mu_b"] / x["dz"], x["du"])
+            if microp:
+                # freezing heat enters the plume MSE budget; detrainment
+                # carries hu itself (zm_conv.F90:3588-3591)
+                hu_full = (cy["mu_b"] * cy["hu_b"] + x["dz"] *
+                           (eu_k * x["hmn"] + c.LATICE * x["frz"])) / \
+                    jnp.maximum(mu_k + x["dz"] * du_k, 1e-30)
+            else:
+                hu_full = _safe_div(cy["mu_b"], mu_k) * cy["hu_b"] + \
+                    _safe_div(x["dz"], mu_k) * \
+                    (eu_k * x["hmn"] - du_k * x["hsat"])
+            hu_k = jnp.where(
+                inw, jnp.where(weak, x["hmn"], hu_full), x["hu0"])
+            at_base = k == jb
+            mu_out = jnp.where(at_base, x["mu"], mu_k)
+            hu_out = jnp.where(at_base, x["hu0"], hu_k)
+            new_cy = dict(mu_b=mu_out,
+                          hu_b=jnp.where(inw | at_base, hu_out, cy["hu_b"]))
+            return new_cy, (mu_out, jnp.where(at_base, x["eu"], eu_k),
+                            jnp.where(at_base, x["du"], du_k), hu_out)
 
-    cyS, (su, qu, tu) = scan_impl.scan(suqu_step, carryS, xsS, reverse=True)
-    jlcl = cyS["jlcl"]
+        _, (mu, eu, du, hu) = scan_impl.scan(hu_step, carryH, xsH,
+                                             reverse=True)
 
-    # saturated portion jt < k <= jlcl (zm_conv.F90:3708-3722)
-    in_sat = (karr > _c(jt)) & (karr <= _c(jlcl)) & _col(active)
-    qu_sat = qsthat + gamhat * (hu - hsthat) / \
-        ((1.0 - DCOL * (tu - TFREEZ)) * RL * (1.0 + gamhat))
-    su_sat = shat + (hu - hsthat) / ((1.0 + CPVIR * qu_sat) * CP *
-                                     (1.0 + gamhat))
-    tu_sat = su_sat - GRAV / ((1.0 + CPVIR * qu_sat) * CP) * zf_top
-    qu = jnp.where(in_sat, qu_sat, qu)
-    su = jnp.where(in_sat, su_sat, su)
-    tu = jnp.where(in_sat, tu_sat, tu)
+        # jt detection (zm_conv.F90:3606-3629): first k from bottom in
+        # [lel-1, jb-2] matching either condition; with microp a plume
+        # whose column has freezing heat (totfrz > 0) is NOT killed by the
+        # hu-overshoot condition (:3622)
+        hu_b2 = _below(hu)
+        hsthat_b = _below(hsthat)
+        hu_at_jb = _take_col(hu, jb)
+        in_det = (karr <= _c(jb) - 2) & (karr >= _c(lel) - 1)
+        cond1 = (hu <= hsthat) & (hu_b2 > hsthat_b) & (mu >= 0.02)
+        cond2 = ((hu > _c(hu_at_jb)) & _col(totfrz <= 0.0)) | (mu < 0.02)
+        anyc = in_det & (cond1 | cond2)
+        jt_cand = jnp.where(cond1,
+                            jnp.where(hu - hsthat < -2000.0, karr + 1, karr),
+                            karr + 1)
+        det_k, det_found = _first_true_from_bottom(
+            anyc, jnp.zeros((ncol,), jnp.int32))
+        jt = jnp.where(det_found,
+                       _take_col(jt_cand, det_k.astype(jnp.int32)),
+                       jt0).astype(jnp.int32)
 
-    # condensation in updraft (zm_conv.F90:3730-3759)
-    mu_b3 = _below(mu)
-    su_b3 = _below(su)
-    in_cu = (karr >= _c(jt)) & (karr < _c(jb)) & _col(active)
-    cu = ((mu * su - mu_b3 * su_b3) / dz - (eu - du) * s) / (RL / CP) * \
-        ((1.0 + CPVIR * qu) / (1.0 - DCOL * (tu - TFREEZ)))
-    cu = jnp.where(in_cu & (karr != _c(jt)), jnp.maximum(cu, 0.0), 0.0)
+        # zero the region above jt (zm_conv.F90:3633-3648)
+        above_jt = (karr >= _c(lel)) & (karr <= _c(jt)) & _col(active)
+        mu_below2 = _below(mu)
+        at_jt = (karr == _c(jt)) & _col(active)
+        mu = jnp.where(above_jt, 0.0, mu)
+        eu = jnp.where(above_jt | at_jt, 0.0, eu)
+        hu = jnp.where(above_jt, hmn, hu)
+        du = jnp.where(above_jt, 0.0, du)
+        du = jnp.where(at_jt, mu_below2 / dz, du)
 
-    # liquid water + rain production (zm_conv.F90:3953-3975), bottom-up scan
-    xsQ = dict(mu=mu, du=du, cu=cu, dz=dz)
-    carryQ = dict(ql_b=jnp.zeros((ncol,), dtype),
-                  mu_b=jnp.zeros((ncol,), dtype),
-                  totpcp=jnp.zeros((ncol,), dtype))
+        if eu_only and not microp:
+            # first-call slim path: under second_call, the reference
+            # consumes ONLY eu from the first cldprp (the entrainment-rate
+            # diagnosis, zm_conv.F90:1046-1078; every other first-call
+            # output is overwritten by the post-retrigger second call). eu
+            # is final after the jt zeroing above, so the su/qu ascent,
+            # rain production, and downdraft sections (~60% of the
+            # routine) are skipped. Arithmetic for eu is identical to the
+            # full path. (With microp, eu depends on the freezing
+            # iteration, so the full loop runs and eu returns below.)
+            return eu
 
-    def ql_step2(cy, x, k):
-        inw = (k >= jt) & (k < jb) & active & (x["mu"] >= 0.0)
-        pos = x["mu"] > 0.0
-        ql1 = _safe_div(cy["mu_b"] * cy["ql_b"] - x["dz"] * x["du"] * cy["ql_b"]
-                        + x["dz"] * x["cu"], x["mu"])
-        ql_k = jnp.where(inw & pos, ql1 / (1.0 + x["dz"] * c0mask), 0.0)
-        totpcp = cy["totpcp"] + jnp.where(
-            inw, x["dz"] * (x["cu"] - x["du"] * cy["ql_b"]), 0.0)
-        rprd_k = jnp.where(inw, c0mask * x["mu"] * ql_k, 0.0)
-        new_cy = dict(ql_b=jnp.where(inw, ql_k, jnp.where(k == jb, 0.0, cy["ql_b"])),
-                      mu_b=x["mu"], totpcp=totpcp)
-        return new_cy, (ql_k, rprd_k)
+        # tu initialisation (zm_conv.F90:3652-3657) with env qu
+        qu_init = q
+        tu = (hu - GRAV * zf_top - (1.0 + DCOL * TFREEZ) * RL * qu_init) / \
+            (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * qu_init))
 
-    cyQ, (ql, rprd) = scan_impl.scan(ql_step2, carryQ, xsQ, reverse=True)
-    totpcp = jnp.maximum(cyQ["totpcp"], 0.0)
-    qcde = ql
+        # su/qu ascent + jlcl detection (zm_conv.F90:3659-3706), bottom-up
+        xsS = dict(mu=mu, eu=eu, du=du, dz=dz, s=s, q=q, qst=qst, hu=hu,
+                   zf=zf_top, p=p, pm1=p_b3, tu0=tu, su0=su_dflt)
+        carryS = dict(su_b=jnp.zeros((ncol,), dtype),
+                      qu_b=jnp.zeros((ncol,), dtype),
+                      mu_b=jnp.zeros((ncol,), dtype),
+                      done=jnp.zeros((ncol,), dtype),  # 0/1 (bool carries
+                      jlcl=lel.astype(jnp.int32))      # not Mosaic-friendly)
+
+        def suqu_step(cy, x, k):
+            at_base = (k == jb) & active
+            tu_base = (x["hu"] - GRAV * x["zf"] -
+                       (1.0 + DCOL * TFREEZ) * RL * q_mx) / \
+                (CP * (1.0 + (CPVIR - DCOL * (RL / CP)) * q_mx))
+            su_base = (x["hu"] - (1.0 - DCOL * (tu_base - TFREEZ)) * RL *
+                       q_mx) / ((1.0 + CPVIR * q_mx) * CP)
+
+            not_done = cy["done"] < 0.5
+            inw = not_done & (k > jt) & (k < jb) & active
+            su_k = _safe_div(cy["mu_b"], x["mu"]) * cy["su_b"] + \
+                _safe_div(x["dz"], x["mu"]) * (x["eu"] - x["du"]) * x["s"]
+            qu_k = _safe_div(cy["mu_b"], x["mu"]) * cy["qu_b"] + \
+                _safe_div(x["dz"], x["mu"]) * (x["eu"] * x["q"] -
+                                               x["du"] * x["qst"])
+            tu_k = su_k - GRAV / ((1.0 + 0.85 * qu_k) * CP) * x["zf"]
+            _, qstu = qsat_hpa(tu_k, 0.5 * (x["p"] + x["pm1"]))
+            sat = inw & (qu_k >= qstu)
+
+            su_out = jnp.where(at_base, su_base,
+                               jnp.where(inw, su_k, x["su0"]))
+            qu_out = jnp.where(at_base, q_mx, jnp.where(inw, qu_k, x["q"]))
+            tu_out = jnp.where(at_base, tu_base,
+                               jnp.where(inw, tu_k, x["tu0"]))
+            done = jnp.where(sat, 1.0, cy["done"])
+            jlcl = jnp.where(sat & not_done, k, cy["jlcl"]).astype(jnp.int32)
+            new_cy = dict(
+                su_b=jnp.where(at_base | inw, su_out, cy["su_b"]),
+                qu_b=jnp.where(at_base | inw, qu_out, cy["qu_b"]),
+                mu_b=x["mu"], done=done, jlcl=jlcl)
+            return new_cy, (su_out, qu_out, tu_out)
+
+        cyS, (su, qu, tu) = scan_impl.scan(suqu_step, carryS, xsS,
+                                           reverse=True)
+        jlcl = cyS["jlcl"]
+
+        # saturated portion jt < k <= jlcl (zm_conv.F90:3708-3722)
+        in_sat = (karr > _c(jt)) & (karr <= _c(jlcl)) & _col(active)
+        qu_sat = qsthat + gamhat * (hu - hsthat) / \
+            ((1.0 - DCOL * (tu - TFREEZ)) * RL * (1.0 + gamhat))
+        su_sat = shat + (hu - hsthat) / ((1.0 + CPVIR * qu_sat) * CP *
+                                         (1.0 + gamhat))
+        tu_sat = su_sat - GRAV / ((1.0 + CPVIR * qu_sat) * CP) * zf_top
+        qu = jnp.where(in_sat, qu_sat, qu)
+        su = jnp.where(in_sat, su_sat, su)
+        tu = jnp.where(in_sat, tu_sat, tu)
+
+        # condensation in updraft (zm_conv.F90:3730-3759); microp bounds
+        # the loop at jlcl+1 (tmplel, :3725-3729) and subtracts the
+        # freezing term from the vapor condensation
+        mu_b3 = _below(mu)
+        su_b3 = _below(su)
+        if microp:
+            in_cu = (karr >= _c(jt)) & (karr <= _c(jlcl)) & _col(active)
+            cu = ((mu * su - mu_b3 * su_b3) / dz - eu * s + du * su) / \
+                (RL / CP) * ((1.0 + CPVIR * qu) /
+                             (1.0 - DCOL * (tu - TFREEZ))) - \
+                c.LATICE * frz / RL
+        else:
+            in_cu = (karr >= _c(jt)) & (karr < _c(jb)) & _col(active)
+            cu = ((mu * su - mu_b3 * su_b3) / dz - (eu - du) * s) / \
+                (RL / CP) * ((1.0 + CPVIR * qu) /
+                             (1.0 - DCOL * (tu - TFREEZ)))
+        cu = jnp.where(in_cu & (karr != _c(jt)), jnp.maximum(cu, 0.0), 0.0)
+
+        if microp:
+            # ice fraction of new condensate from the in-plume T of the
+            # level below (tug, zm_conv.F90:3710-3737)
+            tug = su - (GRAV / CP) * zf_top / (1.0 + CPVIR * qu)
+            tug_b = _below(tug)
+            fice = jnp.where(tug_b > TFREEZ, 0.0,
+                             jnp.where(tug_b < 233.15, 1.0,
+                                       (TFREEZ - tug_b) / 40.0))
+            fice = jnp.where(karr == pver - 1, 0.0, fice)
+            cmel = cu * (1.0 - fice)
+            cmei = cu * fice
+
+            mp = zm_mphy(cfg, su, qu, mu, du, eu, cmel, cmei, dz, zf_top,
+                         p, t, q, jt, jb, active, landfrac, aero=aero,
+                         scan_impl=scan_impl)
+            frz = mp.frz
+            ql = mp.qliq + mp.qice
+            if itr == 0:
+                jto = jt
+                # virtual T of the no-freezing plume (dcape reference,
+                # zm_conv.F90:3822-3824)
+                in_dc = (karr > _c(jt)) & (karr <= _c(jlcl)) & _col(active)
+                tvuo = jnp.where(in_dc, (su - GRAV / CP * zf_top) *
+                                 (1.0 + 0.608 * qu), 0.0)
+            else:
+                # new top lower than iter-1's: zero frz/cu in [jto, jt]
+                # (zm_conv.F90:3804-3810)
+                fix = _col((jt > jto) & active) & (karr <= _c(jt)) & \
+                    (karr >= _c(jto))
+                frz = jnp.where(fix, 0.0, frz)
+                cu = jnp.where(fix, 0.0, cu)
+                # freezing-CAPE increment (zm_conv.F90:3822-3836)
+                in_dc2 = (karr > _c(jnp.maximum(jt, jto))) & \
+                    (karr <= _c(jlcl)) & _col(active)
+                tvu = jnp.where(
+                    in_dc2,
+                    (su - GRAV / (CP * (1.0 + CPVIR * qu)) * zf_top) *
+                    (1.0 + 0.608 * qu), 0.0)
+                dcape = _lsum(jnp.where(in_dc2,
+                                        RGAS * (tvu - tvuo) *
+                                        jnp.log(p / p_b3), 0.0))
+            # totpcp with the two-phase detrainment (zm_conv.F90:3814-3820)
+            det_b = _below(mp.qcde + mp.qide)
+            in_tp = (karr >= _c(jt)) & (karr < _c(jb)) & _col(active) & \
+                (mu >= 0.0)
+            totpcp = _lsum(jnp.where(in_tp, dz * (cu - du * det_b), 0.0))
+            # reference convention: rprd is TOTAL precip production and
+            # sprd its snow portion (the :1632 comparisons assume
+            # sprd <= rprd)
+            rprd = mp.rprd + mp.sprd
+            qcde = mp.qcde
+        else:
+            # liquid water + rain production (zm_conv.F90:3953-3975),
+            # bottom-up scan
+            xsQ = dict(mu=mu, du=du, cu=cu, dz=dz)
+            carryQ = dict(ql_b=jnp.zeros((ncol,), dtype),
+                          mu_b=jnp.zeros((ncol,), dtype),
+                          totpcp=jnp.zeros((ncol,), dtype))
+
+            def ql_step2(cy, x, k):
+                inw = (k >= jt) & (k < jb) & active & (x["mu"] >= 0.0)
+                pos = x["mu"] > 0.0
+                ql1 = _safe_div(cy["mu_b"] * cy["ql_b"] -
+                                x["dz"] * x["du"] * cy["ql_b"]
+                                + x["dz"] * x["cu"], x["mu"])
+                ql_k = jnp.where(inw & pos, ql1 / (1.0 + x["dz"] * c0mask),
+                                 0.0)
+                totpcp = cy["totpcp"] + jnp.where(
+                    inw, x["dz"] * (x["cu"] - x["du"] * cy["ql_b"]), 0.0)
+                rprd_k = jnp.where(inw, c0mask * x["mu"] * ql_k, 0.0)
+                new_cy = dict(
+                    ql_b=jnp.where(inw, ql_k,
+                                   jnp.where(k == jb, 0.0, cy["ql_b"])),
+                    mu_b=x["mu"], totpcp=totpcp)
+                return new_cy, (ql_k, rprd_k)
+
+            cyQ, (ql, rprd) = scan_impl.scan(ql_step2, carryQ, xsQ,
+                                             reverse=True)
+            totpcp = cyQ["totpcp"]
+            qcde = ql
+    # ---- end plume iteration ----
+    totpcp = jnp.maximum(totpcp, 0.0)
 
     # ---- downdraft (zm_conv.F90:4030-4106) ----
     alfa = cfg.alfadet
@@ -1188,10 +1510,29 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
 
     mc = mu + md
 
+    if eu_only:
+        # microp + eu_only: the entrainment profile after the full
+        # freezing iteration (see the in-loop slim path for the
+        # no-microp case)
+        return eu
+
+    if microp:
+        qide, qncde, qnide = mp.qide, mp.qncde, mp.qnide
+        sprd, frz_o = mp.sprd, frz
+        qliq_o, qice_o, qnl_o, qni_o, wu_o = (mp.qliq, mp.qice, mp.qnl,
+                                              mp.qni, mp.wu)
+    else:
+        z2 = jnp.zeros_like(t)
+        qide = qncde = qnide = sprd = frz_o = z2
+        qliq_o = qice_o = qnl_o = qni_o = wu_o = z2
+
     return CldprpOut(mu=mu, eu=eu, du=du, md=md, ed=ed, sd=sd, qd=qd, mc=mc,
                      qu=qu, su=su, qst=qst, hmn=hmn, hsat=hsat, ql=ql,
                      qcde=qcde, cu=cu, evp=evp, cmeg=cmeg, rprd=rprd,
-                     pflx=pflx, jt=jt, jlcl=jlcl, j0=j0, jd=jd)
+                     pflx=pflx, jt=jt, jlcl=jlcl, j0=j0, jd=jd,
+                     qide=qide, qncde=qncde, qnide=qnide, sprd=sprd,
+                     frz=frz_o, qliq=qliq_o, qice=qice_o, qnl=qnl_o,
+                     qni=qni_o, wu=wu_o, dcape=dcape)
 
 
 # =============================================================================
@@ -1304,11 +1645,16 @@ def closure(cfg: ZMConfig, msg: int, q, t, p, z, s, tp, qs, qu, su, mc, du,
 # =============================================================================
 
 def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
-             dsubcld, jt, mx, dl_evp_cu):
+             dsubcld, jt, mx, dl_evp_cu, microp_extra=None):
     """Heating/drying tendencies from the mass-flux profiles
     (q1q2_pjr, zm_conv.F90:4262-4421). dl_evp_cu = (evp, cu).
-    Returns (dqdt, dsdt, dl) on gathered==all columns, units /s (dsdt in
-    normalized dry static energy per s, i.e. K-equivalent)."""
+    `microp_extra`, when zmconv_microp: (frz, qide, qncde, qnide) in the
+    mb-scaled 1/mb units — adds the freezing heating latice/cp*frz to dsdt
+    (:4378) and the ice/number detrainment streams di/dnl/dni =
+    du*(qide/qncde/qnide)(k+1) (:4392-4396).
+    Returns (dqdt, dsdt, dl, (di, dnl, dni)) on gathered==all columns,
+    units /s (dsdt in normalized dry static energy per s); the extras are
+    zeros when microp_extra is None."""
     evp, cu = dl_evp_cu
     ncol, pver = _shape_cp(q)
     karr = _karr2(pver)
@@ -1334,6 +1680,14 @@ def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
                             md_b * (qd_b - qhat_b) - md * (qd - qhat)) / dp,
                      0.0)
     dl = jnp.where(in_main, du * ql_b, 0.0)
+    if microp_extra is not None:
+        frz, qide, qncde, qnide = microp_extra
+        dsdt = dsdt + jnp.where(in_main, c.LATICE / CP * frz, 0.0)
+        di = jnp.where(in_main, du * _below(qide), 0.0)
+        dnl = jnp.where(in_main, du * _below(qncde), 0.0)
+        dni = jnp.where(in_main, du * _below(qnide), 0.0)
+    else:
+        di = dnl = dni = jnp.zeros_like(dl)
 
     # subcloud layer (zm_conv.F90:4396-4415): value at mx, copied downward
     dsub = jnp.where(dsubcld <= 0, 1e-30, dsubcld)
@@ -1352,7 +1706,7 @@ def q1q2_pjr(msg: int, q, qs, qu, su, du, qhat, shat, dp, mu, md, sd, qd, ql,
     below = karr >= _c(mx)
     dsdt = jnp.where(below, _c(dsdt_sub), dsdt)
     dqdt = jnp.where(below, _c(dqdt_sub), dqdt)
-    return dqdt, dsdt, dl
+    return dqdt, dsdt, dl, (di, dnl, dni)
 
 
 # =============================================================================
@@ -1390,12 +1744,29 @@ class ZMConvOut:
     ql: jnp.ndarray       # updraft cloud water
     rliq: jnp.ndarray     # reserved liquid (m/s)
     rice: jnp.ndarray
+    # --- microp extension (zeros when cfg.microp is off) ---
+    dif: jnp.ndarray      # detrained cloud-ice tendency (kg/kg/s)
+    dnlf: jnp.ndarray     # detrained droplet-number tendency (1/kg/s)
+    dnif: jnp.ndarray     # detrained crystal-number tendency (1/kg/s)
+    sprd: jnp.ndarray     # snow production (kg/kg/s; part of rprd)
+    frz: jnp.ndarray      # freezing rate (kg/kg/s; heating already in heat)
+    qliq: jnp.ndarray     # in-plume liquid (conv%qliq)
+    qice: jnp.ndarray
+    qnl: jnp.ndarray
+    qni: jnp.ndarray
+    wu: jnp.ndarray       # updraft vertical velocity (m/s)
+    dcape: jnp.ndarray    # (ncol,) freezing-CAPE increment
 
 
 def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
-             pblh, tpert, landfrac, delt, scan_impl=LAX_SCAN) -> ZMConvOut:
+             pblh, tpert, landfrac, delt, scan_impl=LAX_SCAN,
+             aero: dict | None = None) -> ZMConvOut:
     """Main ZM driver (zm_convr, zm_conv.F90:231-1709), tht path
-    (second_call / retrigger / use_cin per config), zmconv_microp off.
+    (second_call / retrigger / use_cin per config). With cfg.microp the
+    in-plume two-moment microphysics runs INSIDE cldprp (freezing heat in
+    the plume MSE budget, condensate re-partition, dcape closure boost,
+    ice/number detrainment streams — zm_conv.F90:3526-3874, 4378-4396).
+    `aero` is the modal activation bundle (zm_aero_t role).
 
     Inputs are SI (Pa, m, K); `delt` is the reference's half-step (the
     interface passes 0.5*ztodt, zm_conv_intr.F90:666). `msg` is the number
@@ -1446,7 +1817,8 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     # (zm_conv.F90:1046-1078) — take the slim path that skips the
     # ascent/rain/downdraft sections
     c1 = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b1.mx, b1.lel,
-                landfrac, scan_impl=scan_impl, eu_only=cfg.second_call)
+                landfrac, scan_impl=scan_impl, eu_only=cfg.second_call,
+                aero=aero)
 
     ideep = ideep1
     eurt = jnp.zeros((ncol, pver), dtype)
@@ -1466,7 +1838,7 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
         if cfg.retrigger:
             ideep = trigger(b2.cape, b2.cin)
         cld = cldprp(cfg, msg, q, t, p, z, s, zf, shat, qhat, b2.mx, b2.lel,
-                     landfrac, scan_impl=scan_impl)
+                     landfrac, scan_impl=scan_impl, aero=aero)
         buoy_used = b2
         eurt = -dmpdz2
     else:
@@ -1492,11 +1864,16 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     cmeg = cld.cmeg * fac_mb
     rprdg = cld.rprd * fac_mb
     evpg = cld.evp * fac_mb
+    sprdg = cld.sprd * fac_mb          # (zm_conv.F90:1264-1271)
+    frzg = cld.frz * fac_mb
 
+    # freezing-CAPE increment boosts the closure (capeg += dcape,
+    # zm_conv.F90:1242-1246)
+    cape_eff = buoy_used.cape + (cld.dcape if cfg.microp else 0.0)
     mb = closure(cfg, msg, q, t, p, z, s, buoy_used.tp, cld.qst, cld.qu,
                  cld.su, cld.mc, du, cld.mu, cld.md, cld.qd, cld.sd, qhat,
                  shat, dp, buoy_used.qstp, zf, cld.ql, dsubcld,
-                 buoy_used.cape, buoy_used.tl, buoy_used.lcl, buoy_used.lel,
+                 cape_eff, buoy_used.tl, buoy_used.lcl, buoy_used.lel,
                  jt, mx)
 
     # CFL cap (zm_conv.F90:1285-1300)
@@ -1521,17 +1898,28 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     rprdg = rprdg * mbk
     cu = cu * mbk
     evpg = evpg * mbk
+    sprdg = sprdg * mbk                # (zm_conv.F90:1310-1316)
+    frzg = frzg * mbk
     pflxg = _lcat(
         [_c(jnp.zeros((ncol,), dtype)),
          _lsl(cld.pflx, slice(1, None)) * mbk * 100.0 / GRAV])
 
-    dqdt, dsdt, dlg = q1q2_pjr(msg, q, cld.qst, cld.qu, cld.su, du, qhat,
-                               shat, dp, mu, md, cld.sd, cld.qd, cld.qcde,
-                               dsubcld, jt, mx, (evpg, cu))
+    microp_extra = None
+    if cfg.microp:
+        microp_extra = (frzg, cld.qide, cld.qncde, cld.qnide)
+    dqdt, dsdt, dlg, (dig, dnlg, dnig) = q1q2_pjr(
+        msg, q, cld.qst, cld.qu, cld.su, du, qhat,
+        shat, dp, mu, md, cld.sd, cld.qd, cld.qcde,
+        dsubcld, jt, mx, (evpg, cu), microp_extra=microp_extra)
 
     dqdt = dqdt * maskf
     dsdt = dsdt * maskf
     dlg = dlg * maskf
+    dig = dig * maskf
+    dnlg = dnlg * maskf
+    dnig = dnig * maskf
+    sprdg = sprdg * maskf
+    frzg = frzg * maskf
     mu = mu * maskf
     md = md * maskf
     mc = mc * maskf
@@ -1544,14 +1932,37 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
     pflxg = pflxg * _c(mask.astype(dtype))
     qlg = cld.ql * maskf
 
-    # precipitation from column moisture change (zm_conv.F90:1495-1640)
+    if cfg.microp:
+        # vapor-negativity fixer (zm_conv.F90:1400-1470, vectorized
+        # simplification): where the projected q would go negative, cap
+        # dqdt with latent-heat compensation and take the condensate out
+        # of the SAME level's precip production, snow last (the reference
+        # walks the column up to jt redistributing the deficit across
+        # levels; the local form leaves any residual to the caller's
+        # qneg3 — a documented deviation)
+        q_proj = qh + 2.0 * delt * dqdt
+        deficit = jnp.where(q_proj < 0.0,
+                            (dqdt + 0.5 * qh / delt) / 0.9999, 0.0)  # <= 0
+        dqdt = dqdt - deficit
+        dsdt = dsdt + deficit * RL / CP
+        # rprdg can be legitimately NEGATIVE (downdraft evaporation
+        # exceeding production); red must never "remove" from such levels
+        red = jnp.maximum(jnp.minimum(-deficit, rprdg), 0.0)
+        rain_avail = jnp.maximum(rprdg - sprdg, 0.0)
+        from_snow = jnp.maximum(red - rain_avail, 0.0)
+        rprdg = rprdg - red
+        sprdg = sprdg - from_snow
+        dsdt = dsdt - from_snow * c.LATICE / CP
+
+    # precipitation from column moisture change (zm_conv.F90:1495-1640);
+    # with microp the detrained ice stream counts too (:1516-1519)
     q_new = qh + 2.0 * delt * dqdt
-    prec = _lsum(-dpp * (q_new - qh) - dpp * dlg * 2.0 * delt)
+    prec = _lsum(-dpp * (q_new - qh) - dpp * (dlg + dig) * 2.0 * delt)
     prec = RGRAV * jnp.maximum(prec, 0.0) / (2.0 * delt) / 1000.0
 
-    # reserved liquid (zm_conv.F90:1645-1652)
-    rliq = _lsum(dlg * dpp / GRAV) / 1000.0
-    rice = jnp.zeros_like(rliq)
+    # reserved liquid/ice (zm_conv.F90:1645-1652)
+    rliq = _lsum((dlg + dig) * dpp / GRAV) / 1000.0
+    rice = _lsum(dig * dpp / GRAV) / 1000.0
 
     mcon = _lcat([mc * maskf, _c(jnp.zeros((ncol,), dtype))])
 
@@ -1560,10 +1971,14 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
 
     return ZMConvOut(
         qtnd=dqdt, heat=dsdt * CP, prec=prec, jctop=jctop, jcbot=jcbot,
-        cape=buoy_used.cape, cin=buoy_used.cin, mcon=mcon, dlf=dlg,
+        cape=cape_eff, cin=buoy_used.cin, mcon=mcon, dlf=dlg,
         pflx=pflxg, cme=cmeg, zdu=du, rprd=rprdg, mu=mu, eu=eu, du=du, md=md,
         ed=ed, dp=dp, dsubcld=dsubcld, jt=jt, maxg=mx, ideep=mask, eurt=eurt,
-        ql=qlg, rliq=rliq, rice=rice)
+        ql=qlg, rliq=rliq, rice=rice,
+        dif=dig, dnlf=dnlg, dnif=dnig, sprd=sprdg, frz=frzg,
+        qliq=cld.qliq * maskf, qice=cld.qice * maskf,
+        qnl=cld.qnl * maskf, qni=cld.qni * maskf, wu=cld.wu * maskf,
+        dcape=cld.dcape * mask.astype(dtype))
 
 
 # =============================================================================
@@ -1571,29 +1986,57 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
 # =============================================================================
 
 def zm_conv_evap(cfg: ZMConfig, t, pmid, pdel, q, landfrac, prdprec, cldfrc,
-                 deltat, prec_in):
+                 deltat, prec_in, prdsnow=None):
     """Sundqvist evaporation of convective precip + snow production/melt
-    (zm_conv_evap, zm_conv.F90:1712-1972), old_snow path, tht humidity fix.
+    (zm_conv_evap, zm_conv.F90:1712-1972), tht humidity fix.
+
+    Two snow formulations, keyed on `prdsnow` exactly like the reference
+    (:1789-1794): `prdsnow=None` is the old_snow path (snow diagnosed from
+    the temperature partition, production heating +latice applied HERE);
+    with `prdsnow` (the microp sprd profile) snow production comes from the
+    in-plume scheme — its latent-ice heating already entered via the plume
+    frz budget, so only the melt/evaporation cooling applies here
+    (:1919-1941, 1957-1961), and snowmelt is T-limited partial melt
+    (:1828-1847).
 
     prec_in in m/s; returns dict with heating/moistening tendencies, surface
     prec/snow (m/s), interface fluxes (kg/m2/s), and net production terms.
     """
     ncol, pver = t.shape
     dtype = t.dtype
+    old_snow = prdsnow is None
+    omsm = 0.9999
 
     prec = prec_in * 1000.0   # kg/m2/s
     _, qs = qsat_blend(t, pmid)
     fice, fsnow_conv = cldfrc_fice(t)
     kemask = cfg.ke * jnp.ones_like(landfrac) if not cfg.org else \
         cfg.ke * (1.0 - landfrac) + cfg.ke_lnd * landfrac
+    if old_snow:
+        prdsnow = jnp.zeros_like(prdprec)
 
     def step(cy, x):
-        (t_k, q_k, qs_k, pdel_k, prdprec_k, cldfrc_k, fsnow_k) = x
+        (t_k, q_k, qs_k, pdel_k, prdprec_k, cldfrc_k, fsnow_k,
+         prdsnow_k) = x
         flxprec_k, flxsnow_k, evpvint = cy
 
         melt = t_k > TFREEZ
-        flxsntm = jnp.where(melt, 0.0, flxsnow_k)
-        snowmlt = jnp.where(melt, flxsnow_k * GRAV / pdel_k, 0.0)
+        if old_snow:
+            flxsntm = jnp.where(melt, 0.0, flxsnow_k)
+            snowmlt = jnp.where(melt, flxsnow_k * GRAV / pdel_k, 0.0)
+        else:
+            # partial melt, limited so the cooling cannot push T below
+            # tmelt (zm_conv.F90:1828-1847)
+            pot = flxsnow_k * GRAV / pdel_k
+            full_cool = -c.LATICE / CP * pot * deltat
+            frac = jnp.where(
+                t_k + full_cool <= TFREEZ,
+                jnp.clip((t_k - TFREEZ) * CP / c.LATICE / deltat /
+                         jnp.maximum(pot, 1e-30), 0.0, 1.0),
+                1.0) * omsm
+            frac = jnp.where(melt, frac, 0.0)
+            flxsntm = flxsnow_k * (1.0 - frac)
+            snowmlt = frac * pot
 
         # tht humidity-basis fix (zm_conv.F90:1853-1860)
         evplimit = jnp.maximum(1.0 - q_k / (1.0 + q_k) / qs_k, 0.0)
@@ -1602,6 +2045,8 @@ def zm_conv_evap(cfg: ZMConfig, t, pmid, pdel, q, landfrac, prdprec, cldfrc,
         evplimit2 = jnp.minimum(evplimit2,
                                 (prec - evpvint) * GRAV / pdel_k)
         evpprec = jnp.minimum(evplimit2, evpprec)
+        if not old_snow:
+            evpprec = jnp.maximum(evpprec, 0.0) * omsm   # (:1904-1907)
 
         work1 = jnp.where(flxprec_k > 0.0,
                           jnp.clip(flxsntm / jnp.where(flxprec_k == 0, 1e-30,
@@ -1611,27 +2056,39 @@ def zm_conv_evap(cfg: ZMConfig, t, pmid, pdel, q, landfrac, prdprec, cldfrc,
         evpvint = evpvint + evpprec * pdel_k / GRAV
 
         ntprprd = prdprec_k - evpprec
-        work1b = jnp.where(flxprec_k > 0.0,
-                           jnp.clip(flxsnow_k / jnp.where(flxprec_k == 0, 1e-30,
-                                                          flxprec_k), 0.0, 1.0),
-                           0.0)
-        work2 = jnp.maximum(fsnow_k, work1b)
-        work2 = jnp.where(snowmlt > 0.0, 0.0, work2)
-        ntsnprd = prdprec_k * work2 - evpsnow - snowmlt
-        tend_s_snwprd = prdprec_k * work2 * c.LATICE
-        tend_s_snwevmlt = -(evpsnow + snowmlt) * c.LATICE
+        if old_snow:
+            work1b = jnp.where(
+                flxprec_k > 0.0,
+                jnp.clip(flxsnow_k / jnp.where(flxprec_k == 0, 1e-30,
+                                               flxprec_k), 0.0, 1.0),
+                0.0)
+            work2 = jnp.maximum(fsnow_k, work1b)
+            work2 = jnp.where(snowmlt > 0.0, 0.0, work2)
+            ntsnprd = prdprec_k * work2 - evpsnow - snowmlt
+            tend_s_snwprd = prdprec_k * work2 * c.LATICE
+            tend_s_snwevmlt = -(evpsnow + snowmlt) * c.LATICE
+            tend_s = -evpprec * c.LATVAP + ntsnprd * c.LATICE
+        else:
+            # snow production from the in-plume scheme; its +latice
+            # heating already entered through frz (zm_conv.F90:1936-1941)
+            snk = jnp.minimum(flxsnow_k * GRAV / pdel_k,
+                              evpsnow + snowmlt)
+            ntsnprd = prdsnow_k - snk
+            tend_s_snwprd = prdsnow_k * c.LATICE
+            tend_s_snwevmlt = -snk * c.LATICE
+            tend_s = -evpprec * c.LATVAP + tend_s_snwevmlt
 
         flxprec_n = jnp.maximum(flxprec_k + ntprprd * pdel_k / GRAV, 0.0)
         flxsnow_n = jnp.maximum(flxsnow_k + ntsnprd * pdel_k / GRAV, 0.0)
 
-        tend_s = -evpprec * c.LATVAP + ntsnprd * c.LATICE
         tend_q = evpprec
         outs = (tend_s, tend_q, tend_s_snwprd, tend_s_snwevmlt, ntprprd,
                 ntsnprd, flxprec_k, flxsnow_k, flxprec_n, flxsnow_n)
         return (flxprec_n, flxsnow_n, evpvint), outs
 
     z1 = jnp.zeros((ncol,), dtype)
-    xs = (t.T, q.T, qs.T, pdel.T, prdprec.T, cldfrc.T, fsnow_conv.T)
+    xs = (t.T, q.T, qs.T, pdel.T, prdprec.T, cldfrc.T, fsnow_conv.T,
+          prdsnow.T)
     (_, _, _), outs = jax.lax.scan(step, (z1, z1, z1), xs)
     (tend_s, tend_q, tend_s_snwprd, tend_s_snwevmlt, ntprprd, ntsnprd,
      flxprec_top, flxsnow_top, flxprec_bot, flxsnow_bot) = \

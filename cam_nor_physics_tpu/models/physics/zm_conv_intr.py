@@ -80,7 +80,7 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     out: ZMConvOut = zm_convr(
         cfg, msg, state.t, state.q[:, :, 0], state.pmid, state.pint,
         state.pdel, state.zm, state.phis, state.zi, pblh, tpert, landfrac,
-        0.5 * ztodt)
+        0.5 * ztodt, aero=aero)
 
     maskf = out.ideep.astype(dtype)
     diags["CAPE"] = out.cape
@@ -102,40 +102,27 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
                                                     out.maxg[:, None], 1)[:, 0],
                                 state.ps)
 
-    # optional convective microphysics (zmconv_microp; zm_mphy role):
-    # phase/number partition of updraft condensate + detrainment, freezing
-    # heating folded into the convective heating
+    # convective microphysics (zmconv_microp): the two-moment scheme runs
+    # IN-PLUME inside cldprp (freezing heat in the hu budget, dcape
+    # closure boost, ice/number detrainment streams — the zm_mphy call at
+    # zm_conv.F90:3782-3793); here the outputs are routed to pbuf/diags.
+    # out.heat already contains the latice*frz heating (q1q2, :4378).
     heat = out.heat
-    dlf_out, dif_out = out.dlf, jnp.zeros_like(out.dlf)
-    rprd_out = out.rprd
+    dlf_out, dif_out = out.dlf, out.dif
+    rprd_out = out.rprd                  # total production (snow in sprd)
     prec_evap = out.prec
     if cfg.microp:
-        from .zm_microphysics import zm_mphy
-        # two-moment plume microphysics re-routes the cldprp ql budget's
-        # condensate source (dlf + rprd) through activation / freezing /
-        # autoconversion / snow conversion (zm_mphy call inside cldprp,
-        # zm_conv.F90:3826-3851); frz heating scattered as in :1521
-        mp = zm_mphy(state.t, state.pmid, out.dp, out.mu, out.du,
-                     out.dlf, out.rprd, landfrac, out.jt, out.maxg,
-                     aero=aero)
-        heat = heat + mp.frz
-        dlf_out, dif_out = mp.dlf, mp.dif
-        rprd_out = mp.rprd + mp.sprd     # total precip production for evap
-        # the (prec - evpvint) evaporation cap in zm_conv_evap must limit
-        # the SAME flux whose production profile it is handed: rebuild the
-        # column precip rate from rprd_out (kg/kg/s -> m/s) instead of the
-        # phase-blind out.prec, whose integral differs once microphysics
-        # re-routes condensate (advisor r2 finding)
-        prec_evap = jnp.sum(rprd_out * state.pdel,
-                            axis=1) / (c.GRAVIT * 1000.0)
-        pbuf = pbuf.update(DNLFZM=mp.dnlf, DNIFZM=mp.dnif,
-                           DP_CLDLIQ=mp.qliq, DP_CLDICE=mp.qice)
-        diags["DNLFZM"] = mp.dnlf
-        diags["DNIFZM"] = mp.dnif
-        diags["ZMSPRD"] = mp.sprd
-        diags["ZMFRZ"] = mp.frz / c.CPAIR
-        diags["ZMNLIQ"] = mp.qnl
-        diags["ZMNICE"] = mp.qni
+        pbuf = pbuf.update(DNLFZM=out.dnlf, DNIFZM=out.dnif,
+                           DP_CLDLIQ=out.qliq, DP_CLDICE=out.qice)
+        diags["DNLFZM"] = out.dnlf
+        diags["DNIFZM"] = out.dnif
+        diags["ZMSPRD"] = out.sprd
+        diags["ZMFRZ"] = out.frz * c.LATICE / c.CPAIR   # conv%frz (K/s)
+        diags["ZMNLIQ"] = out.qnl
+        diags["ZMNICE"] = out.qni
+        diags["ZMWU"] = out.wu
+        diags["ZMDCAPE"] = out.dcape
+        diags["DIFZM"] = out.dif
 
     lq = (True,) + (False,) * (pcnst - 1)
     ptend_conv = ptend_init("zm_convr", ncol, pver, pcnst, ls=True, lq=lq,
@@ -174,7 +161,8 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
     else:
         ev = zm_conv_evap(cfg, state1.t, state1.pmid, state1.pdel,
                           state1.q[:, :, 0], landfrac, rprd_out, cld, ztodt,
-                          prec_evap)
+                          prec_evap,
+                          prdsnow=out.sprd if cfg.microp else None)
     ptend_evap = ptend_init("zm_conv_evap", ncol, pver, pcnst, ls=True, lq=lq,
                             dtype=dtype)
     ptend_evap = ptend_evap.replace(

@@ -138,7 +138,7 @@ class TestQ1Q2Parity:
         cu_mb = cld.cu * d["fac_mb"]
         evp_mb = cld.evp * d["fac_mb"]
 
-        dqdt, dsdt, dl = zm.q1q2_pjr(
+        dqdt, dsdt, dl, _ = zm.q1q2_pjr(
             MSG, d["q"], cld.qst, cld.qu, cld.su, du_mb, d["qhat"],
             d["shat"], d["dp"], cld.mu, cld.md, cld.sd, cld.qd, cld.qcde,
             d["dsubcld"], cld.jt, b.mx, (evp_mb, cu_mb))
