@@ -75,6 +75,26 @@ _CATALOG = [
     ("VTEND_PHYSTOT", "m/s2", "Meridional-wind tendency from physics",
      "mid"),
     ("PTTEND", "K/s", "T tendency: total physics parameterizations", "mid"),
+    # dynamics-tendency family (diag_phys_tend_writeout's DTCORE block,
+    # cam_diagnostics.F90:286-300; stored across the bc/ac boundary in
+    # pbuf by physpkg)
+    ("DTCORE", "K/s", "T tendency due to dynamical core", "mid"),
+    ("DQCORE", "kg/kg/s", "Water vapor tendency due to dynamical core",
+     "mid"),
+    ("UTEND_CORE", "m/s2", "Zonal-wind tendency due to dynamical core",
+     "mid"),
+    ("VTEND_CORE", "m/s2", "Meridional-wind tendency due to dynamical "
+     "core", "mid"),
+    # ZM heating/moistening rates (zm_conv_intr.F90 outfld families; the
+    # history_budget heating-rate members)
+    ("ZMDT", "K/s", "T tendency - Zhang-McFarlane moist convection",
+     "mid"),
+    ("ZMDQ", "kg/kg/s", "Q tendency - Zhang-McFarlane moist convection",
+     "mid"),
+    ("EVAPTZM", "K/s", "T tendency - evaporation/snow production from "
+     "ZM convection", "mid"),
+    ("EVAPQZM", "kg/kg/s", "Q tendency - evaporation from ZM convection",
+     "mid"),
     ("TFIX", "K/s", "T fixer (T tendency from energy fixer)", "srf"),
     ("PTTEND_DME", "K/s", "T tendency: dry-mass adjustment", "mid"),
     ("IETEND_DME", "W/m2", "Column internal-energy tendency: dry-mass "
@@ -246,6 +266,24 @@ _CATALOG = [
     ("CLDLOW", "fraction", "Vertically-integrated low cloud", "srf"),
     ("CLDMED", "fraction", "Vertically-integrated mid-level cloud", "srf"),
     ("CLDHGH", "fraction", "Vertically-integrated high cloud", "srf"),
+    ("CLDFREE", "fraction", "Fractional occurrence of cloud-free column",
+     "srf"),
+    # general tail (diag_init, cam_diagnostics.F90:195-850): airmass /
+    # gas "constants" / reference-height extrema / surface LW up / 10 m
+    # wind / precip partition
+    ("AIRMASS", "kg/m2", "Vertically integrated dry air mass", "srf"),
+    ("CPAIRV", "J/K/kg", "Specific heat of dry air (variable composition "
+     "slot; constant here)", "mid"),
+    ("RAIRV", "J/K/kg", "Gas constant of dry air (variable composition "
+     "slot; constant here)", "mid"),
+    ("TREFMXAV", "K", "Average of TREFHT daily maximum", "srf", "X"),
+    ("TREFMNAV", "K", "Average of TREFHT daily minimum", "srf", "M"),
+    ("U10", "m/s", "10 m wind speed", "srf"),
+    ("FLUS", "W/m2", "Upwelling longwave flux at surface", "srf"),
+    ("EFLX", "W/m2", "Net energy flux into the surface", "srf"),
+    ("PREC_PCW", "m/s", "Stratiform (macro/microphysics slot) "
+     "precipitation rate", "srf"),
+    ("PREC_zmc", "m/s", "Deep-convective (ZM) precipitation rate", "srf"),
 ]
 
 # pbuf physics variables written to IC tapes (diag_physvar_ic, :2368-2500)
@@ -274,6 +312,28 @@ def amwg_core_fields() -> list[str]:
     elsewhere) when history is on."""
     return [row[0] for row in _CATALOG] + \
         [name + "&IC" for name, *_ in _IC_FIELDS]
+
+
+def budget_register(reg: HistoryRegistry, tape: int = 1,
+                    cnst_names=("Q",)) -> None:
+    """history_budget tape defaults (cam_diagnostics.F90:760-850): route
+    the state/tendency budget families — PHIS/PS/T/U/V, the total
+    tendencies, the before/after-physics snapshots, the dynamics-tendency
+    family, and the per-constituent budget fields — to `tape`
+    (history_budget_histfile_num role). Call after diag_register."""
+    names = ["PHIS", "PS", "T", "U", "V",
+             "TTEND_TOT", "UTEND_TOT", "VTEND_TOT",
+             "TBP", "UBP", "VBP", "TAP", "UAP", "VAP",
+             "QBP", "QAP", "CLDLIQBP", "CLDLIQAP", "CLDICEBP", "CLDICEAP",
+             "PTTEND", "TFIX", "PTTEND_DME",
+             "DTCORE", "DQCORE", "UTEND_CORE", "VTEND_CORE",
+             "DTCOND", "EVAPTZM", "ZMDT", "EVAPQZM", "ZMDQ"]
+    for n in cnst_names:
+        if f"DC{n}" in reg.fields:
+            names.append(f"DC{n}")
+    for n in names:
+        if n in reg.fields and n not in reg.defaults.get(tape, []):
+            reg.add_default(n, tape=tape)
 
 
 def diag_register(reg: HistoryRegistry) -> None:
@@ -377,6 +437,12 @@ def diag_phys_writeout(state, nstep: int | float = 0, area=None) -> dict:
         "OMGAOMGA": state.omega * state.omega,
         "MQ": qv * state.pdel / c.GRAVIT,
         "WSPEED": wspd, "WSPDSRFMX": wspd[:, -1], "WSPDSRFAV": wspd[:, -1],
+        "AIRMASS": jnp.sum(state.pdeldry, axis=-1) / c.GRAVIT,
+        "CPAIRV": jnp.full_like(t, c.CPAIR),
+        "RAIRV": jnp.full_like(t, c.RAIR),
+        "TREFMXAV": t[:, -1], "TREFMNAV": t[:, -1],
+        "U10": wspd[:, -1],
+        "FLUS": c.STEBOL * t[:, -1] ** 4,
     }
     if area is not None:
         out["GRIDAREA"] = area
@@ -581,4 +647,6 @@ def diag_export(cam_out) -> dict:
         "PRECSL": cam_out.precsl,
         "PRECCav": cam_out.precc,
         "PRECLav": cam_out.precl,
+        "PREC_zmc": cam_out.precc,
+        "PREC_PCW": cam_out.precl,
     }

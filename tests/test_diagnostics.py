@@ -226,3 +226,53 @@ class TestPlevelAndCloud:
         out3 = diag_cloud(cld3, pmid)
         np.testing.assert_allclose(np.asarray(out3["CLDTOT"]), 0.75,
                                    atol=1e-6)
+
+
+class TestBudgetTape:
+    def test_history_budget_registration_and_tail(self):
+        """budget_register routes the history_budget families to their own
+        tape (cam_diagnostics.F90:760-850), and the round-5 general-tail
+        fields are declared with payloads."""
+        from cam_nor_physics_tpu.models.physics.cam_diagnostics import \
+            budget_register
+
+        reg = HistoryRegistry()
+        diag_register(reg)
+        assert len(reg.fields) >= 190
+        for name in ("AIRMASS", "TREFMXAV", "TREFMNAV", "U10", "FLUS",
+                     "CLDFREE", "PREC_zmc", "PREC_PCW", "DTCORE",
+                     "EVAPTZM"):
+            assert name in reg.fields, name
+        assert reg.fields["TREFMXAV"].avgflag == "X"
+        assert reg.fields["TREFMNAV"].avgflag == "M"
+
+        budget_register(reg, tape=1, cnst_names=("Q", "CLDLIQ", "CLDICE"))
+        t1 = reg.defaults.get(1, [])
+        assert len(t1) >= 30
+        for name in ("TTEND_TOT", "TBP", "TAP", "DTCORE", "DTCOND", "ZMDT",
+                     "DCQ"):
+            assert name in t1, name
+        # idempotent: registering twice must not duplicate
+        budget_register(reg, tape=1, cnst_names=("Q",))
+        assert len(reg.defaults[1]) == len(set(reg.defaults[1]))
+
+    def test_general_tail_payloads(self):
+        from cam_nor_physics_tpu.models.physics.state import \
+            make_state_from_profiles
+        ncol, pver = 4, 8
+        pint = jnp.broadcast_to(jnp.linspace(1e4, 1e5, pver + 1),
+                                (ncol, pver + 1))
+        t = jnp.full((ncol, pver), 280.0)
+        q = jnp.full((ncol, pver, 3), 4e-3)
+        st = make_state_from_profiles(pint, t, jnp.full((ncol, pver), 5.0),
+                                      jnp.zeros((ncol, pver)), q,
+                                      jnp.zeros((ncol,)))
+        out = diag_phys_writeout(st)
+        np.testing.assert_allclose(
+            np.asarray(out["AIRMASS"]),
+            np.asarray(st.pdeldry.sum(-1)) / 9.80616, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["CPAIRV"]), 1004.64,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(out["FLUS"]),
+                                   5.67e-8 * 280.0 ** 4, rtol=1e-10)
+        assert np.asarray(out["U10"]).shape == (ncol,)
