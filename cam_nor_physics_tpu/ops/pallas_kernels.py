@@ -54,10 +54,14 @@ from . import tp_core as tp
 # Largest PADDED (rows, im) slab one fused per-level program accepts: the
 # tp2d body keeps O(100) intermediate slabs live in VMEM. The kernels
 # request `_VMEM_LIMIT` of the v5e's 128 MB VMEM (the default scoped cap
-# is 16 MB); the cap below is the padded-cell budget that measured ~85%
-# of that limit. Larger grids run j-banded (band_plan). Padding: Mosaic
-# tiles f32 slabs to (8, 128).
-_MAX_SLAB_CELLS = 64000
+# is 16 MB). Round-4 ran with 64000 (an early conservative measurement);
+# round-5 hardware A/B showed slabs up to ~126k padded cells (f05's
+# 2-band split: 197x640) compile AND execute, and fewer/larger bands win:
+# f09 (192x384 = 73.7k) whole-slab is 53.5 vs 59.9 ms/step 2-banded.
+# 180000 keeps f19/f09 whole-slab and f05 at 2 bands, and stays within
+# the VMEM budget by construction (~100 live slabs x 180k x 4 B ~ 72 MB
+# < _VMEM_LIMIT). Padding: Mosaic tiles f32 slabs to (8, 128).
+_MAX_SLAB_CELLS = 180000
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 # Test hook: run pallas_call in interpret mode (CPU) so the banded
