@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the 9-day JW06 run is a big compile + long integration: serialize onto
+# the heavy xdist worker like the other big-compile modules
+pytestmark = pytest.mark.xdist_group("heavy")
+
 from cam_nor_physics_tpu.models.fv.baroclinic_wave import (_phis,
                                                            _temperature,
                                                            _u_balanced,
@@ -94,3 +98,77 @@ class TestSteadyState:
         assert np.abs(eddy).max() < 5.0
         assert abs(float(st.u.max()) - u0max) < 3.0
         assert float(jnp.abs(st.v).max()) < 1.5
+
+
+class TestPerturbedWaveJW06:
+    """JW06 §4b quantitative cross-validation of the rebuilt cd_core
+    (round-4 VERDICT #5): the perturbed baroclinic wave at 1.9°x2.5°x26
+    must reproduce the published evolution — quiet through day 4,
+    explosive cyclogenesis days 7-9 with ps_min reaching the coarse-
+    resolution envelope by day 9, accelerating deepening ('wave breaking
+    after day 7'), and near-exponential eddy kinetic-energy growth.
+
+    Run at the REFERENCE's damping operating point (div24del2flag=2):
+    measured day-9 ps_min = 967.1 hPa with day-over-day deepening
+    4.0/8.4/16.1 hPa (days 6-9) — inside JW06's ~2°-class inter-model
+    spread (their Figs 5-7: coarse grids reach ~960-975 hPa by day 9;
+    converged ~945-950). The repo-extension flag-22 point (del2 velocity
+    damping, the long-run-stable default) damps the eddy growth to ~992
+    hPa by day 9 — recorded in VALIDATION.md as a known deviation of the
+    stability-envelope operating point.
+    """
+
+    @pytest.mark.slow
+    def test_nine_day_cyclogenesis_envelope(self):
+        from cam_nor_physics_tpu.models.fv.cd_core import pressure_vars
+
+        # the validated configuration is f32 (VALIDATION.md); scope out of
+        # the suite's global x64 so the 9-day run costs ~65 s/day
+        with jax.enable_x64(False):
+            self._run_nine_days(pressure_vars)
+
+    def _run_nine_days(self, pressure_vars):
+        im, jm, km, dt = 144, 96, 26, 1800.0
+        grid = make_grid(im, jm, km)
+        coord = hybrid_coefficients(km)
+        st, phis = jw_baroclinic_wave(grid, coord, perturb=True,
+                                      dtype=jnp.float32)
+        cfg = FVConfig(div24del2flag=2)
+        phis = jnp.asarray(phis.astype(jnp.float32))
+
+        @jax.jit
+        def chunk(s):          # one model day per dispatch
+            return jax.lax.fori_loop(
+                0, int(86400 / dt),
+                lambda i, c: dyn_run(c, grid, coord, phis, cfg, dt), s)
+
+        @jax.jit
+        def metrics(s):
+            pe = pressure_vars(s.delp, coord.ptop)[0]
+            # mass-weighted eddy kinetic energy (zonal-mean removed)
+            up = s.u - jnp.mean(s.u, axis=-1, keepdims=True)
+            vp = s.v - jnp.mean(s.v, axis=-1, keepdims=True)
+            eke = jnp.sum(0.5 * (up * up + vp * vp) * s.delp) / \
+                jnp.sum(s.delp)
+            return jnp.min(pe[-1]) / 100.0, eke
+
+        psmin, eke = {}, {}
+        for day in range(1, 10):
+            st = chunk(st)
+            p, e = metrics(st)
+            psmin[day], eke[day] = float(p), float(e)
+            assert np.isfinite(p), f"blow-up at day {day}"
+
+        # quiet phase (JW06: ps_min 995-1000 hPa through day ~4-6)
+        assert all(psmin[d] > 985.0 for d in (1, 2, 3, 4)), psmin
+        # explosive cyclogenesis: accelerating day-over-day deepening
+        # after day 7 (wave breaking), into the coarse-grid envelope
+        assert psmin[9] < psmin[8] < psmin[7] < psmin[6], psmin
+        d78 = psmin[7] - psmin[8]
+        d89 = psmin[8] - psmin[9]
+        assert d89 > d78 > 2.0, (d78, d89)
+        assert 930.0 < psmin[9] < 980.0, psmin[9]
+        # eddy kinetic energy: near-exponential growth through the
+        # baroclinic phase, orders of magnitude above the seed
+        assert eke[9] > 10.0 * eke[5] > 0.0, eke
+        assert eke[9] > 1.0, eke[9]
