@@ -1869,7 +1869,10 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
 
     # freezing-CAPE increment boosts the closure (capeg += dcape,
     # zm_conv.F90:1242-1246)
-    cape_eff = buoy_used.cape + (cld.dcape if cfg.microp else 0.0)
+    # dcape applies to the gathered (triggered) columns only — the
+    # reference's capeg is a gathered array (zm_conv.F90:1242-1246)
+    cape_eff = buoy_used.cape + (
+        cld.dcape * mask.astype(dtype) if cfg.microp else 0.0)
     mb = closure(cfg, msg, q, t, p, z, s, buoy_used.tp, cld.qst, cld.qu,
                  cld.su, cld.mc, du, cld.mu, cld.md, cld.qd, cld.sd, qhat,
                  shat, dp, buoy_used.qstp, zf, cld.ql, dsubcld,
