@@ -95,6 +95,39 @@ _CATALOG = [
      "ZM convection", "mid"),
     ("EVAPQZM", "kg/kg/s", "Q tendency - evaporation from ZM convection",
      "mid"),
+    # ZM in-plume microphysics family (zm_conv_micro_outfld,
+    # zm_conv_intr.F90:1292-1390)
+    ("CLDLIQZM", "kg/kg", "ZM in-plume convective cloud liquid", "mid"),
+    ("CLDICEZM", "kg/kg", "ZM in-plume convective cloud ice", "mid"),
+    ("ICIMRDP", "kg/kg", "Deep-convection in-cloud ice mixing ratio",
+     "mid"),
+    ("QNLZM", "1/kg", "ZM in-plume droplet number", "mid"),
+    ("QNIZM", "1/kg", "ZM in-plume crystal number", "mid"),
+    ("WUZM", "m/s", "ZM updraft vertical velocity", "mid"),
+    ("FRZZM", "kg/kg/s", "ZM in-plume freezing rate", "mid"),
+    ("CLIQSNUM", "1", "ZM cloud-liquid presence sample number", "mid"),
+    ("CICESNUM", "1", "ZM cloud-ice presence sample number", "mid"),
+    ("WUZMSNUM", "1", "ZM updraft-velocity presence sample number", "mid"),
+    ("ZMDCAPE", "J/kg", "ZM freezing-CAPE increment", "srf"),
+    ("ZMFRZ", "K/s", "ZM freezing heating rate", "mid"),
+    ("ZMSPRD", "kg/kg/s", "ZM snow production rate", "mid"),
+    ("DIFZM", "kg/kg/s", "Detrained ice water from ZM convection", "mid"),
+    ("DNLFZM", "1/kg/s", "Detrained liquid-number tendency from ZM",
+     "mid"),
+    ("DNIFZM", "1/kg/s", "Detrained ice-number tendency from ZM", "mid"),
+    ("ZMNLIQ", "1/kg", "ZM in-plume liquid number", "mid"),
+    ("ZMNICE", "1/kg", "ZM in-plume ice number", "mid"),
+    ("AUTOL_M", "kg/kg/s", "ZM in-plume autoconversion mass rate", "mid"),
+    ("ACCRL_M", "kg/kg/s", "ZM in-plume accretion mass rate", "mid"),
+    ("FHTIM_M", "kg/kg/s", "ZM immersion-freezing mass rate", "mid"),
+    ("FHTCT_M", "kg/kg/s", "ZM contact/deposition-freezing mass rate",
+     "mid"),
+    ("HMPI_M", "kg/kg/s", "ZM homogeneous-freezing mass rate", "mid"),
+    ("ACTIV_N", "1/kg/s", "ZM droplet-activation number rate", "mid"),
+    ("AUTOL_N", "1/kg/s", "ZM autoconversion number-loss rate", "mid"),
+    ("ACCRL_N", "1/kg/s", "ZM accretion number-loss rate", "mid"),
+    ("FHTIM_N", "1/kg/s", "ZM immersion-freezing number rate", "mid"),
+    ("FHTCT_N", "1/kg/s", "ZM contact-freezing number rate", "mid"),
     ("TFIX", "K/s", "T fixer (T tendency from energy fixer)", "srf"),
     ("PTTEND_DME", "K/s", "T tendency: dry-mass adjustment", "mid"),
     ("IETEND_DME", "W/m2", "Column internal-energy tendency: dry-mass "

@@ -749,6 +749,12 @@ class ZMMphyOut:
     sprd: jnp.ndarray     # snow production (cu units)
     frz: jnp.ndarray      # liquid->ice freezing rate (cu units)
     wu: jnp.ndarray       # updraft vertical velocity (m/s)
+    # per-process rates (conv%autolm... family, zm_conv_micro_outfld,
+    # /root/reference/physics/zm_conv_intr.F90:1292-1390), cu units for
+    # _m (mass) and number-flux/m for _n entries; zeros for processes the
+    # stand-in scheme does not model (bergeron, snow accretion, rain
+    # freezing)
+    rates: dict
 
 
 def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
@@ -850,12 +856,18 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
                                           x["nact"]), 0.0)
         ni_u = jnp.where(pos, jnp.maximum(Gni, 0.0) / mu_s, 0.0)
 
+        # activation-number source in mixing-ratio units (for the ACTIV_N
+        # diagnostic; the budget itself added it through Gnl)
+        dn_act = jnp.where(pos, x["dz"] * jnp.maximum(x["cmel"], 0.0) /
+                           M_ACT / mu_s, 0.0)
+
         # ---- freezing: Bigg immersion + Cooper + homogeneous ----
         dT = jnp.clip(TFREEZ - x["tug"], 0.0, 40.0)
         frz_imm = BIMM * jnp.expm1(AIMM * dT) * x["rho"] * ql_u * ql_u / \
             jnp.maximum(nl_u * RHO_LIQ * M_ACT, eps) * M_ACT
         frz_imm = jnp.where(x["tug"] < TFREEZ, frz_imm, 0.0)
-        dq_frz = jnp.minimum(ql_u, frz_imm * tau)
+        dq_imm = jnp.minimum(ql_u, frz_imm * tau)
+        dq_frz = dq_imm
         n_cooper = jnp.minimum(COOPER_A * jnp.exp(COOPER_B * dT) / x["rho"],
                                NI_MAX)
         n_cooper = jnp.where(x["tug"] < TFREEZ, n_cooper, 0.0)
@@ -863,11 +875,17 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         dq_nuc = jnp.minimum(jnp.maximum(ql_u - dq_frz, 0.0),
                              dn_nuc * M_ICE0)
         dn_nuc = dq_nuc / M_ICE0
+        dq_ct = dq_nuc
         dq_frz = dq_frz + dq_nuc
+        dq_hom = jnp.where(x["tug"] <= T_HOM,
+                           jnp.maximum(ql_u - dq_frz, 0.0), 0.0)
         dq_frz = jnp.where(x["tug"] <= T_HOM, ql_u, dq_frz)
         frac_frz = dq_frz / jnp.maximum(ql_u, eps)
         dn_l = jnp.minimum(nl_u * frac_frz, nl_u)
         dn_i = dn_l + jnp.maximum(dn_nuc - dn_l, 0.0)
+        # droplet-number loss split for the FHTIM_N/FHTCT_N diagnostics
+        dn_imm_n = dn_l * dq_imm / jnp.maximum(dq_frz, eps)
+        dn_ct_n = dn_nuc
         ql_u = ql_u - dq_frz
         qi_u = qi_u + dq_frz
         nl_u = nl_u - dn_l
@@ -876,14 +894,17 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         # ---- autoconversion + accretion (KK2000) ----
         nc_cm3 = jnp.maximum(nl_u * x["rho"] * 1.0e-6, 1.0)
         auto = KK_A * jnp.maximum(ql_u, 0.0) ** 2.47 * nc_cm3 ** (-1.79)
-        dq_rain = jnp.minimum(ql_u, auto * tau)
+        dq_auto = jnp.minimum(ql_u, auto * tau)
+        dq_rain = dq_auto
         frac_rain = dq_rain / jnp.maximum(ql_u, eps)
+        dn_auto_n = nl_u * frac_rain
         nl_u = nl_u * (1.0 - frac_rain)
         ql_u = ql_u - dq_rain
         accr = KK_ACC * (jnp.maximum(ql_u, 0.0) *
                          jnp.maximum(dq_rain, 0.0)) ** 1.15
         dq_accr = jnp.minimum(ql_u, accr * tau)
         frac_accr = dq_accr / jnp.maximum(ql_u, eps)
+        dn_accr_n = nl_u * frac_accr
         nl_u = nl_u * (1.0 - frac_accr)
         ql_u = ql_u - dq_accr
         dq_rain = dq_rain + dq_accr
@@ -909,21 +930,32 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         # share of new condensate) — the hu/q1q2 budgets heat by
         # latice*frz, and ice formed by either path leaves the column as
         # snow or detrained ice with no further latent-ice debit
+        cmei_pos = jnp.where(live & pos, jnp.maximum(x["cmei"], 0.0), zero)
         outs = (sel(ql_u), sel(qi_u), sel(nl_u), sel(ni_u),
                 rate(dq_rain), rate(dq_snow),
-                rate(dq_frz) + jnp.where(live & pos,
-                                         jnp.maximum(x["cmei"], 0.0), zero),
-                jnp.where(live, wu, zero))
+                rate(dq_frz) + cmei_pos,
+                jnp.where(live, wu, zero),
+                # per-process diagnostics (conv% rates family)
+                rate(dq_auto), rate(dq_accr),
+                rate(dq_imm), rate(dq_ct), rate(dq_hom),
+                rate(dn_act), rate(dn_auto_n), rate(dn_accr_n),
+                rate(dn_imm_n), rate(dn_ct_n))
         return new_cy, outs
 
     if scan_impl is None:
         scan_impl = LAX_SCAN
-    _, (qliq, qice, qnl, qni, rprd, sprd, frz, wu) = scan_impl.scan(
+    _, (qliq, qice, qnl, qni, rprd, sprd, frz, wu,
+        auto_m, accr_m, imm_m, ct_m, hom_m,
+        act_n, auto_n, accr_n, imm_n, ct_n) = scan_impl.scan(
         step, carry0, xs, reverse=True)
 
+    rates = dict(AUTOL_M=auto_m, ACCRL_M=accr_m, FHTIM_M=imm_m,
+                 FHTCT_M=ct_m, HMPI_M=hom_m,
+                 ACTIV_N=act_n, AUTOL_N=auto_n, ACCRL_N=accr_n,
+                 FHTIM_N=imm_n, FHTCT_N=ct_n)
     return ZMMphyOut(qliq=qliq, qice=qice, qnl=qnl, qni=qni,
                      qcde=qliq, qide=qice, qncde=qnl, qnide=qni,
-                     rprd=rprd, sprd=sprd, frz=frz, wu=wu)
+                     rprd=rprd, sprd=sprd, frz=frz, wu=wu, rates=rates)
 
 
 # =============================================================================
@@ -968,6 +1000,7 @@ class CldprpOut:
     qni: jnp.ndarray
     wu: jnp.ndarray       # updraft vertical velocity (m/s)
     dcape: jnp.ndarray    # (ncol,) freezing-CAPE increment (loc_conv%dcape)
+    mrates: dict          # per-process rates (conv% family; {} when off)
 
 
 def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
@@ -1521,18 +1554,21 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
         sprd, frz_o = mp.sprd, frz
         qliq_o, qice_o, qnl_o, qni_o, wu_o = (mp.qliq, mp.qice, mp.qnl,
                                               mp.qni, mp.wu)
+        mrates = mp.rates
     else:
         z2 = jnp.zeros_like(t)
         qide = qncde = qnide = sprd = frz_o = z2
         qliq_o = qice_o = qnl_o = qni_o = wu_o = z2
+        mrates = {}
 
     return CldprpOut(mu=mu, eu=eu, du=du, md=md, ed=ed, sd=sd, qd=qd, mc=mc,
                      qu=qu, su=su, qst=qst, hmn=hmn, hsat=hsat, ql=ql,
                      qcde=qcde, cu=cu, evp=evp, cmeg=cmeg, rprd=rprd,
                      pflx=pflx, jt=jt, jlcl=jlcl, j0=j0, jd=jd,
-                     qide=qide, qncde=qncde, qnide=qnide, sprd=sprd,
-                     frz=frz_o, qliq=qliq_o, qice=qice_o, qnl=qnl_o,
-                     qni=qni_o, wu=wu_o, dcape=dcape)
+                     qide=qide, qncde=qncde, qnide=qnide,
+                     sprd=sprd, frz=frz_o, qliq=qliq_o, qice=qice_o,
+                     qnl=qnl_o, qni=qni_o, wu=wu_o, dcape=dcape,
+                     mrates=mrates)
 
 
 # =============================================================================
@@ -1756,6 +1792,8 @@ class ZMConvOut:
     qni: jnp.ndarray
     wu: jnp.ndarray       # updraft vertical velocity (m/s)
     dcape: jnp.ndarray    # (ncol,) freezing-CAPE increment
+    mrates: dict          # per-process rates, mb-scaled kg/kg/s-family
+                          # ({} when microp off)
 
 
 def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
@@ -1981,7 +2019,9 @@ def zm_convr(cfg: ZMConfig, msg: int, t, qh, pap, paph, dpp, zm_, geos, zi_,
         dif=dig, dnlf=dnlg, dnif=dnig, sprd=sprdg, frz=frzg,
         qliq=cld.qliq * maskf, qice=cld.qice * maskf,
         qnl=cld.qnl * maskf, qni=cld.qni * maskf, wu=cld.wu * maskf,
-        dcape=cld.dcape * mask.astype(dtype))
+        dcape=cld.dcape * mask.astype(dtype),
+        mrates={k: v * fac_mb * mbk * maskf
+                for k, v in cld.mrates.items()})
 
 
 # =============================================================================

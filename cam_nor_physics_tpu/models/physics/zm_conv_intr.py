@@ -120,9 +120,21 @@ def zm_conv_tend(cfg: ZMConfig, registry: ConstituentRegistry,
         diags["ZMFRZ"] = out.frz * c.LATICE / c.CPAIR   # conv%frz (K/s)
         diags["ZMNLIQ"] = out.qnl
         diags["ZMNICE"] = out.qni
-        diags["ZMWU"] = out.wu
         diags["ZMDCAPE"] = out.dcape
         diags["DIFZM"] = out.dif
+        # zm_conv_micro_outfld payload (zm_conv_intr.F90:1292-1390):
+        # in-plume state, presence sample-numbers, per-process rates
+        diags["CLDLIQZM"] = out.qliq
+        diags["CLDICEZM"] = out.qice
+        diags["ICIMRDP"] = out.qice
+        diags["QNLZM"] = out.qnl
+        diags["QNIZM"] = out.qni
+        diags["WUZM"] = out.wu
+        diags["FRZZM"] = out.frz
+        diags["CLIQSNUM"] = (out.qliq > 0.0).astype(dtype)
+        diags["CICESNUM"] = (out.qice > 0.0).astype(dtype)
+        diags["WUZMSNUM"] = (out.wu > 0.0).astype(dtype)
+        diags.update(out.mrates)
 
     lq = (True,) + (False,) * (pcnst - 1)
     ptend_conv = ptend_init("zm_convr", ncol, pver, pcnst, ls=True, lq=lq,

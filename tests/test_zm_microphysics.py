@@ -231,3 +231,28 @@ class TestPostPassDeleted:
         import inspect
         sig = inspect.signature(zm.zm_mphy)
         assert "cmel" in sig.parameters and "cmei" in sig.parameters
+
+
+class TestProcessRateDiagnostics:
+    def test_conv_rate_family_present_and_consistent(self, on):
+        """The zm_conv_micro_outfld payload (zm_conv_intr.F90:1292-1390):
+        per-process rates are nonnegative, localized to the plume, and the
+        mass pieces account for the total production/freezing."""
+        s, out = on
+        r = out.mrates
+        for k in ("AUTOL_M", "ACCRL_M", "FHTIM_M", "FHTCT_M", "HMPI_M",
+                  "ACTIV_N", "AUTOL_N", "ACCRL_N", "FHTIM_N", "FHTCT_N"):
+            assert k in r, k
+            assert float(jnp.min(r[k])) >= 0.0, k
+        # total production = autoconversion + accretion (rain) + snow;
+        # out.rprd is that total MINUS downdraft evaporation, so the
+        # column-integrated process rates must bound it from above
+        prod = (np.asarray(r["AUTOL_M"]) + np.asarray(r["ACCRL_M"]) +
+                np.asarray(out.sprd))
+        dpm = np.asarray(s["pdel"])
+        tot_prod = np.sum(prod * dpm, axis=1)
+        tot_r = np.sum(np.asarray(out.rprd) * dpm, axis=1)
+        assert (tot_prod >= tot_r - 1e-12).all()
+        assert np.asarray(r["ACTIV_N"]).max() > 0.0
+        assert np.asarray(r["FHTIM_M"]).max() + \
+            np.asarray(r["FHTCT_M"]).max() > 0.0
