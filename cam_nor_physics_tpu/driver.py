@@ -379,7 +379,8 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
             payload = _step_payload(state, cam_in, cam_out, diags, area)
             bufs = {t: outfld_many(b, payload, reg)
                     for t, b in bufs.items()}
-        pending_flags.append((1, _state_ok(state)[None]))
+        if check_eff:
+            pending_flags.append((1, _state_ok(state)[None]))
         i = 1
         boundary(i)
 
@@ -390,7 +391,8 @@ def _run_chunked(model: AtmModel, state: AtmState, cam_in: CamIn,
         state, bufs, oks = timer.timed("atm_step", fn, model, state, bufs,
                                        cam_in, n=n)
         donate = True
-        pending_flags.append((i + 1, oks))
+        if check_eff:      # no sentinel boundaries -> nothing consumes them
+            pending_flags.append((i + 1, oks))
         i += n
         boundary(i)
 

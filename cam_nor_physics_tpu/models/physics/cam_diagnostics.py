@@ -535,8 +535,10 @@ def diag_cloud(cld, pmid) -> dict:
         return 1.0 - jnp.prod(num / den, axis=1)
 
     ones = jnp.ones_like(cld, bool)
+    tot = overlap(ones)
     return {
-        "CLDTOT": overlap(ones),
+        "CLDTOT": tot,
+        "CLDFREE": 1.0 - tot,
         "CLDLOW": overlap(pmid > 700e2),
         "CLDMED": overlap((pmid <= 700e2) & (pmid > 400e2)),
         "CLDHGH": overlap(pmid <= 400e2),
@@ -654,6 +656,10 @@ def diag_surf(cam_in, cam_out) -> dict:
         "TAUX": cam_in.wsx, "TAUY": cam_in.wsy, "TS": cam_in.ts,
         "TSMN": cam_in.ts, "TSMX": cam_in.ts,
         "PSL": cam_out.psl,
+        # net energy flux INTO the surface: absorbed solar + downwelling
+        # LW minus turbulent losses (EFLX role); netsw/flwds are the
+        # coupler export payload
+        "EFLX": (cam_out.netsw + cam_out.flwds - cam_in.shf - cam_in.lhf),
     }
     for attr, name in (("landfrac", "LANDFRAC"), ("icefrac", "ICEFRAC"),
                        ("ocnfrac", "OCNFRAC"), ("snowhland", "SNOWHLND"),

@@ -66,9 +66,10 @@ def check_energy_chng(state: PhysicsState, registry: ConstituentRegistry,
     """Verify energy/water change matches boundary fluxes and update te_cur/tw_cur
     (check_energy_chng equivalent; call pattern physpkg.F90:2867 etc.).
 
-    flx_vap: water vapor flux in (kg/m2/s);  flx_cnd: liquid condensate flux
-    out (m/s of liquid water); flx_ice: ice flux out; flx_sen: sensible heat
-    flux in (W/m2).
+    flx_vap: water vapor flux in (kg/m2/s); flx_cnd: TOTAL condensate flux
+    out (m/s liquid-water-equivalent — rain INCLUDING snow, plus every
+    reserved/detrained condensate stream); flx_ice: the frozen SUBSET of
+    flx_cnd (snow + detrained ice); flx_sen: sensible heat flux in (W/m2).
     """
     ncol = state.ncol
     zero = jnp.zeros((ncol,), dtype=state.t.dtype)

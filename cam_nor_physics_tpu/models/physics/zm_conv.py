@@ -829,8 +829,10 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         wu = jnp.sqrt(w2)
         tau = x["dz"] / jnp.maximum(wu, 0.5)
 
-        # budget step (reference differencing) for all four species
-        def g(f_b, x_b, src):
+        # budget step (reference differencing) for all four species:
+        # flux in from below, minus detrainment of the below value, plus
+        # the level source (all in flux units)
+        def g(x_b, src):
             return cy["mu_b"] * x_b - x["dz"] * x["du"] * x_b + \
                 x["dz"] * src
 
@@ -843,12 +845,12 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         nl_b = jnp.where(cy["mu_b"] > 0, nl_b, 0.0)
         ni_b = jnp.where(cy["mu_b"] > 0, ni_b, 0.0)
 
-        Gl = g(cy["f_ql"], ql_b, jnp.maximum(x["cmel"], 0.0))
-        Gi = g(cy["f_qi"], qi_b, jnp.maximum(x["cmei"], 0.0))
+        Gl = g(ql_b, jnp.maximum(x["cmel"], 0.0))
+        Gi = g(qi_b, jnp.maximum(x["cmei"], 0.0))
         # activation: new liquid at the activation radius; deposition ice
         # at the fresh-crystal size
-        Gnl = g(cy["f_nl"], nl_b, jnp.maximum(x["cmel"], 0.0) / M_ACT)
-        Gni = g(cy["f_ni"], ni_b, jnp.maximum(x["cmei"], 0.0) / M_ICE0)
+        Gnl = g(nl_b, jnp.maximum(x["cmel"], 0.0) / M_ACT)
+        Gni = g(ni_b, jnp.maximum(x["cmei"], 0.0) / M_ICE0)
 
         ql_u = jnp.where(pos, jnp.maximum(Gl, 0.0) / mu_s, 0.0)
         qi_u = jnp.where(pos, jnp.maximum(Gi, 0.0) / mu_s, 0.0)
@@ -1174,7 +1176,12 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     # the in-plume feedback loop) ----
     frz = jnp.zeros_like(t)
     jto = None
-    tvuo = jnp.zeros_like(t)
+    # dcape reference profile: initialized to the ENVIRONMENT interface
+    # virtual temperature everywhere (zm_conv.F90:3304-3307) and
+    # overwritten inside iteration-1's plume window below — levels that
+    # only iteration-2's window reaches must difference against the
+    # environment, not zero (review finding r5)
+    tvuo = (shat - GRAV / mcp * zf_top) * (1.0 + c.ZVIR * qhat)
     dcape = jnp.zeros((ncol,), dtype)
     mp = None
 
@@ -1359,7 +1366,7 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                 # zm_conv.F90:3822-3824)
                 in_dc = (karr > _c(jt)) & (karr <= _c(jlcl)) & _col(active)
                 tvuo = jnp.where(in_dc, (su - GRAV / CP * zf_top) *
-                                 (1.0 + 0.608 * qu), 0.0)
+                                 (1.0 + 0.608 * qu), tvuo)
             else:
                 # new top lower than iter-1's: zero frz/cu in [jto, jt]
                 # (zm_conv.F90:3804-3810)
@@ -1383,8 +1390,9 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
                 (mu >= 0.0)
             totpcp = _lsum(jnp.where(in_tp, dz * (cu - du * det_b), 0.0))
             # reference convention: rprd is TOTAL precip production and
-            # sprd its snow portion (the :1632 comparisons assume
-            # sprd <= rprd)
+            # sprd its snow portion; after the downdraft-evaporation
+            # subtraction below, rprd can drop under sprd (or negative)
+            # exactly as in the reference (:4190)
             rprd = mp.rprd + mp.sprd
             qcde = mp.qcde
         else:
@@ -1417,6 +1425,11 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
             totpcp = cyQ["totpcp"]
             qcde = ql
     # ---- end plume iteration ----
+    if eu_only:
+        # microp + eu_only (second_call first plume pass): eu is final
+        # after the loop; the downdraft/evap/pflx sections below do not
+        # feed it (the non-microp slim path returned inside the loop)
+        return eu
     totpcp = jnp.maximum(totpcp, 0.0)
 
     # ---- downdraft (zm_conv.F90:4030-4106) ----
@@ -1542,12 +1555,6 @@ def cldprp(cfg: ZMConfig, msg: int, q, t, p, z, s, zf, shat, qhat, jb, lel,
     pflx = _lcat([_c(jnp.zeros((ncol,), dtype)), _cumsum_lvl(rprd * dz)])
 
     mc = mu + md
-
-    if eu_only:
-        # microp + eu_only: the entrainment profile after the full
-        # freezing iteration (see the in-loop slim path for the
-        # no-microp case)
-        return eu
 
     if microp:
         qide, qncde, qnide = mp.qide, mp.qncde, mp.qnide

@@ -58,10 +58,13 @@ from . import tp_core as tp
 # round-5 hardware A/B showed slabs up to ~126k padded cells (f05's
 # 2-band split: 197x640) compile AND execute, and fewer/larger bands win:
 # f09 (192x384 = 73.7k) whole-slab is 53.5 vs 59.9 ms/step 2-banded.
-# 180000 keeps f19/f09 whole-slab and f05 at 2 bands, and stays within
-# the VMEM budget by construction (~100 live slabs x 180k x 4 B ~ 72 MB
-# < _VMEM_LIMIT). Padding: Mosaic tiles f32 slabs to (8, 128).
-_MAX_SLAB_CELLS = 180000
+# 133120 keeps f19/f09 whole-slab and f05 at 2 bands (its 197x640 =
+# 126,080-cell band slabs are exactly the hardware-validated size;
+# 133120 = the smallest multiple-of-8-row cap that yields the 2-band
+# plan, 5.6% above what was executed) without licensing untested slabs
+# far beyond the measurement. Padding: Mosaic tiles f32 slabs to
+# (8, 128).
+_MAX_SLAB_CELLS = 133120
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 # Test hook: run pallas_call in interpret mode (CPU) so the banded
