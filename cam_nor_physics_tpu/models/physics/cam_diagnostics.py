@@ -123,6 +123,8 @@ _CATALOG = [
     ("FHTCT_M", "kg/kg/s", "ZM contact/deposition-freezing mass rate",
      "mid"),
     ("HMPI_M", "kg/kg/s", "ZM homogeneous-freezing mass rate", "mid"),
+    ("BERGN_M", "kg/kg/s", "ZM Wegener-Bergeron-Findeisen mass rate",
+     "mid"),
     ("ACTIV_N", "1/kg/s", "ZM droplet-activation number rate", "mid"),
     ("AUTOL_N", "1/kg/s", "ZM autoconversion number-loss rate", "mid"),
     ("ACCRL_N", "1/kg/s", "ZM accretion number-loss rate", "mid"),

@@ -788,7 +788,8 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
     """
     from .zm_microphysics import (AIMM, BIMM, COOPER_A, COOPER_B, KK_A,
                                   KK_ACC, M_ACT, M_ICE0, NACT_LND, NACT_OCN,
-                                  NI_MAX, QI0_SNOW, RHO_LIQ, T_HOM, TAU_SNOW,
+                                  NI_MAX, QI0_SNOW, RHO_LIQ, T_BERG_PEAK,
+                                  T_BERG_WIDTH, T_HOM, TAU_BERG, TAU_SNOW,
                                   activated_number)
 
     ncol, pver = _shape_cp(t)
@@ -879,6 +880,17 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
         dn_nuc = dq_nuc / M_ICE0
         dq_ct = dq_nuc
         dq_frz = dq_frz + dq_nuc
+        # Wegener-Bergeron-Findeisen: where ice already exists in mixed
+        # phase, vapor deposition grows it at the liquid's expense — a
+        # liquid->ice transfer releasing latice exactly like freezing
+        # (BERGN_M role). Relaxation form with a Gaussian efficiency
+        # peaking near -15 C (the maximum e_w - e_i gap)
+        eff_berg = jnp.exp(-((x["tug"] - T_BERG_PEAK) / T_BERG_WIDTH) ** 2)
+        eff_berg = jnp.where((x["tug"] < TFREEZ) & (qi_u > 1.0e-10),
+                             eff_berg, 0.0)
+        dq_berg = jnp.minimum(jnp.maximum(ql_u - dq_frz, 0.0),
+                              eff_berg * ql_u / TAU_BERG * tau)
+        dq_frz = dq_frz + dq_berg
         dq_hom = jnp.where(x["tug"] <= T_HOM,
                            jnp.maximum(ql_u - dq_frz, 0.0), 0.0)
         dq_frz = jnp.where(x["tug"] <= T_HOM, ql_u, dq_frz)
@@ -939,7 +951,7 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
                 jnp.where(live, wu, zero),
                 # per-process diagnostics (conv% rates family)
                 rate(dq_auto), rate(dq_accr),
-                rate(dq_imm), rate(dq_ct), rate(dq_hom),
+                rate(dq_imm), rate(dq_ct), rate(dq_hom), rate(dq_berg),
                 rate(dn_act), rate(dn_auto_n), rate(dn_accr_n),
                 rate(dn_imm_n), rate(dn_ct_n))
         return new_cy, outs
@@ -947,12 +959,12 @@ def zm_mphy(cfg: ZMConfig, su, qu, mu, du, eu, cmel, cmei, dz, zf_top, p,
     if scan_impl is None:
         scan_impl = LAX_SCAN
     _, (qliq, qice, qnl, qni, rprd, sprd, frz, wu,
-        auto_m, accr_m, imm_m, ct_m, hom_m,
+        auto_m, accr_m, imm_m, ct_m, hom_m, berg_m,
         act_n, auto_n, accr_n, imm_n, ct_n) = scan_impl.scan(
         step, carry0, xs, reverse=True)
 
     rates = dict(AUTOL_M=auto_m, ACCRL_M=accr_m, FHTIM_M=imm_m,
-                 FHTCT_M=ct_m, HMPI_M=hom_m,
+                 FHTCT_M=ct_m, HMPI_M=hom_m, BERGN_M=berg_m,
                  ACTIV_N=act_n, AUTOL_N=auto_n, ACCRL_N=accr_n,
                  FHTIM_N=imm_n, FHTCT_N=ct_n)
     return ZMMphyOut(qliq=qliq, qice=qice, qnl=qnl, qni=qni,

@@ -31,6 +31,9 @@ KK_A = 1350.0             # KK2000 autoconversion prefactor
 KK_ACC = 67.0             # KK2000 accretion prefactor (qc·qr)^1.15
 QI0_SNOW = 1.0e-4         # ice threshold for snow conversion (kg/kg)
 TAU_SNOW = 180.0          # ice->snow relaxation time (s)
+TAU_BERG = 600.0          # Wegener-Bergeron-Findeisen liquid->ice time (s)
+T_BERG_PEAK = 258.15      # WBF efficiency peak (~-15 C, max ei-ew gap)
+T_BERG_WIDTH = 12.0       # efficiency half-width (K)
 NACT_LND = 4.0e8          # activated number per kg, land
 NACT_OCN = 1.5e8          # activated number per kg, ocean
 COOPER_A = 0.005e3        # Cooper (1986) crystal number: a·exp(b·dT) (1/m3)

@@ -122,7 +122,9 @@ class TestConservation:
         zcfg = ZMConfig(microp=True)
         o1 = phys_run1(pcfg, zcfg, reg, st, pbuf, cam_in, 1800.0, nstep=0)
         te_err = np.asarray(o1.diagnostics["ZM_TE_ERR"])
-        assert np.abs(te_err).max() < 1.0e-9, te_err
+        # f64 roundoff scale: column te ~ 2.5e9 J/m2, so ~1e-7-absolute
+        # noise is machine epsilon; a real bookkeeping leak measured 5e5
+        assert np.abs(te_err).max() < 1.0e-4, te_err
         for leaf in jax.tree.leaves(o1.state):
             assert bool(jnp.isfinite(leaf).all())
 
@@ -256,3 +258,7 @@ class TestProcessRateDiagnostics:
         assert np.asarray(r["ACTIV_N"]).max() > 0.0
         assert np.asarray(r["FHTIM_M"]).max() + \
             np.asarray(r["FHTCT_M"]).max() > 0.0
+        # WBF runs where ice coexists with liquid in mixed phase
+        assert "BERGN_M" in r
+        assert np.asarray(r["BERGN_M"]).min() >= 0.0
+        assert np.asarray(r["BERGN_M"]).max() > 0.0
