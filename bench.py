@@ -303,10 +303,15 @@ def coupled_main():
 
     # the documented performance configuration: ZM mega-kernel on
     # single-chip TPU f32 (same opt-in + caveat as the kernel bench above)
+    # BENCH_MICROP=1: the in-plume two-moment convective microphysics
+    # production configuration (XLA ZM path — the fused ZM tail is gated
+    # off under microp)
+    microp = os.environ.get("BENCH_MICROP") == "1"
     model = AtmModel.create(
         im, jm, km, dt=1800.0,
         phys_cfg=PhysConfig(radiation_scheme="gray"),
-        zm_cfg=ZMConfig(use_pallas="auto"))
+        zm_cfg=ZMConfig(microp=True) if microp
+        else ZMConfig(use_pallas="auto"))
     dyn0 = hs_initial_state(model.grid, model.coord, pert=1.0,
                             nq=model.registry.pcnst, dtype=dtype)
     dyn0 = dyn0.replace(q=jnp.full_like(dyn0.q, 1e-6).at[0].set(
@@ -434,7 +439,8 @@ def coupled_main():
           file=sys.stderr)
     record = {
         "metric": "grid-points/s per chip (full coupled atm_step, "
-                  "config-4b aquaplanet)",
+                  "config-4b aquaplanet"
+                  + (", in-plume microphysics ON)" if microp else ")"),
         "value": npts / total,
         "unit": "gridpoints/s",
         "vs_baseline": 1.0,

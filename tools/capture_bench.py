@@ -30,6 +30,8 @@ CONFIGS = [
     # full coupled atm_step (round-4 VERDICT #1): config-4b aquaplanet
     ("coupled_f19", {"BENCH_COUPLED": "1"}, 3000),
     ("coupled_f09", {"BENCH_COUPLED": "1", "BENCH_GRID": "f09"}, 3600),
+    ("coupled_f19_microp", {"BENCH_COUPLED": "1", "BENCH_MICROP": "1"},
+     3000),
 ]
 
 
